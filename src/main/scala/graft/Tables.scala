@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+/** Table loaders for the driver-generated parquet star schema
+  * (/root/repo/TESTDATA.md). All operators read through here so the
+  * scan path (and any future source swap — e.g. bucketed tables on a
+  * real cluster) is centralized.
+  *
+  * Scale note: `spark.read.parquet` plans splits from footer metadata
+  * (`maxPartitionBytes`), so the same code path scales from the 6k-row
+  * sf0.001 fixture to a 100 TB lake — no code change, only config.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default. Read nanos as raw long and convert to a µs timestamp
+    * (integer `div` — no double round-trip, which would lose precision
+    * above 2^53 ns). DuckDB reads the same column at µs precision, so
+    * both engines see identical truncated values (SURVEY.md §7.3 risk 2).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One oracle-checked operator: `name` keys `SparkEntry.queries`;
+  * `oracle` (when present) is the equivalent DuckDB SQL the driver runs
+  * against the same parquet tables and hash-compares (column names must
+  * match exactly — see the parity rules in SURVEY.md §5.2).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)

@@ -1,0 +1,162 @@
+package graft.functions
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families (SURVEY.md §2.8) — everything is a Spark
+  * built-in (codegen'd, stays inside WholeStageCodegen; zero UDFs by
+  * design so Catalyst can optimize and DuckDB can mirror).
+  *
+  * Lineage: date conversions re-express
+  * `/root/reference/src/util.rs:2-15` (epoch→date, "%Y-%m-%d"→date);
+  * JSON access generalizes the reference's serde JSON deserialization
+  * (`/root/reference/src/extract/fs.rs:6-13`) over `events.props`.
+  *
+  * Float-parity notes: sqrt is IEEE-correctly-rounded (bitwise equal
+  * across engines); single mul/sub/div on doubles is exact-deterministic;
+  * ln differs in ulps across libm impls → rounded to 6 digits.
+  */
+object ScalarQueries {
+  import Tables._
+
+  private def fnString(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+        size(split(col("p_name"), " ")).cast(LongType).as("n_tokens"),
+        regexp_extract(col("p_type"), "([a-z]+)", 1).as("first_word"),
+        col("p_name").like("%a%").as("has_a"))
+      .orderBy(col("p_partkey"))
+
+  /** Epoch→date is `util::convert_date_from_epoch`
+    * (`/root/reference/src/util.rs:2-6`); string parse is
+    * `convert_date_from_string` (`:9-15`). */
+  private def fnDate(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).cast(LongType).as("days_to"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(to_date(from_unixtime(col("o_orderkey") * 86400)), "yyyy-MM-dd").as("epoch_date"))
+      .orderBy(col("o_orderkey"))
+
+  private def fnMath(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Parity.r1(col("l_extendedprice")).as("r1"),
+        floor(col("l_extendedprice")).cast(LongType).as("fl"),
+        ceil(col("l_extendedprice")).cast(LongType).as("ce"),
+        abs(col("l_discount") - lit(0.05)).as("adiff"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        Parity.r6(log(col("l_extendedprice"))).as("lnp"),
+        (col("l_partkey") % 7).as("m7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        array_contains(toks, "data").as("has_data"),
+        concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 5)).as("first5_distinct"),
+        aggregate(transform(toks, x => length(x).cast(LongType)), lit(0L), (a, x) => a + x)
+          .as("total_len"),
+        size(filter(toks, x => length(x) > 4)).cast(LongType).as("n_long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def fnMapJson(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = from_json(col("props"), MapType(StringType, LongType))
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_get"),
+        element_at(parsed, "k").as("k_map"),
+        concat_ws(",", map_keys(parsed)).as("keys"))
+      .orderBy(col("event_id"))
+  }
+
+  private def fnConditional(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_bucket"),
+        when(col("c_acctbal") > 0, "pos").otherwise("nonpos").as("sign"))
+      .orderBy(col("c_custkey"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_string", Some(
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        | substr(p_name, 1, 5) AS sub,
+        | trim(concat('  ', p_name, '  ')) AS trimmed,
+        | concat_ws('-', p_brand, p_type) AS joined,
+        | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+        | regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+        | (p_name LIKE '%a%') AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin), fnString),
+
+    QueryDef("fn_date", Some(
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS d,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | strftime(CAST(epoch_ms(o_orderkey * 86400 * 1000) AS DATE), '%Y-%m-%d') AS epoch_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin), fnDate),
+
+    QueryDef("fn_math", Some(
+      """SELECT l_orderkey, l_linenumber,
+        | floor(l_extendedprice * 10 + 0.5) / 10 AS r1,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        | abs(l_discount - 0.05) AS adiff,
+        | l_quantity * l_quantity AS qty_sq,
+        | sqrt(l_extendedprice) AS sq,
+        | floor(ln(l_extendedprice) * 1000000 + 0.5) / 1000000 AS lnp,
+        | l_partkey % 7 AS m7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin), fnMath),
+
+    QueryDef("fn_array", Some(
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | list_contains(string_split(text, ' '), 'data') AS has_data,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5_distinct,
+        | CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_len,
+        | CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin), fnArray),
+
+    QueryDef("fn_map_json", Some(
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
+        | array_to_string(json_keys(props), ',') AS keys
+        |FROM events ORDER BY event_id""".stripMargin), fnMapJson),
+
+    QueryDef("fn_conditional", Some(
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+        | CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS sign
+        |FROM customer ORDER BY c_custkey""".stripMargin), fnConditional)
+  )
+}

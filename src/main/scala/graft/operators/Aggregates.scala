@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation family (SURVEY.md §2.5): hash agg, distinct, approx
+  * distinct (HLL), rollup/cube/grouping-sets, ordered collect, exact
+  * dedup.
+  *
+  * Lineage: the reference's `KeyMap` maintains a distinct value set
+  * (`/root/reference/src/keymap.rs:37-44`) and its bulk-COPY path
+  * requires dedup *before* load (`/root/reference/src/load/pg.rs:19-20`)
+  * — `dedup_exact` is that precondition as an operator.
+  *
+  * Scale: all of these are single-shuffle hash aggregations with
+  * map-side partial aggregation; grouping keys are low-cardinality so
+  * the shuffle payload is tiny regardless of input size. `agg_collect`
+  * groups by a bounded key (custkey) — per-group state is bounded.
+  */
+object Aggregates {
+  import Tables._
+
+  private def aggHash(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Parity.r2(sum(col("value"))).as("sum_value"),
+        Parity.r2(avg(col("value"))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  private def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ sketch — constant memory per group at any scale (the exact
+    * countDistinct above needs a per-group hash set; this doesn't).
+    * Approximate ⇒ no DuckDB oracle (different sketch impls). */
+  private def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private def aggCube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  private def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Ordered group→array, rendered as a CSV string so the oracle compare
+    * is canonical (array ordering pinned by array_sort, numeric). */
+  private def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",",
+          transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast(StringType))).as("order_keys"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+
+  /** The reference's dedup-before-COPY precondition
+    * (`/root/reference/src/load/pg.rs:19-20`) as an operator: projection
+    * distinct. One shuffle on all output columns. */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_hash", Some(
+      """SELECT event_type, count(*) AS n,
+        | floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+        | floor(avg(value) * 100 + 0.5) / 100 AS avg_value,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin), aggHash),
+
+    QueryDef("agg_distinct", Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggDistinct),
+
+    QueryDef("agg_approx_distinct", None, aggApproxDistinct),
+
+    QueryDef("agg_rollup", Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin), aggRollup),
+
+    QueryDef("agg_cube", Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin), aggCube),
+
+    QueryDef("agg_grouping_sets", Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin), aggGroupingSets),
+
+    QueryDef("agg_collect", Some(
+      """SELECT o_custkey,
+        | string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        | count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin), aggCollect),
+
+    QueryDef("dedup_exact", Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin), dedupExact)
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators on the `events` fact table (SURVEY.md §2.9):
+  * tumbling / sliding / session windows plus explicit gaps-and-islands
+  * sessionization. Batch-first; the same `window()` / `session_window()`
+  * expressions run unchanged under Structured Streaming (see
+  * graft.streaming).
+  *
+  * Parity: `events.ts` is ns-precision parquet; Spark truncates to µs.
+  * Window boundaries are whole minutes, so truncation never moves an
+  * event across a boundary (SURVEY.md §7.3 risk 2). Window starts are
+  * rendered as strings for canonical hashing.
+  *
+  * Scale: one shuffle on (window, key) with partial aggregation;
+  * sessionize is one shuffle on user_id + an in-partition sort — state
+  * bounded per user, spillable.
+  */
+object EventTime {
+  import Tables._
+
+  private def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("value"))).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** 1 h windows sliding every 15 min — each event lands in 4 windows.
+    * Oracle mirrors Spark's epoch-aligned window starts by expanding
+    * each event into bucket(ts) − k·15min, k ∈ 0..3. */
+  private def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Spark-native session windows (30 min gap). No oracle: DuckDB has no
+    * session windows and the boundary condition (gap strictly vs weakly
+    * > 30 min) differs from the explicit formulation below — kept as the
+    * Spark-only variant per SURVEY.md §7.3 risk 6. */
+  private def windowSession(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Deterministic gaps-and-islands sessionization: new session when the
+    * gap to the previous event (per user) exceeds 30 min — lag + running
+    * sum, identical SQL on both engines. */
+  private def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("newsess",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("newsess")).over(run))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        Parity.r2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("window_tumbling", Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      windowTumbling),
+
+    QueryDef("window_sliding", Some(
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+        |FROM (
+        |  SELECT e.event_type,
+        |   time_bucket(INTERVAL '15 minutes', e.ts) - to_minutes(15 * t.k) AS ws
+        |  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
+        |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin),
+      windowSliding),
+
+    QueryDef("window_session", None, windowSession),
+
+    QueryDef("events_sessionize", Some(
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |    THEN 1 ELSE 0 END AS newsess
+        |  FROM events),
+        | y AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM y GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+      eventsSessionize)
+  )
+}

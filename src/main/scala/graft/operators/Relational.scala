@@ -1,0 +1,360 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: scans, projection/filter, the full join family,
+  * sort/limit/top-k, and set operations (SURVEY.md §2.2–2.4, §2.7).
+  *
+  * Lineage: the reference's only dataflow operator is a scan + per-row
+  * closure (`/root/reference/src/extract/pg.rs:101-125`); its
+  * lookup-or-insert (`src/extract/pg.rs:67-99`) and `KeyMap::transact`
+  * (`src/keymap.rs:171-183`) are join-shaped. Everything here is
+  * declarative DataFrame API so Catalyst handles pushdown, pruning, and
+  * join-strategy selection (broadcast vs sort-merge vs BNLJ).
+  *
+  * Parity rules (SURVEY.md §5.2): every oracle-checked query ends in a
+  * deterministic total ORDER BY; float aggregates rounded; timestamps
+  * rendered as strings; derived integers cast to BIGINT on both sides.
+  */
+object Relational {
+  import Tables._
+
+  // ---------------------------------------------------------------- q1
+  /** Flagship: TPC-H Q1-style pricing summary — scan → σ(pushdown) →
+    * hash-agg (partial+final map-side combine, no extra shuffle beyond
+    * the groupBy) → sort. At 100 TB: groupBy keys have cardinality ~6,
+    * so partial aggregation collapses nearly all rows before shuffle.
+    */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Parity.r2(sum(col("l_quantity"))).as("sum_qty"),
+        Parity.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        Parity.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        Parity.r2(avg(col("l_quantity"))).as("avg_qty"),
+        Parity.r2(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+      | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+      | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+      | floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+      | floor(avg(l_discount) * 100 + 0.5) / 100 AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------- scans
+  private def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .filter(col("l_orderkey") < 1000)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Round-trips `region` through JSON to exercise the JSON source with
+    * an explicit schema (no runtime inference — the reference declares
+    * schemas statically, `/root/reference/src/extract/fs.rs:6-13`). */
+  private def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/region_json_${math.abs(dir.hashCode)}"
+    region(spark, dir).coalesce(1).write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    spark.read.schema(schema).json(tmp)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  private def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/nation_csv_${math.abs(dir.hashCode)}"
+    nation(spark, dir).coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).option("header", "true").csv(tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --------------------------------------------------- project / filter
+  private def projectFilter(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(
+        col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") &&
+        !(col("l_linestatus") === "O") &&
+        col("l_shipdate").isNotNull &&
+        (col("l_returnflag").like("%A%") || col("l_discount") > 0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def projectComputed(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        Parity.r2(col("o_totalprice") * lit(0.9)).as("discounted"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        upper(col("o_orderstatus")).as("status_u"))
+      .orderBy(col("o_orderkey"))
+
+  // --------------------------------------------------------------- joins
+  /** Broadcast hash join: 25-row `nation` dim is broadcast — no shuffle
+    * of the (at scale, huge) customer side. */
+  private def joinInnerHash(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cust_cnt"), Parity.r2(sum(col("c_acctbal"))).as("total_acctbal"))
+      .orderBy(col("n_name"))
+
+  /** Large⋈large equi-join forced to sort-merge (`merge` hint): both
+    * sides shuffle-partition on the key — the scalable strategy when
+    * neither side fits in a broadcast. */
+  private def joinSortMerge(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_cnt"), Parity.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  private def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy(col("c_custkey"))
+
+  private def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"))
+    val rich = customer(spark, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    perCust.join(rich, col("o_custkey") === col("c_custkey"), "full")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("c_name"), lit("(none)")).as("c_name"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Existence join — the skeleton of the reference's lookup-or-insert
+    * (`src/extract/pg.rs:67-99`): semi = "already present". */
+  private def joinLeftSemi(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def joinLeftAnti(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Non-equi range join → BroadcastNestedLoopJoin with the small
+    * (supplier) side broadcast; at scale the small side stays bounded
+    * (dims), so BNLJ cost is |fact| × |broadcast|, scanned once. */
+  private def joinThetaRange(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .join(broadcast(supplier(spark, dir)),
+        col("p_retailprice").between(col("s_acctbal"), col("s_acctbal") + lit(500.0)))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("parts_in_range"))
+      .orderBy(col("s_suppkey"))
+
+  /** As-of join via the union+window trick — O(n log n) sort instead of
+    * a per-key range join (O(n·m)): tag orders and events, union, and
+    * per user take the running `last` non-null order date ordered by
+    * time. This is the scalable formulation (one shuffle on user key,
+    * one sort — no pair blow-up), per SURVEY.md §7.3 risk 3. */
+  private def joinAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), lit(null).cast(TimestampType).as("ord_date"))
+    val od = orders(spark, dir).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"), lit(0).as("tag"),
+      lit(null).cast(LongType).as("event_id"), col("o_orderdate").as("ord_date"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("asof_date", last(col("ord_date"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"),
+        date_format(col("asof_date"), "yyyy-MM-dd").as("asof_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  private def joinCross(spark: SparkSession, dir: String): DataFrame = {
+    val a = region(spark, dir).select(col("r_name").as("r1"))
+    val b = region(spark, dir).select(col("r_name").as("r2"))
+    a.crossJoin(b).orderBy(col("r1"), col("r2"))
+  }
+
+  // ------------------------------------------------- sort / limit / topk
+  /** Global top-N: Catalyst plans TakeOrderedAndProject — per-partition
+    * heap + driver merge of N rows, never a full global sort. */
+  private def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ------------------------------------------------------------ set ops
+  private def segKeys(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+  private def bigSpenders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).filter(col("o_totalprice") > 480000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+
+  private val setCte =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      | b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 480000)
+      |""".stripMargin
+
+  private def setUnion(spark: SparkSession, dir: String): DataFrame =
+    segKeys(spark, dir).unionByName(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
+
+  private def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    segKeys(spark, dir).intersect(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
+
+  private def setExcept(spark: SparkSession, dir: String): DataFrame =
+    segKeys(spark, dir).except(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
+
+  // ------------------------------------------------------------- defs
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", Some(q1Sql), q1),
+
+    QueryDef("scan_parquet", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin), scanParquet),
+
+    QueryDef("scan_json", Some(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"), scanJson),
+
+    QueryDef("scan_csv", Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"), scanCsv),
+
+    QueryDef("project_filter", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+        |  AND NOT l_linestatus = 'O' AND l_shipdate IS NOT NULL
+        |  AND (l_returnflag LIKE '%A%' OR l_discount > 0.05)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin), projectFilter),
+
+    QueryDef("project_computed", Some(
+      """SELECT o_orderkey, floor(o_totalprice * 0.9 * 100 + 0.5) / 100 AS discounted,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        | upper(o_orderstatus) AS status_u
+        |FROM orders ORDER BY o_orderkey""".stripMargin), projectComputed),
+
+    QueryDef("join_inner_hash", Some(
+      """SELECT n_name, count(*) AS cust_cnt,
+        | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin), joinInnerHash),
+
+    QueryDef("join_sortmerge", Some(
+      """SELECT o_orderpriority, count(*) AS line_cnt,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), joinSortMerge),
+
+    QueryDef("join_left_outer", Some(
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin), joinLeftOuter),
+
+    QueryDef("join_full_outer", Some(
+      """WITH per_cust AS (SELECT o_custkey, count(*) AS order_cnt FROM orders GROUP BY o_custkey),
+        | rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        | coalesce(order_cnt, 0) AS order_cnt,
+        | coalesce(c_name, '(none)') AS c_name
+        |FROM per_cust FULL OUTER JOIN rich ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin), joinFullOuter),
+
+    QueryDef("join_left_semi", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin), joinLeftSemi),
+
+    QueryDef("join_left_anti", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin), joinLeftAnti),
+
+    QueryDef("join_theta_range", Some(
+      """SELECT s_suppkey, count(*) AS parts_in_range
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 500.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin), joinThetaRange),
+
+    QueryDef("join_asof", Some(
+      """SELECT e.event_id,
+        | strftime(max(o.o_orderdate), '%Y-%m-%d') AS asof_order_date
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin), joinAsOf),
+
+    QueryDef("join_cross", Some(
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b ORDER BY r1, r2""".stripMargin), joinCross),
+
+    QueryDef("sort_limit", Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin), sortLimit),
+
+    QueryDef("topk_per_group", Some(
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin), topkPerGroup),
+
+    QueryDef("set_union", Some(setCte +
+      """SELECT c_custkey FROM (SELECT c_custkey FROM a UNION ALL SELECT c_custkey FROM b)
+        |ORDER BY c_custkey""".stripMargin), setUnion),
+
+    QueryDef("set_intersect", Some(setCte +
+      """SELECT c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |ORDER BY c_custkey""".stripMargin), setIntersect),
+
+    QueryDef("set_except", Some(setCte +
+      """SELECT c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY c_custkey""".stripMargin), setExcept)
+  )
+}

