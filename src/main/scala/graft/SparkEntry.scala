@@ -15,7 +15,11 @@ object SparkEntry {
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       functions.ScalarQueries.defs ++
-      operators.EventTime.defs
+      operators.EventTime.defs ++
+      operators.TextOps.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

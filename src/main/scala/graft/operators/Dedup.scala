@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection family (SURVEY.md §2.10): MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup. Exact dedup
+  * is `dedup_exact` in Aggregates (the reference's pre-COPY
+  * precondition, `/root/reference/src/load/pg.rs:19-20`).
+  *
+  * Determinism strategy: all hashing is md5 over explicit
+  * `seed:shingle` strings — reproducible across engines (the DuckDB
+  * oracle computes the *identical* signatures), unlike engine-native
+  * hash functions which differ. SimHash uses xxhash64 (Spark-only ⇒ no
+  * oracle).
+  *
+  * Scale: the banding join is the standard LSH pattern — explode
+  * (doc, band) pairs, shuffle on band value, join within buckets.
+  * Bucket sizes are bounded w.h.p. by band width; no all-pairs
+  * comparison ever materializes. The n-gram Jaccard inverted-index
+  * self-join shuffles on shingle, so cost is Σ bucket², not n².
+  */
+object Dedup {
+  import Tables._
+
+  private val NumHashes = 8
+  private val NumBands = 4 // rows-per-band r=2, bands b=4 → catches sim >~ (1/b)^(1/r) ≈ 0.5
+
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+
+  /** 3-word shingles, 1-based positions (mirrors the oracle's
+    * generate_series(1, len-2) + tk[i..i+2]). */
+  private def shingles(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ", slice(t, i, lit(3))))
+
+  private def withSignature(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), shingles(col("tk")).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** MinHash signatures + LSH band keys per document — fully
+    * deterministic, oracle-checked. */
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    withSignature(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat(col("h0"), col("h1"))).as("band0"),
+        md5(concat(col("h2"), col("h3"))).as("band1"),
+        md5(concat(col("h4"), col("h5"))).as("band2"),
+        md5(concat(col("h6"), col("h7"))).as("band3"))
+      .orderBy(col("doc_id"))
+
+  /** LSH candidate pairs: docs sharing any band bucket, scored by
+    * signature agreement. The banding join is the scale path — no
+    * all-pairs crossJoin. Estimated similarity ⇒ no oracle. */
+  private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = withSignature(spark, dir)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"),
+        array((0 until NumBands).map(j =>
+          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+    val exploded = sig.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band")))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / NumHashes).as("est_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over token xxhash64 bits: per-bit ±1 vote summed
+    * per doc, sign → bit. xxhash64 is Spark-native ⇒ no oracle. */
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val sim = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard via inverted index: explode distinct
+    * shingles, self-join on shingle (shuffle on shingle value — never
+    * all-pairs), count common, |A∪B| = |A|+|B|−common. Top-100 pairs.
+    * Single int division ⇒ bitwise-deterministic, oracle-checked. */
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  /** Embedding-cosine near-dup: top-20 most-similar vector pairs.
+    * Brute-force pair enumeration here (bounded input); the scale path
+    * for ANN is Similarity.simAnnLsh. Dot products are sequential
+    * double sums — mirrored exactly by DuckDB list_inner_product. */
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))).as("cs"))
+      .orderBy(col("cs").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  private val minhashSigCte =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      | sh AS (
+      |  SELECT doc_id,
+      |   list_transform(generate_series(1, len(t) - 2),
+      |     i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM tk WHERE len(t) >= 3),
+      | sig AS (
+      |  SELECT doc_id,
+      |   list_min(list_transform(shingles, s -> md5('0:' || s))) AS h0,
+      |   list_min(list_transform(shingles, s -> md5('1:' || s))) AS h1,
+      |   list_min(list_transform(shingles, s -> md5('2:' || s))) AS h2,
+      |   list_min(list_transform(shingles, s -> md5('3:' || s))) AS h3,
+      |   list_min(list_transform(shingles, s -> md5('4:' || s))) AS h4,
+      |   list_min(list_transform(shingles, s -> md5('5:' || s))) AS h5,
+      |   list_min(list_transform(shingles, s -> md5('6:' || s))) AS h6,
+      |   list_min(list_transform(shingles, s -> md5('7:' || s))) AS h7
+      |  FROM sh)
+      |""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_minhash", Some(minhashSigCte +
+      """SELECT doc_id,
+        | md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
+        | md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+        |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
+
+    QueryDef("dedup_minhash_pairs", None, dedupMinhashPairs),
+
+    QueryDef("dedup_simhash", None, dedupSimhash),
+
+    QueryDef("dedup_ngram_jaccard", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |   FROM tk WHERE len(t) >= 3)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY jac DESC, doc_a, doc_b LIMIT 100""".stripMargin), dedupNgramJaccard),
+
+    QueryDef("dedup_embedding", Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cs
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbedding)
+  )
+}

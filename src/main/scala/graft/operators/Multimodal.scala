@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.10 / builder brief):
+  * image/audio/video payloads modeled as opaque `binary` columns with
+  * typed metadata. No media codecs ship in this environment, so the
+  * decode step is a clearly-marked DETERMINISTIC STUB — but the
+  * Spark-side plumbing (binary schema, batch-iterator processing,
+  * partition-parallel decode, typed output schema) is real and tested.
+  *
+  * Scale: decode runs in `mapPartitions` — one iterator per partition,
+  * the Scala analogue of `mapInPandas` batch processing: codec state is
+  * amortized per partition, rows stream through without materializing
+  * the partition, and parallelism is the file-split count.
+  */
+object Multimodal {
+  import Tables._
+
+  /** Typed input/output rows for the stub decoder. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      n_frames: Int, format: String)
+
+  /** Binary metadata extraction — oracle-checked (byte length + hex
+    * prefix are codec-independent). */
+  private def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        lower(hex(substring(col("payload"), 1, 8))).as("prefix_hex"))
+      .orderBy(col("doc_id"))
+
+  /** STUB decode: a real implementation would parse the container
+    * header (e.g. PNG IHDR / WAV fmt chunk) and decode frames here;
+    * this environment has no media libraries, so dimensions are derived
+    * deterministically from the payload bytes. The mapPartitions batch
+    * shape, schemas, and partition parallelism are the real contract.
+    */
+  private def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+    in.mapPartitions { rows =>
+      // per-partition "codec" init would go here (amortized, like
+      // mapInPandas batch setup)
+      rows.map { r =>
+        val h = java.util.Arrays.hashCode(r.payload).toLong & 0x7fffffffL // STUB
+        MediaMeta(
+          doc_id = r.doc_id,
+          n_bytes = r.payload.length.toLong,
+          width = (64 + h % 1856).toInt,          // STUB: fake dims
+          height = (64 + (h / 1856) % 1016).toInt, // STUB
+          n_frames = (1 + h % 30).toInt,           // STUB
+          format = if (r.payload.nonEmpty && (r.payload(0) & 1) == 0) "img" else "aud") // STUB
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_binary_meta", Some(
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex
+        |FROM documents ORDER BY doc_id""".stripMargin), mmBinaryMeta),
+
+    QueryDef("mm_decode_stub", None, mmDecodeStub)
+  )
+}

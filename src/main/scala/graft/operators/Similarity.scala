@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the embedding column (SURVEY.md §2.10):
+  * brute-force cosine top-k (the correctness baseline), kNN majority
+  * label, and an LSH-bucketed ANN variant (the scale path).
+  *
+  * Dot products use `aggregate(zip_with(a,b,_*_), 0.0, _+_)` over
+  * double-cast arrays — a sequential left-to-right sum, bitwise
+  * identical to DuckDB's list_inner_product, so exact float parity
+  * holds for the oracle. Cosines are additionally tie-broken by id and
+  * rounded (Parity.r6) before ranking so rank order can never diverge
+  * on a final-ulp difference.
+  *
+  * Scale: brute-force is |Q|×|C| with the query side broadcast — right
+  * for reranking/small Q. For full-corpus ANN, simAnnLsh buckets by
+  * random-hyperplane signs so the join is bucket-local (the IVF/LSH
+  * pattern); recall is traded via the number of planes.
+  */
+object Similarity {
+  import Tables._
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  private def topkPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val c = v.select(col("vec_id").as("cid"), col("label"), col("e").as("ce"),
+      col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("label"),
+        Parity.r6(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cs"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  private def simCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    topkPairs(spark, dir, 5)
+      .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+      .orderBy(col("qid"), col("rnk"))
+
+  /** Majority label among the 5 nearest neighbors per query vector. */
+  private def simKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val votes = topkPairs(spark, dir, 5)
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
+  /** Deterministic ±1 hyperplanes from a fixed LCG seed (no RNG at
+    * runtime — resumable and cross-run stable). */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 0x5DEECE66DL
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      if ((state >>> 32 & 1L) == 1L) 1.0 else -1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** ANN via random-hyperplane LSH: 12-bit sign signature → bucket;
+    * candidates meet queries only within their bucket (join on bucket
+    * id — no all-pairs). Approximate ⇒ no oracle. */
+  private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ps = planes(12, 64)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(col("e"), planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val v = normed(spark, dir).withColumn("bucket", bucket)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val c = v.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"),
+      col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    c.join(broadcast(q), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        Parity.r6(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cs"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val topkCte =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      | n AS (SELECT vec_id, label, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+      | p AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+      |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cs
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      | r AS (
+      |  SELECT qid, cid, label, cs,
+      |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS BIGINT) AS rnk
+      |  FROM p)
+      |""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_cosine_topk", Some(topkCte +
+      """SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin), simCosineTopk),
+
+    QueryDef("sim_knn_label", Some(topkCte +
+      """, votes AS (
+        |  SELECT qid, label, count(*) AS votes FROM r WHERE rnk <= 5
+        |  GROUP BY qid, label),
+        | best AS (
+        |  SELECT qid, label, votes,
+        |   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+        |  FROM votes)
+        |SELECT qid, label AS pred_label, votes FROM best WHERE rn = 1
+        |ORDER BY qid""".stripMargin), simKnnLabel),
+
+    QueryDef("sim_ann_lsh", None, simAnnLsh)
+  )
+}

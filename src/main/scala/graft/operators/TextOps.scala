@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md
+  * §2.10): tokenization + term frequencies, corpus stats, quality
+  * scoring, token counting (whitespace + BPE-ish regex), document
+  * fingerprinting, and a heuristic language-ID.
+  *
+  * All built-ins (split / explode / higher-order array functions /
+  * md5) — codegen'd, no UDFs, so plans stay whole-stage and DuckDB can
+  * mirror the oracle-checked ones.
+  *
+  * Scale: tokenize/tf is explode → hash-agg with map-side combine —
+  * shuffle volume is the vocabulary, not the corpus. Per-doc scores
+  * are narrow projections (no shuffle at all).
+  */
+object TextOps {
+  import Tables._
+
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+
+  private def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  private def textLangStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        avg(col("n_chars")).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Quality signals: length, words, chars/word, stopword ratio,
+    * vocabulary diversity. Single divisions of exact ints — bitwise
+    * cross-engine deterministic, no rounding needed. */
+  private def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_actual"),
+        size(toks).cast(LongType).as("n_words"),
+        (length(col("text")).cast(DoubleType) / size(toks)).as("chars_per_word"),
+        (size(filter(toks, t => t.isin(stop: _*))).cast(DoubleType) / size(toks))
+          .as("stopword_ratio"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast(LongType)
+          .as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("bpe_ish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical-form fingerprint (lowercase, sorted tokens → md5) with a
+    * per-fingerprint duplicate count — the "did we already ingest this
+    * content" primitive. */
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ", array_sort(filter(split(lower(col("text")), " "), t => t =!= ""))))
+    documents(spark, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language-ID: score per language = fraction of tokens in
+    * that language's tiny marker lexicon; argmax with a fixed tie-break
+    * order. Approximate by construction ⇒ no oracle (rows-only check).
+    */
+  private def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "data", "value"),
+      "fr" -> Seq("le", "la", "de", "et", "un"),
+      "es" -> Seq("el", "la", "de", "y", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ein"),
+      "zh" -> Seq("de", "shi", "le"))
+    val scored = markers.foldLeft(documents(spark, dir)) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l",
+        size(filter(toks, t => t.isin(ws: _*))).cast(DoubleType) / size(toks))
+    }
+    val best = markers.map(_._1).foldLeft(lit("und").as("p") -> lit(-1.0).as("s")) {
+      case ((p, s), l) =>
+        val better = col(s"score_$l") > s
+        (when(better, lit(l)).otherwise(p), when(better, col(s"score_$l")).otherwise(s))
+    }
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+        best._1.as("predicted_lang"), best._2.as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_tokenize_tf", Some(
+      """SELECT word, count(*) AS cnt FROM (
+        | SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 100""".stripMargin), textTokenizeTf),
+
+    QueryDef("text_lang_stats", Some(
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      textLangStats),
+
+    QueryDef("text_quality", Some(
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_words,
+        | CAST(length(text) AS DOUBLE)
+        |   / len(list_filter(string_split(text, ' '), t -> t <> '')) AS chars_per_word,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |     t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+        |   / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stopword_ratio,
+        | CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+        |   / len(list_filter(string_split(text, ' '), t -> t <> '')) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin), textQuality),
+
+    QueryDef("text_token_count", Some(
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin), textTokenCount),
+
+    QueryDef("text_fingerprint", Some(
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')), ' ')) AS fp
+        | FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_count
+        |FROM f ORDER BY doc_id""".stripMargin), textFingerprint),
+
+    QueryDef("text_langid", None, textLangId)
+  )
+}
