@@ -1,0 +1,177 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** ETL façade mirroring the reference's trait contract:
+  * `Extract` — "how is the data extracted?"
+  * (`/root/reference/src/etl.rs:14-19`) → [[Source]];
+  * `Load` — "how is the data loaded?" (`src/etl.rs:23-28`) → [[Sink]].
+  *
+  * Spark-first: a Source wraps a `DataFrameReader` recipe, a Sink a
+  * `DataFrameWriter` recipe, and a [[Pipeline]] is
+  * source → declarative transforms → sink, so the whole flow is one
+  * Catalyst plan (pushdown crosses the façade; nothing materializes
+  * between stages — unlike the reference, which holds each collection
+  * in driver memory).
+  */
+trait Source {
+  def read(spark: SparkSession): DataFrame
+}
+
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+final case class Pipeline(
+    source: Source,
+    transforms: Seq[DataFrame => DataFrame] = Seq.empty,
+    sink: Sink) {
+  def run(spark: SparkSession): Unit =
+    sink.write(transforms.foldLeft(source.read(spark))((df, f) => f(df)))
+}
+
+// ---------------------------------------------------------------- sources
+
+/** R8 (`/root/reference/src/extract/fs.rs:6-13`) generalized: schema is
+  * declared, never inferred — the reference's structs fix schemas at
+  * compile time (`skopje-macros/src/lib.rs:113-119`). */
+final case class ParquetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+final case class JsonSource(path: String, schema: StructType, multiLine: Boolean = false)
+    extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).option("multiLine", multiLine).json(path)
+}
+
+final case class CsvSource(path: String, schema: StructType, header: Boolean = true)
+    extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).option("header", header).csv(path)
+}
+
+/** R10–R12 (`/root/reference/src/extract/pg.rs`): the reference pushes
+  * SQL text to Postgres and maps rows; Spark's JDBC source does the
+  * same with Catalyst filter pushdown. `partitionColumn` splits the
+  * read across executors (the reference reads on one connection). */
+final case class JdbcSource(
+    url: String, table: String, props: java.util.Properties,
+    partitionColumn: Option[(String, Long, Long, Int)] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = partitionColumn match {
+    case Some((c, lo, hi, n)) => spark.read.jdbc(url, table, c, lo, hi, n, props)
+    case None => spark.read.jdbc(url, table, props)
+  }
+}
+
+/** R4/R5 (`/root/reference/src/extract/http.rs:36-39,153-186`): HTTP
+  * JSON fetch with retry-on-429. The fetch function is injectable so
+  * the retry/parse path is testable offline; the default uses
+  * `java.net.http`. Body lines are parallelized and parsed by the
+  * executors (`spark.read.json(Dataset[String])`).
+  *
+  * Retry contract mirrors the reference: ≤ `maxRetries` retries on 429,
+  * fixed `backoffMs` sleep (code sleeps 120 s at `http.rs:174`;
+  * configurable here), then parse regardless (`http.rs:179-182`).
+  */
+final case class HttpJsonSource(
+    url: String,
+    schema: StructType,
+    fetch: String => HttpJsonSource.Response = HttpJsonSource.defaultFetch,
+    maxRetries: Int = 3,
+    backoffMs: Long = 120000L) extends Source {
+
+  def read(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    var attempt = 0
+    var resp = fetch(url)
+    while (resp.status == 429 && attempt < maxRetries) {
+      attempt += 1
+      Thread.sleep(backoffMs)
+      resp = fetch(url)
+    }
+    val lines = resp.body.split('\n').toIndexedSeq
+    spark.read.schema(schema).json(lines.toDS())
+  }
+}
+
+object HttpJsonSource {
+  final case class Response(status: Int, body: String)
+
+  def defaultFetch(url: String): Response = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    Response(r.statusCode(), r.body())
+  }
+}
+
+/** R6/R7 (`/root/reference/src/extract/http.rs:41-124`): chunked
+  * parallel download. The reference spawns a tokio task per 100 MB
+  * range but serializes writes behind one `Mutex<File>` (`:92,:104`);
+  * here each executor fetches its ranges and the parts are assembled
+  * once — actual parallel I/O. Fetcher injectable for offline tests. */
+final case class ChunkedDownload(
+    url: String,
+    totalBytes: Long,
+    chunkBytes: Long = 100L * 1024 * 1024, // CHUNK_SIZE, http.rs:14
+    fetchRange: (String, Long, Long) => Array[Byte]) {
+
+  def ranges: Seq[(Long, Long)] =
+    (0L until totalBytes by chunkBytes).map(s => (s, math.min(s + chunkBytes, totalBytes) - 1))
+
+  /** Fetch all chunks across the cluster, return assembled bytes in
+    * order (caller streams them to storage). */
+  def run(spark: SparkSession): Array[Byte] = {
+    val u = url; val f = fetchRange
+    val parts = spark.sparkContext
+      .parallelize(ranges, math.min(ranges.size, 32))
+      .map { case (s, e) => (s, f(u, s, e)) }
+      .collect().sortBy(_._1)
+    parts.flatMap(_._2)
+  }
+}
+
+/** R9 (`/root/reference/src/extract/fs.rs:19-60`): zip extraction. The
+  * reference rayon-iterates entries but serializes on the archive
+  * mutex; here archives are distributed via `binaryFiles` and each
+  * executor streams its own archive's entries. */
+object ZipSource {
+  def entries(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, stream) =>
+        val zin = new java.util.zip.ZipInputStream(stream.open())
+        Iterator.continually(zin.getNextEntry)
+          .takeWhile(_ != null)
+          .filter(!_.isDirectory)
+          .map { entry =>
+            val bytes = zin.readAllBytes()
+            (file, entry.getName, bytes.length.toLong, bytes)
+          }.toVector
+      }
+      .toDF("archive", "entry", "n_bytes", "content")
+  }
+}
+
+// ------------------------------------------------------------------ sinks
+
+/** R13/R14 (`/root/reference/src/load/pg.rs:50-117`): the reference
+  * picks row-INSERT vs binary COPY; Spark's equivalent bulk path is a
+  * columnar parquet write (or JDBC with batching, below). */
+final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite)
+    extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+}
+
+/** JDBC sink: per-partition transactions with batched prepared
+  * statements — the reference's prepare-once / one-tx-per-collection
+  * pattern (`src/load/pg.rs:59-81`), per executor. `batchsize` is the
+  * COPY-vs-INSERT lever. */
+final case class JdbcSink(
+    url: String, table: String, props: java.util.Properties,
+    mode: SaveMode = SaveMode.Append, batchSize: Int = 10000) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode).option("batchsize", batchSize).jdbc(url, table, props)
+}

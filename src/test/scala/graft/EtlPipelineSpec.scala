@@ -1,0 +1,83 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ETL façade mirrors the reference's Extract/Load contract
+  * (`/root/reference/src/etl.rs:14-28`): source → transforms → sink as
+  * one plan, plus the HTTP retry (R5), chunked download (R6/R7) and zip
+  * (R9) extract paths with injected fetchers (offline). */
+class EtlPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_test/$name"
+
+  test("pipeline: parquet → filter/project → parquet") {
+    val out = tmp("pipe_out")
+    Pipeline(
+      ParquetSource(s"${TestSpark.sf}/lineitem.parquet"),
+      Seq(
+        _.filter(col("l_quantity") > 25),
+        _.select("l_orderkey", "l_quantity")),
+      ParquetSink(out)
+    ).run(spark)
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(back.count() > 0)
+    assert(back.filter(col("l_quantity") <= 25).count() == 0)
+  }
+
+  test("http json source retries on 429 then parses (reference R5 contract)") {
+    var calls = 0
+    val fake: String => HttpJsonSource.Response = { _ =>
+      calls += 1
+      if (calls == 1) HttpJsonSource.Response(429, "")
+      else HttpJsonSource.Response(200, """{"id": 1, "name": "a"}
+{"id": 2, "name": "b"}""")
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = HttpJsonSource("http://fake", schema, fake, maxRetries = 3, backoffMs = 1)
+      .read(spark)
+    assert(calls == 2)
+    assert(df.count() == 2)
+    assert(df.filter(col("name") === "b").count() == 1)
+  }
+
+  test("http json source gives up after maxRetries (then attempts parse)") {
+    var calls = 0
+    val always429: String => HttpJsonSource.Response = { _ =>
+      calls += 1; HttpJsonSource.Response(429, "")
+    }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val df = HttpJsonSource("http://fake", schema, always429, maxRetries = 3, backoffMs = 1)
+      .read(spark)
+    assert(calls == 4) // initial + 3 retries, mirrors MAX_RETRIES (http.rs:157)
+    assert(df.count() == 0)
+  }
+
+  test("chunked download splits ranges and reassembles in order (R6/R7)") {
+    val dl = ChunkedDownload("u", totalBytes = 25, chunkBytes = 10,
+      fetchRange = (_, s, e) => (s to e).map(_.toByte).toArray)
+    assert(dl.ranges == Seq((0L, 9L), (10L, 19L), (20L, 24L)))
+    val bytes = dl.run(spark)
+    assert(bytes.toSeq == (0 until 25).map(_.toByte).toSeq)
+  }
+
+  test("zip source streams entries distributed (R9)") {
+    val dir = new java.io.File(tmp("zips")); dir.mkdirs()
+    val f = new java.io.File(dir, "a.zip")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    Seq("one.txt" -> "hello", "sub/two.txt" -> "world!!").foreach { case (n, c) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(c.getBytes); zout.closeEntry()
+    }
+    zout.close()
+    val df = ZipSource.entries(spark, f.getAbsolutePath)
+    assert(df.count() == 2)
+    assert(df.filter(col("entry") === "sub/two.txt")
+      .select("n_bytes").collect()(0).getLong(0) == 7L)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants across operators (SURVEY.md §5.2 item 3). */
+class InvariantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("semi ∪ anti partitions customer") {
+    val total = Tables.customer(spark, sf).count()
+    assert(q("join_left_semi").count() + q("join_left_anti").count() == total)
+  }
+
+  test("intersect + except partition the left set") {
+    val a = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(q("set_intersect").count() + q("set_except").count() == a)
+  }
+
+  test("topk_per_group emits at most 3 per group, ranks 1..3") {
+    val df = q("topk_per_group")
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 3).count() == 0)
+    assert(df.agg(max("rn")).collect()(0).getLong(0) <= 3)
+  }
+
+  test("dedup_exact is idempotent") {
+    val once = q("dedup_exact")
+    assert(once.dropDuplicates().count() == once.count())
+  }
+
+  test("sessionize gaps within a session never exceed 30 min") {
+    // reconstruct: every event's gap to the previous in the same session ≤ 30min
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .withColumn("newsess", when(col("gap_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("newsess").over(w.rowsBetween(Long.MinValue, 0)))
+    val bad = flagged.filter(col("newsess") === 0 && col("gap_us") > 1800000000L)
+    assert(bad.count() == 0)
+  }
+
+  test("cosine similarities are bounded and self-excluded") {
+    val df = q("sim_cosine_topk")
+    assert(df.filter(col("cs") > 1.000001 || col("cs") < -1.000001).count() == 0)
+    assert(df.filter(col("qid") === col("cid")).count() == 0)
+    assert(df.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+  }
+
+  test("jaccard scores lie in (0, 1]") {
+    val df = q("dedup_ngram_jaccard")
+    assert(df.filter(col("jac") <= 0 || col("jac") > 1).count() == 0)
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = q("dedup_minhash").collect().toSeq
+    val b = q("dedup_minhash").collect().toSeq
+    assert(a == b)
+  }
+
+  test("keymap_assign keys are dense 0..n-1") {
+    val keys = q("keymap_assign").select("key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == keys.indices.map(_.toLong).toSeq)
+  }
+
+  test("langid predicts a known language with a score") {
+    val df = q("text_langid")
+    assert(df.filter(col("predicted_lang").isin("en", "fr", "es", "de", "zh", "und")).count()
+      == df.count())
+  }
+}

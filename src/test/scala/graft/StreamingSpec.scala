@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming variants under MemoryStream (SURVEY.md §2.9):
+  * watermark advances close windows; in-watermark duplicates drop. */
+class StreamingSpec extends AnyFunSuite {
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def drain(q: StreamingQuery): Unit = { q.processAllAvailable(); q.stop() }
+
+  test("tumbling window emits once the watermark passes window end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_tumble").outputMode("append").start()
+    ms.addData(
+      Ev(1, t("2024-01-01 10:05:00"), 7, "click", 1.0),
+      Ev(2, t("2024-01-01 10:40:00"), 7, "click", 2.0))
+    q.processAllAvailable()
+    // watermark still at 10:30 → the 10:00 window is open, nothing emitted
+    assert(spark.table("t_tumble").count() == 0)
+    ms.addData(Ev(3, t("2024-01-01 12:00:00"), 7, "view", 1.0))
+    drain(q)
+    val rows = spark.table("t_tumble").collect()
+    assert(rows.length == 1) // the 10:00–11:00 click window, n=2
+    assert(rows(0).getAs[Long]("n") == 2)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(1, t("2024-01-01 10:00:01"), 7, "click", 1.0), // dup id within horizon
+      Ev(2, t("2024-01-01 10:00:02"), 7, "view", 2.0))
+    drain(q)
+    assert(spark.table("t_dedup").count() == 2)
+  }
+
+  test("session windows merge events within the gap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionized(ms.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_sess").outputMode("append").start()
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(2, t("2024-01-01 10:10:00"), 7, "click", 1.0), // same session
+      Ev(3, t("2024-01-01 11:30:00"), 7, "click", 1.0)) // new session
+    ms.addData(Ev(4, t("2024-01-01 14:00:00"), 7, "view", 1.0)) // advance watermark
+    drain(q)
+    val rows = spark.table("t_sess").collect().sortBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2)
+    assert(rows(1).getAs[Long]("n") == 1)
+  }
+}
