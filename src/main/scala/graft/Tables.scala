@@ -42,6 +42,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan-out for CPU-heavy per-row operators (hashing, vector math): a
+    * small parquet arrives as one split, which would pin the whole
+    * computation to a single core. At lake scale the file-split planner
+    * provides this parallelism naturally; the explicit repartition is
+    * cheap insurance that also spreads skewed single-split inputs. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** One oracle-checked operator: `name` keys `SparkEntry.queries`;

@@ -35,15 +35,23 @@ object Dedup {
   private def shingles(t: Column): Column =
     transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ", slice(t, i, lit(3))))
 
+  /** MinHash signatures via explode → per-shingle md5 (whole-stage
+    * codegen) → map-side-combined min aggregation. The equivalent
+    * 8×`array_min(transform(...))` projection form re-evaluates the
+    * interpreted shingle-building lambdas once per signature column
+    * (no CSE inside higher-order functions) — measured ~10× slower. */
   private def withSignature(spark: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
-    }
-    documents(spark, dir)
+    val sh = fanout(documents(spark, dir))
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), shingles(col("tk")).as("shingles"))
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(shingles(col("tk"))).as("s"))
+    val hashCols = (0 until NumHashes).map { i =>
+      md5(concat(lit(s"$i:"), col("s"))).as(s"m$i")
+    }
+    sh.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("m0")).as("h0"),
+        (1 until NumHashes).map(i => min(col(s"m$i")).as(s"h$i")): _*)
   }
 
   /** MinHash signatures + LSH band keys per document — fully
@@ -85,7 +93,7 @@ object Dedup {
   /** 64-bit SimHash over token xxhash64 bits: per-bit ±1 vote summed
     * per doc, sign → bit. xxhash64 is Spark-native ⇒ no oracle. */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = documents(spark, dir)
+    val words = fanout(documents(spark, dir))
       .select(col("doc_id"), explode(toks).as("word"))
       .withColumn("h", xxhash64(col("word")))
     val votes = (0 until 64).map { b =>
@@ -104,7 +112,7 @@ object Dedup {
     * all-pairs), count common, |A∪B| = |A|+|B|−common. Top-100 pairs.
     * Single int division ⇒ bitwise-deterministic, oracle-checked. */
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = documents(spark, dir)
+    val sh = fanout(documents(spark, dir))
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
@@ -127,14 +135,13 @@ object Dedup {
     * for ANN is Similarity.simAnnLsh. Dot products are sequential
     * double sums — mirrored exactly by DuckDB list_inner_product. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val v = embeddings(spark, dir)
+    graft.functions.DotProduct.register(spark)
+    val v = fanout(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))).as("cs"))
+        (expr("dot_product(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))).as("cs"))
       .orderBy(col("cs").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }

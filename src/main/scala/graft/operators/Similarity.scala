@@ -25,14 +25,18 @@ import org.apache.spark.sql.types._
 object Similarity {
   import Tables._
 
-  private def dot(a: Column, b: Column): Column =
+  /** Interpreted fallback dot for literal-array operands (plane
+    * projections); data-path dots use the codegen'd `dot_product`. */
+  private def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def normed(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    fanout(embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+  }
 
   private def topkPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val v = normed(spark, dir)
@@ -43,7 +47,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
     c.join(broadcast(q), col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("label"),
-        Parity.r6(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cs"))
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
@@ -82,7 +86,7 @@ object Similarity {
     val ps = planes(12, 64)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(col("e"), planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotLambda(col("e"), planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val v = normed(spark, dir).withColumn("bucket", bucket)
     val q = v.filter(col("vec_id") < 10)
@@ -93,7 +97,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
     c.join(broadcast(q), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        Parity.r6(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cs"))
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("cid"), col("cs"))
