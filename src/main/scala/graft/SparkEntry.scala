@@ -16,6 +16,8 @@ object SparkEntry {
       operators.Windows.defs ++
       functions.ScalarQueries.defs ++
       operators.EventTime.defs ++
+      operators.ScalePatterns.defs ++
+      operators.Statistics.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

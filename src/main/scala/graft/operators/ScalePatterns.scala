@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns made explicit as operators: skew-salted joins and
+  * bucketed co-located joins. On a 1000-executor cluster these are the
+  * difference between a straggler-bound shuffle and an even one — the
+  * queries here keep them oracle-checkable by being semantics-preserving
+  * rewrites of a plain join (the oracle runs the *unsalted* SQL).
+  */
+object ScalePatterns {
+  import Tables._
+
+  private val NumSalts = 8
+
+  /** Skew-salted aggregation join: the fact side derives a
+    * deterministic salt, the dim side is exploded ×NumSalts, and the
+    * join key becomes (key, salt) — a skewed hot key now spreads over
+    * NumSalts reducers. Deterministic salt (not rand()) keeps the
+    * operator replayable and oracle-checkable; result is provably
+    * identical to the unsalted join, which is what the oracle runs.
+    *
+    * (AQE's skewedJoin handles sort-merge skew automatically at
+    * runtime; explicit salting remains the portable fallback and works
+    * for hash aggregation too.) */
+  private def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val fact = lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber").cast("int"), lit(NumSalts)))
+    val dim = orders(spark, dir)
+      .withColumn("salt", explode(array((0 until NumSalts).map(lit): _*)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bucketed co-located join: both fact tables are written bucketed by
+    * the join key; the join then requires NO exchange on either side —
+    * the shuffle happened once at write time and is amortized over
+    * every subsequent join (the standard layout for a 100 TB fact
+    * store). The test suite asserts the exchange-free plan. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${math.abs(dir.hashCode)}"
+    val li = "graft_li_bucketed"
+    val od = "graft_od_bucketed"
+    if (!spark.catalog.tableExists(li)) {
+      lineitem(spark, dir).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$li").mode("overwrite").saveAsTable(li)
+      orders(spark, dir).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$od").mode("overwrite").saveAsTable(od)
+    }
+    spark.table(li).join(spark.table(od), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("l_quantity"))).as("qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("join_skew_salted", Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin), joinSkewSalted),
+
+    QueryDef("join_bucketed", Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), bucketedJoin)
+  )
+}

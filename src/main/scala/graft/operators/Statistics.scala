@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates, percentiles, pivot, and the SQL-text entry
+  * surface (SURVEY.md §3.4 lifecycle item 3).
+  *
+  * Float-parity: central-moment aggregates (stddev/corr/covar) use
+  * numerically-stable merge formulas whose ulp behavior differs across
+  * engines — outputs are rounded coarsely enough (Parity) that the
+  * residual difference cannot flip a rounded digit at these magnitudes.
+  */
+object Statistics {
+  import Tables._
+
+  private def aggStats(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Parity.r2(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        Parity.r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        Parity.r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
+        Parity.r4(skewness(col("l_discount"))).as("skew_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles (oracle: quantile_cont). */
+  private def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Parity.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        Parity.r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch-based percentile (GK) — constant memory per group at any
+    * scale, returns a member value not an interpolation ⇒ no oracle. */
+  private def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: per-priority order value by status — column-per-status. The
+    * oracle mirrors with conditional aggregation (the pivot rewrite). */
+  private def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Parity.r2(sum(col("o_totalprice"))))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q3-style shipping priority through the SQL-text surface
+    * (`spark.sql` over registered views): same Catalyst plan as the
+    * DataFrame API — demonstrates the engine's SQL entry point. */
+  private def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_orderkey,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        | date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        |FROM graft_sql_customer
+        | JOIN graft_sql_orders ON c_custkey = o_custkey
+        | JOIN graft_sql_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_stats", Some(
+      """SELECT l_returnflag,
+        | floor(stddev_samp(l_extendedprice) * 100 + 0.5) / 100 AS sd_price,
+        | floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+        | floor(covar_samp(l_quantity, l_extendedprice) * 100 + 0.5) / 100 AS covar_qty_price,
+        | floor(skewness(l_discount) * 10000 + 0.5) / 10000 AS skew_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggStats),
+
+    QueryDef("agg_percentile", Some(
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggPercentile),
+
+    QueryDef("agg_approx_percentile", None, aggApproxPercentile),
+
+    QueryDef("agg_pivot", Some(
+      """SELECT o_orderpriority,
+        | floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100 + 0.5) / 100 AS F,
+        | floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 100 + 0.5) / 100 AS O,
+        | floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 100 + 0.5) / 100 AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), aggPivot),
+
+    QueryDef("sql_q3_shipping", Some(
+      """SELECT l_orderkey,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin), sqlQ3)
+  )
+}

@@ -67,6 +67,27 @@ class InvariantSpec extends AnyFunSuite {
     assert(keys.toSeq == keys.indices.map(_.toLong).toSeq)
   }
 
+  test("bucketed join plans with no shuffle on the join keys") {
+    val plan = SparkEntry.queries("join_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"))
+    // bucketing pre-shuffled at write time: the join must not exchange
+    // on either key (the post-join aggregation may still shuffle)
+    assert(!plan.contains("hashpartitioning(l_orderkey"))
+    assert(!plan.contains("hashpartitioning(o_orderkey"))
+  }
+
+  test("salted join equals the plain join (semantics-preserving rewrite)") {
+    val salted = q("join_skew_salted").collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Parity.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(salted == plain)
+  }
+
   test("langid predicts a known language with a score") {
     val df = q("text_langid")
     assert(df.filter(col("predicted_lang").isin("en", "fr", "es", "de", "zh", "und")).count()
