@@ -90,20 +90,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over token xxhash64 bits: per-bit ±1 vote summed
-    * per doc, sign → bit. xxhash64 is Spark-native ⇒ no oracle. */
+  /** 64-bit SimHash over token xxhash64 bits via the custom
+    * `simhash_agg` TypedImperativeAggregate (one tight loop per row —
+    * see graft.functions.SimHashAgg for why not 64 sum(when(...))
+    * columns). xxhash64 is Spark-native ⇒ no oracle. */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = fanout(documents(spark, dir))
+    graft.functions.SimHashAgg.register(spark)
+    fanout(documents(spark, dir))
       .select(col("doc_id"), explode(toks).as("word"))
       .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
-    }
-    val sim = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sim.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(h)").as("simhash"))
       .orderBy(col("doc_id"))
   }
 

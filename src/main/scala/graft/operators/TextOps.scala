@@ -78,6 +78,27 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation decision: combine quality signals into a
+    * keep/drop verdict with a reason — the shape of a real training-data
+    * quality filter (thresholds are illustrative). Pure CASE logic over
+    * exact-deterministic divisions ⇒ oracle-checked. */
+  private def textQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(toks)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val stopRatio = size(filter(toks, t => t.isin(stop: _*))).cast(DoubleType) / nWords
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / nWords
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        nWords.cast(LongType).as("n_words"),
+        stopRatio.as("stop_ratio"), distinctRatio.as("distinct_ratio"))
+      .withColumn("verdict",
+        when(col("n_words") < 20, "drop:too_short")
+          .when(col("distinct_ratio") < 0.3, "drop:repetitive")
+          .when(col("stop_ratio") > 0.5, "drop:boilerplate")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language-ID: score per language = fraction of tokens in
     * that language's tiny marker lexicon; argmax with a fixed tie-break
     * order. Approximate by construction ⇒ no oracle (rows-only check).
@@ -143,6 +164,22 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_count
         |FROM f ORDER BY doc_id""".stripMargin), textFingerprint),
+
+    QueryDef("text_quality_filter", Some(
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        | s AS (SELECT doc_id, lang,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(tk) AS stop_ratio,
+        |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio
+        | FROM t)
+        |SELECT doc_id, lang, n_words, stop_ratio, distinct_ratio,
+        | CASE WHEN n_words < 20 THEN 'drop:too_short'
+        |      WHEN distinct_ratio < 0.3 THEN 'drop:repetitive'
+        |      WHEN stop_ratio > 0.5 THEN 'drop:boilerplate'
+        |      ELSE 'keep' END AS verdict
+        |FROM s ORDER BY doc_id""".stripMargin), textQualityFilter),
 
     QueryDef("text_langid", None, textLangId)
   )
