@@ -77,7 +77,83 @@ object EventTime {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Time-series gap-fill: per user, a dense hourly grid from first to
+    * last activity (sequence+explode), left-joined to actual counts,
+    * missing hours filled with 0 — the resample/gap-fill primitive.
+    * Grid size is bounded per key (span/granularity), not by fact
+    * volume; the join shuffles on (user, hour). */
+  private def timeseriesGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Ordered funnel (signup → click → purchase): first qualifying
+    * timestamp per stage, each constrained to follow the previous —
+    * three conditional aggregations, one shuffle each on user_id. */
+  private def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_signup"), col("ts")))
+        .as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts")))
+        .as("t_purchase"))
+    s3.select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_signup").isNotNull, 1L)
+          .otherwise(0L).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("timeseries_gapfill", Some(
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        | bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        | grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |   FROM bounds)
+        |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        | coalesce(n, 0) AS n
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY user_id, hour""".stripMargin), timeseriesGapfill),
+
+    QueryDef("events_funnel", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM events GROUP BY user_id),
+        | s2 AS (
+        |  SELECT e.user_id, t_signup,
+        |   min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END) AS t_click
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  GROUP BY e.user_id, t_signup),
+        | s3 AS (
+        |  SELECT e.user_id, t_signup, t_click,
+        |   min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  GROUP BY e.user_id, t_signup, t_click)
+        |SELECT user_id,
+        | CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |      WHEN t_click IS NOT NULL THEN 2
+        |      WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM s3 ORDER BY user_id""".stripMargin), eventsFunnel),
+
     QueryDef("window_tumbling", Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
