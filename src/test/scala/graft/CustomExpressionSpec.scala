@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{DotProduct, SimHashAgg}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge behavior of the custom Catalyst pieces (codegen'd dot_product,
+  * simhash_agg typed-imperative aggregate). */
+class CustomExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot_product matches the lambda formulation exactly") {
+    DotProduct.register(spark)
+    val df = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .select(
+        expr("dot_product(e, e)").as("fast"),
+        aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("slow"))
+    // bitwise equality: same sequential summation order
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("dot_product handles empty and null arrays") {
+    DotProduct.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val out = df.select(expr("dot_product(a, b)").as("d")).collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(11.0, 0.0))
+    val withNull = df.withColumn("c", lit(null).cast("array<double>"))
+      .select(expr("dot_product(a, c)")).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("dot_product truncates to the shorter array") {
+    DotProduct.register(spark)
+    val out = Seq((Seq(1.0, 2.0, 9.0), Seq(10.0, 10.0))).toDF("a", "b")
+      .select(expr("dot_product(a, b)")).collect()(0).getDouble(0)
+    assert(out == 30.0)
+  }
+
+  test("simhash_agg: identical token multisets give identical fingerprints") {
+    SimHashAgg.register(spark)
+    val df = Seq(
+      (1L, "alpha"), (1L, "beta"), (1L, "gamma"),
+      (2L, "gamma"), (2L, "alpha"), (2L, "beta"), // same set, other order
+      (3L, "completely"), (3L, "different")).toDF("id", "w")
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy("id").agg(expr("simhash_agg(h)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+  }
+
+  test("simhash_agg merges partials consistently across partition counts") {
+    SimHashAgg.register(spark)
+    def run(parts: Int): Long =
+      Tables.documents(spark, TestSpark.sf).repartition(parts)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+        .agg(expr("simhash_agg(h)")).collect()(0).getLong(0)
+    assert(run(1) == run(7))
+  }
+}
