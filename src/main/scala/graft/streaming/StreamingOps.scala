@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming variants of the event-time operators
   * (SURVEY.md §2.9 stretch): the same declarative expressions as
@@ -37,6 +38,65 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n"), col("sum_value"))
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class SessOut(user_id: Long, session_start: java.sql.Timestamp,
+      n: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` with
+    * event-time timeouts — the arbitrary-state API for semantics
+    * `session_window` can't express (e.g. emitting closed sessions with
+    * custom payloads). Per-user state is one open session (constant
+    * size); the event-time timeout fires when the watermark passes
+    * last-event + gap, emitting and clearing the session — so state is
+    * bounded and late events beyond the watermark are dropped upstream.
+    */
+  def statefulSessionize(events: DataFrame, gapMinutes: Long = 30,
+      watermark: String = "10 minutes"): Dataset[SessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: SessState): SessOut =
+      SessOut(uid, new java.sql.Timestamp(s.startMs), s.n, s.sum)
+
+    def fn(uid: Long, rows: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[SessOut] = {
+      if (state.hasTimedOut) {
+        val out = close(uid, state.get)
+        state.remove()
+        Iterator(out)
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        var open = state.getOption
+        val closed = Seq.newBuilder[SessOut]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              open = Some(SessState(s.startMs, t, s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed += close(uid, s)
+              open = Some(SessState(t, t, 1, e.value))
+            case None =>
+              open = Some(SessState(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Streaming exact dedup within the watermark horizon — the streaming
     * form of the reference's dedup-before-load precondition

@@ -53,6 +53,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_dedup").count() == 2)
   }
 
+  test("stateful sessionize (flatMapGroupsWithState) emits on gap and on timeout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.statefulSessionize(ms.toDF(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_fmgws").outputMode("append").start()
+    // session A: 2 events; session B starts 2h later in the same batch
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(2, t("2024-01-01 10:10:00"), 7, "click", 2.0),
+      Ev(3, t("2024-01-01 12:00:00"), 7, "click", 4.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("t_fmgws").as[StreamingOps.SessOut].collect()
+    // in-batch gap closed session A immediately
+    assert(afterBatch1.length == 1)
+    assert(afterBatch1(0).n == 2 && afterBatch1(0).sum_value == 3.0)
+    // advance the watermark far past session B's gap → timeout emits it
+    ms.addData(Ev(4, t("2024-01-01 15:00:00"), 99, "view", 0.0))
+    drain(q)
+    val all = spark.table("t_fmgws").as[StreamingOps.SessOut].collect()
+      .sortBy(_.session_start.getTime)
+    assert(all.length == 2)
+    assert(all(1).n == 1 && all(1).sum_value == 4.0)
+    assert(all(1).session_start == t("2024-01-01 12:00:00"))
+  }
+
   test("session windows merge events within the gap") {
     val spark = TestSpark.spark
     import spark.implicits._
