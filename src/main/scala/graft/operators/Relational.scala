@@ -248,6 +248,28 @@ object Relational {
   private def setExcept(spark: SparkSession, dir: String): DataFrame =
     segKeys(spark, dir).except(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
 
+  // --------------------------------------------------------- sampling
+  /** Seeded Bernoulli sample — deterministic given the seed, but the
+    * RNG differs from DuckDB's ⇒ rows-only check. At scale, sampling
+    * happens at the scan (no full materialization). */
+  private def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Stratified sample: per-stratum fractions via `sampleBy` —
+    * down-weights the dominant class (the corpus-rebalancing
+    * primitive for training-data pipelines). */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .stat.sampleBy("c_mktsegment",
+        Map("BUILDING" -> 0.2, "AUTOMOBILE" -> 0.5, "MACHINERY" -> 0.5,
+          "FURNITURE" -> 0.8, "HOUSEHOLD" -> 0.8),
+        seed = 42L)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("c_mktsegment"))
+
   // ------------------------------------------------------------- defs
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", Some(q1Sql), q1),
@@ -355,6 +377,9 @@ object Relational {
 
     QueryDef("set_except", Some(setCte +
       """SELECT c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
-        |ORDER BY c_custkey""".stripMargin), setExcept)
+        |ORDER BY c_custkey""".stripMargin), setExcept),
+
+    QueryDef("sample_bernoulli", None, sampleBernoulli),
+    QueryDef("sample_stratified", None, sampleStratified)
   )
 }
