@@ -160,9 +160,12 @@ object ZipSource {
 /** R13/R14 (`/root/reference/src/load/pg.rs:50-117`): the reference
   * picks row-INSERT vs binary COPY; Spark's equivalent bulk path is a
   * columnar parquet write (or JDBC with batching, below). */
-final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite)
-    extends Sink {
-  def write(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Seq.empty) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
 }
 
 /** JDBC sink: per-partition transactions with batched prepared

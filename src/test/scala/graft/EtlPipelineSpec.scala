@@ -29,6 +29,39 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(back.filter(col("l_quantity") <= 25).count() == 0)
   }
 
+  test("upsert keeps existing rows and inserts only missing keys (R11)") {
+    import org.apache.spark.sql.functions.lit
+    val spark2 = spark
+    import spark2.implicits._
+    val existing = Seq((1L, "one"), (2L, "two")).toDF("k", "v")
+    val incoming = Seq((2L, "TWO-NEW"), (3L, "three")).toDF("k", "v")
+    val merged = Upsert.merge(existing, incoming, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged == Seq((1L, "one"), (2L, "two"), (3L, "three"))) // existing wins
+    val updated = Upsert.mergeUpdate(existing, incoming, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(updated == Seq((1L, "one"), (2L, "TWO-NEW"), (3L, "three"))) // incoming wins
+    // idempotence: merging the same increment twice changes nothing
+    val once = Upsert.merge(existing, incoming, Seq("k"))
+    assert(Upsert.merge(once, incoming, Seq("k")).count() == once.count())
+  }
+
+  test("partitioned parquet sink enables partition pruning at read") {
+    val out = tmp("part_out")
+    Pipeline(
+      ParquetSource(s"${TestSpark.sf}/orders.parquet"),
+      Seq(_.withColumn("status", col("o_orderstatus"))),
+      ParquetSink(out, partitionBy = Seq("status"))
+    ).run(spark)
+    val pruned = spark.read.parquet(out).filter(col("status") === "O")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan's PartitionFilters, and only
+    // the matching directory is read
+    assert(scan.contains("PartitionFilters: [isnotnull(status"))
+    assert(pruned.count() > 0)
+    assert(new java.io.File(out).listFiles().exists(_.getName == "status=O"))
+  }
+
   test("http json source retries on 429 then parses (reference R5 contract)") {
     var calls = 0
     val fake: String => HttpJsonSource.Response = { _ =>
