@@ -66,6 +66,20 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: from each decoded clip (stub metadata), emit every
+    * k-th frame index with a per-frame fingerprint — the video
+    * frame-extraction shape (explode bounded by n_frames, never by
+    * payload size). Deterministic but codec-stubbed ⇒ rows-only. */
+  private def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    mmDecodeStub(spark, dir)
+      .filter(col("format") === "img")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(k))).as("frame_idx"))
+      .withColumn("frame_key", concat_ws(":", col("doc_id"), col("frame_idx")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_meta", Some(
       """SELECT doc_id,
@@ -73,6 +87,7 @@ object Multimodal {
         | lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex
         |FROM documents ORDER BY doc_id""".stripMargin), mmBinaryMeta),
 
-    QueryDef("mm_decode_stub", None, mmDecodeStub)
+    QueryDef("mm_decode_stub", None, mmDecodeStub),
+    QueryDef("mm_frame_sample", None, mmFrameSample)
   )
 }

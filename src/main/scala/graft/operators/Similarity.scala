@@ -104,6 +104,24 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Vector scalar family over the embedding column: L2 norm,
+    * normalization, element-wise ops — per-element IEEE arithmetic plus
+    * a sequential-sum norm, all bitwise cross-engine ⇒ oracle-checked.
+    */
+  private def fnVector(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    fanout(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .select(
+        col("vec_id"),
+        sqrt(expr("dot_product(e, e)")).as("l2norm"),
+        (element_at(col("e"), 1) / sqrt(expr("dot_product(e, e)"))).as("unit_first"),
+        element_at(col("e"), 64).as("last_dim"),
+        aggregate(transform(col("e"), x => abs(x)), lit(0.0), (a, x) => a + x).as("l1norm"),
+        size(filter(col("e"), x => x > 0)).cast(LongType).as("n_positive"))
+      .orderBy(col("vec_id"))
+  }
+
   private val topkCte =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -135,6 +153,16 @@ object Similarity {
         |SELECT qid, label AS pred_label, votes FROM best WHERE rn = 1
         |ORDER BY qid""".stripMargin), simKnnLabel),
 
-    QueryDef("sim_ann_lsh", None, simAnnLsh)
+    QueryDef("sim_ann_lsh", None, simAnnLsh),
+
+    QueryDef("fn_vector", Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT vec_id,
+        | sqrt(list_inner_product(e, e)) AS l2norm,
+        | e[1] / sqrt(list_inner_product(e, e)) AS unit_first,
+        | e[64] AS last_dim,
+        | list_sum(list_transform(e, x -> abs(x))) AS l1norm,
+        | CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive
+        |FROM v ORDER BY vec_id""".stripMargin), fnVector)
   )
 }

@@ -22,7 +22,11 @@ object Statistics {
         Parity.r2(stddev_samp(col("l_extendedprice"))).as("sd_price"),
         Parity.r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
         Parity.r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
-        Parity.r4(skewness(col("l_discount"))).as("skew_disc"))
+        // DuckDB's skewness is the sample-adjusted Fisher–Pearson
+        // (× √(n(n−1))/(n−2)); Spark's is the population g1 — adjust to
+        // match (diverges at the 4th decimal for small n otherwise).
+        Parity.r4(skewness(col("l_discount")) *
+          sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2)).as("skew_disc"))
       .orderBy(col("l_returnflag"))
 
   /** Exact interpolated percentiles (oracle: quantile_cont). */
