@@ -165,7 +165,29 @@ object Dedup {
       |  FROM sh)
       |""".stripMargin
 
+  /** Exact content dedup with representative selection: canonical
+    * fingerprint (lowercased sorted tokens → md5) → keep the min doc_id
+    * per fingerprint — the "one survivor per duplicate cluster" step a
+    * curation pipeline runs before training. */
+  private def dedupExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .select(lower(col("text")).as("lt"), col("doc_id"))
+      .select(md5(concat_ws(" ",
+        array_sort(filter(split(col("lt"), " "), t => t =!= "")))).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_doc"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact_docs", Some(
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')), ' ')) AS fp
+        | FROM documents)
+        |SELECT fp, min(doc_id) AS keep_doc, count(*) AS n_dups
+        |FROM f GROUP BY fp ORDER BY keep_doc""".stripMargin), dedupExactDocs),
+
     QueryDef("dedup_minhash", Some(minhashSigCte +
       """SELECT doc_id,
         | md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,

@@ -104,6 +104,42 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF-style ANN: a fixed set of coarse centroids partitions the
+    * corpus into cells (assignment = nearest centroid via the codegen
+    * dot product); queries probe only their own cell. Centroid
+    * "training" is stubbed as a deterministic sample (vec_id 100–109) —
+    * a k-means step would slot in unchanged; the inverted-file search
+    * structure (assign → cell-local join → exact rerank) is the real
+    * contract. Approximate recall ⇒ no oracle. */
+  private def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val cents = v.filter(col("vec_id").between(100, 109))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // argmin ||v−c||² == argmax (v·c − ½c·c); ties broken by cent_id
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cent_id"))
+    val cells = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (expr("dot_product(e, ce)") - lit(0.5) * expr("dot_product(ce, ce)")).as("score"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val withCell = v.join(cells, "vec_id")
+    val q = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("cell").as("qcell"))
+    val c = withCell.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cnrm"), col("cell"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    c.join(broadcast(q), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Vector scalar family over the embedding column: L2 norm,
     * normalization, element-wise ops — per-element IEEE arithmetic plus
     * a sequential-sum norm, all bitwise cross-engine ⇒ oracle-checked.
@@ -154,6 +190,7 @@ object Similarity {
         |ORDER BY qid""".stripMargin), simKnnLabel),
 
     QueryDef("sim_ann_lsh", None, simAnnLsh),
+    QueryDef("sim_ann_ivf", None, simAnnIvf),
 
     QueryDef("fn_vector", Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
