@@ -1,0 +1,73 @@
+package graft
+
+import graft.etl.{KeyMap, Upsert}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2 item 3): mex minimality,
+  * bijectivity, upsert idempotence, Parity rounding bounds. Uses raw
+  * ScalaCheck generators with fixed seeds (the scalatest bridge isn't
+  * in the offline dep set); Spark jobs per case are real, so case
+  * counts are kept small.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int = 8): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val keySetGen: Gen[Set[Long]] =
+    Gen.containerOf[Set, Long](Gen.choose(0L, 12L))
+
+  test("property: lowestFreeKey is the true mex of any key set") {
+    cases(keySetGen).foreach { keys =>
+      val dim = keys.toSeq.map(k => (k, s"v$k")).toDF("k", "v")
+      val km = KeyMap.fromDim(dim, "k", "v")
+      val mex = Iterator.from(0).map(_.toLong).find(!keys.contains(_)).get
+      assert(km.lowestFreeKey() == mex, s"keys=$keys")
+    }
+  }
+
+  test("property: transact preserves existing keys, stays bijective, adds only novel values") {
+    val gen = for {
+      keys <- keySetGen
+      vals <- Gen.listOfN(3, Gen.oneOf("aa", "bb", "cc", "v1", "v2"))
+    } yield (keys, vals)
+    cases(gen).foreach { case (keys, newValues) =>
+      val dim = keys.toSeq.map(k => (k, s"v$k")).toDF("k", "v")
+      val km = KeyMap.fromDim(dim, "k", "v")
+      val out = km.transact(newValues.toDF("value"))
+      val outKeys = out.dim.select("key").as[Long].collect()
+      assert(outKeys.toSet.size == outKeys.length, s"key collision: keys=$keys new=$newValues")
+      keys.foreach(k => assert(out.lookupKey(s"v$k").contains(k)))
+      val distinctNew = newValues.toSet -- keys.map(k => s"v$k")
+      assert(out.dim.count() == keys.size + distinctNew.size)
+    }
+  }
+
+  test("property: upsert merge is idempotent, key-complete, existing-wins") {
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(0L, 9L))
+      b <- Gen.listOf(Gen.choose(5L, 14L))
+    } yield (a.distinct, b.distinct)
+    cases(gen).foreach { case (a, b) =>
+      val existing = a.map(k => (k, s"old$k")).toDF("k", "v")
+      val incoming = b.map(k => (k, s"new$k")).toDF("k", "v")
+      val merged = Upsert.merge(existing, incoming, Seq("k"))
+      assert(merged.count() == (a.toSet ++ b.toSet).size)
+      assert(Upsert.merge(merged, incoming, Seq("k")).count() == merged.count())
+      val vals = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      a.toSet.intersect(b.toSet).foreach(k => assert(vals(k) == s"old$k"))
+    }
+  }
+
+  test("property: Parity r2 formula is within half a cent and idempotent") {
+    cases(Gen.choose(-1e6, 1e6), n = 200).foreach { x =>
+      val r = math.floor(x * 100 + 0.5) / 100
+      assert(math.abs(r - x) <= 0.005 + 1e-9)
+      assert(math.floor(r * 100 + 0.5) / 100 == r)
+    }
+  }
+}
