@@ -96,6 +96,16 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("o_custkey"))
 
+  /** Boolean / conditional aggregates. */
+  private def aggBool(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+        expr("bool_or(l_discount > 0.09)").as("any_big_discount"),
+        expr("count_if(l_tax = 0)").as("n_taxfree"))
+      .orderBy(col("l_returnflag"))
+
   /** The reference's dedup-before-COPY precondition
     * (`/root/reference/src/load/pg.rs:19-20`) as an operator: projection
     * distinct. One shuffle on all output columns. */
@@ -146,6 +156,13 @@ object Aggregates {
         | string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
         | count(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin), aggCollect),
+
+    QueryDef("agg_bool", Some(
+      """SELECT l_returnflag,
+        | bool_and(l_quantity > 0) AS all_positive_qty,
+        | bool_or(l_discount > 0.09) AS any_big_discount,
+        | count_if(l_tax = 0) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggBool),
 
     QueryDef("dedup_exact", Some(
       """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity

@@ -29,7 +29,10 @@ object Statistics {
           sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2)).as("skew_disc"))
       .orderBy(col("l_returnflag"))
 
-  /** Exact interpolated percentiles (oracle: quantile_cont). */
+  /** Exact interpolated percentiles (oracle: quantile_cont).
+    * Scale caveat: exact percentile buffers each group's values — right
+    * for bounded groups like these; at unbounded-group 100 TB scale use
+    * `agg_approx_percentile` (constant-memory sketch) instead. */
   private def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

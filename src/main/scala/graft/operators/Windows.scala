@@ -64,6 +64,21 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Value-based (RANGE) frame: a 30-day trailing sum per customer —
+    * the frame is defined by the *order value* (days since epoch), not
+    * row position, so sparse/dense order histories behave identically.
+    */
+  private def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("d")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), days)
+      .withColumn("trailing_30d", Parity.r2(sum(col("o_totalprice")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Surrogate-key assignment (R19/R20): dim snapshot = segments seen in
     * a seed subset, keyed 0..n-1; incoming = all distinct segments; new
     * values get maxKey + dense rank. Lookups against the dim would be a
@@ -110,6 +125,13 @@ object Windows {
         | floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin), windowFrame),
+
+    QueryDef("window_range_frame", Some(
+      """SELECT o_custkey, o_orderkey,
+        | floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin), windowRangeFrame),
 
     QueryDef("keymap_assign", Some(
       """WITH existing AS (
