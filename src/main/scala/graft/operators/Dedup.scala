@@ -104,6 +104,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs via the pigeonhole banding join: split each
+    * 64-bit fingerprint into 4×16-bit blocks — any pair with Hamming
+    * distance ≤ 3 must agree exactly on ≥1 block, so candidates come
+    * from equi-joins on (block_idx, block_value), then the exact
+    * `bit_count(xor)` filter confirms. Same no-all-pairs shape as the
+    * MinHash banding join. */
+  private def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = dedupSimhash(spark, dir)
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block_idx", "block")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block") === col("b.block") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Content-defined chunk fingerprints via the codegen'd rolling hash:
+    * boundaries where `hash & 63 == 0` (expected chunk ≈ 64 bytes) —
+    * shift-resistant dedup units. Hash is Spark-only ⇒ rows-only. */
+  private def dedupRollingChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingHash.register(spark)
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), expr("rolling_hash(text, 16)").as("hashes"))
+      .select(col("doc_id"),
+        size(col("hashes")).cast(LongType).as("n_windows"),
+        size(filter(col("hashes"), h => h.bitwiseAND(lit(63L)) === 0L)).cast(LongType)
+          .as("n_boundaries"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode distinct
     * shingles, self-join on shingle (shuffle on shingle value — never
     * all-pairs), count common, |A∪B| = |A|+|B|−common. Top-100 pairs.
@@ -197,6 +234,8 @@ object Dedup {
     QueryDef("dedup_minhash_pairs", None, dedupMinhashPairs),
 
     QueryDef("dedup_simhash", None, dedupSimhash),
+    QueryDef("dedup_simhash_pairs", None, dedupSimhashPairs),
+    QueryDef("dedup_rolling_chunks", None, dedupRollingChunks),
 
     QueryDef("dedup_ngram_jaccard", Some(
       """WITH tk AS (

@@ -55,6 +55,29 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(df(1L) != df(3L))
   }
 
+  test("rolling_hash computes the polynomial hash with the rolling recurrence") {
+    graft.functions.RollingHash.register(spark)
+    val rows = Seq("abcdef").toDF("s")
+      .select(expr("rolling_hash(s, 3)").as("h")).collect()(0)
+      .getSeq[Long](0)
+    assert(rows.length == 4) // 6 - 3 + 1 windows
+    // direct polynomial evaluation of each window must match
+    val B = 1000003L
+    def direct(w: String): Long = w.getBytes.foldLeft(0L)((h, b) => h * B + (b & 0xffL))
+    assert(rows == Seq("abc", "bcd", "cde", "def").map(direct))
+    // shift resistance: inserting a prefix leaves later window hashes intact
+    val shifted = Seq("xyabcdef").toDF("s")
+      .select(expr("rolling_hash(s, 3)").as("h")).collect()(0).getSeq[Long](0)
+    assert(shifted.drop(2) == rows)
+  }
+
+  test("rolling_hash edge cases: short string and empty") {
+    graft.functions.RollingHash.register(spark)
+    val out = Seq("ab", "").toDF("s")
+      .select(expr("rolling_hash(s, 3)").as("h")).collect()
+    assert(out.forall(_.getSeq[Long](0).isEmpty))
+  }
+
   test("simhash_agg merges partials consistently across partition counts") {
     SimHashAgg.register(spark)
     def run(parts: Int): Long =
