@@ -110,10 +110,17 @@ object TextOps {
       "es" -> Seq("el", "la", "de", "y", "un"),
       "de" -> Seq("der", "die", "das", "und", "ein"),
       "zh" -> Seq("de", "shi", "le"))
-    val scored = markers.foldLeft(documents(spark, dir)) { case (df, (l, ws)) =>
-      df.withColumn(s"score_$l",
-        size(filter(toks, t => t.isin(ws: _*))).cast(DoubleType) / size(toks))
+    // explode once, score with conditional aggregates (codegen'd) — a
+    // per-language filter-lambda column would re-run the tokenizer per
+    // reference (no CSE inside higher-order functions)
+    val words = graft.Tables.fanout(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+    val scoreCols = markers.map { case (l, ws) =>
+      (sum(when(col("word").isin(ws: _*), 1L).otherwise(0L)).cast(DoubleType) /
+        count(lit(1))).as(s"score_$l")
     }
+    val scored = words.groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
     val best = markers.map(_._1).foldLeft(lit("und").as("p") -> lit(-1.0).as("s")) {
       case ((p, s), l) =>
         val better = col(s"score_$l") > s
