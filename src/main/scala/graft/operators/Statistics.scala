@@ -80,7 +80,43 @@ object Statistics {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q5-style local-supplier revenue: five-way join across the
+    * full star (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region) with
+    * the c_nationkey = s_nationkey locality condition — the deepest
+    * join tree in the suite; dims broadcast, facts sort-merge. */
+  private def sqlQ5(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    region(spark, dir).createOrReplaceTempView("graft_sql_region")
+    spark.sql(
+      """SELECT n_name,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM graft_sql_customer
+        | JOIN graft_sql_orders ON c_custkey = o_custkey
+        | JOIN graft_sql_lineitem ON l_orderkey = o_orderkey
+        | JOIN graft_sql_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN graft_sql_nation ON s_nationkey = n_nationkey
+        | JOIN graft_sql_region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_q5_local_supplier", Some(
+      """SELECT n_name,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin), sqlQ5),
+
     QueryDef("agg_stats", Some(
       """SELECT l_returnflag,
         | floor(stddev_samp(l_extendedprice) * 100 + 0.5) / 100 AS sd_price,

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: these are the properties that make the
+  * operators scale (SURVEY.md §4.2, PLANS.md) — if a future change
+  * loses a pushdown or a broadcast, these fail before any benchmark
+  * does. */
+class PlanAssertionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum")) // map-side combine before the shuffle
+  }
+
+  test("scan_parquet: key predicate is pushed and schema pruned") {
+    val p = plan("scan_parquet")
+    assert(p.contains("LessThan(l_orderkey,1000)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+    assert(!p.contains("l_shipdate")) // unreferenced column pruned from scan
+  }
+
+  test("join_inner_hash: dim side broadcasts") {
+    assert(plan("join_inner_hash").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge: merge hint holds") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("sort_limit: global top-N plans as TakeOrderedAndProject") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup_minhash_pairs: banding join is a hash join, not a cross join") {
+    val p = plan("dedup_minhash_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_cosine_topk: the tiny query side is the broadcast build") {
+    assert(plan("sim_cosine_topk").contains("BroadcastNestedLoopJoin BuildRight"))
+  }
+}
