@@ -90,6 +90,20 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Hash + bitwise family (md5/sha256 are cross-engine; xxhash64 is
+    * Spark-only and lives in the no-oracle dedup ops). */
+  private def fnHashBitwise(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        shiftleft(col("p_partkey"), 3).as("shl3"),
+        shiftright(col("p_partkey"), 2).as("shr2"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("and255"),
+        col("p_partkey").bitwiseOR(lit(4096L)).as("or4096"))
+      .orderBy(col("p_partkey"))
+
   private def fnConditional(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
       .select(
@@ -150,6 +164,16 @@ object ScalarQueries {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
         | array_to_string(json_keys(props), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin), fnMapJson),
+
+    QueryDef("fn_hash_bitwise", Some(
+      """SELECT p_partkey,
+        | md5(p_name) AS h_md5,
+        | sha256(p_name) AS h_sha256,
+        | p_partkey << 3 AS shl3,
+        | p_partkey >> 2 AS shr2,
+        | p_partkey & 255 AS and255,
+        | p_partkey | 4096 AS or4096
+        |FROM part ORDER BY p_partkey""".stripMargin), fnHashBitwise),
 
     QueryDef("fn_conditional", Some(
       """SELECT c_custkey,

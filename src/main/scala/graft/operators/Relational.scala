@@ -248,6 +248,36 @@ object Relational {
   private def setExcept(spark: SparkSession, dir: String): DataFrame =
     segKeys(spark, dir).except(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
 
+  /** IN-subquery through the SQL surface — exercises Catalyst's
+    * subquery decorrelation (rewritten to a semi-join; same result as
+    * join_left_semi but arriving via the parser). */
+  private def joinInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sq_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sq_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM graft_sq_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM graft_sq_orders
+        |                    WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Cohort retention: cohort = first-seen week; count distinct active
+    * users per (cohort, week offset) — the engagement matrix. Two
+    * shuffles (first-seen, then the cohort grid), both on bounded keys.
+    */
+  private def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val ev = events(spark, dir)
+    val first = ev.groupBy(col("user_id")).agg(min(wk).as("cohort"))
+    val active = ev.select(col("user_id"), wk.as("week")).distinct()
+    active.join(first, "user_id")
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("week"), col("cohort")) / 7).cast(LongType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   // --------------------------------------------------------- sampling
   /** Seeded Bernoulli sample — deterministic given the seed, but the
     * RNG differs from DuckDB's ⇒ rows-only check. At scale, sampling
@@ -378,6 +408,22 @@ object Relational {
     QueryDef("set_except", Some(setCte +
       """SELECT c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
         |ORDER BY c_custkey""".stripMargin), setExcept),
+
+    QueryDef("join_in_subquery", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin), joinInSubquery),
+
+    QueryDef("events_retention", Some(
+      """WITH first AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        | active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        | CAST(datediff('day', cohort, week) / 7 AS BIGINT) AS week_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin), eventsRetention),
 
     QueryDef("sample_bernoulli", None, sampleBernoulli),
     QueryDef("sample_stratified", None, sampleStratified)

@@ -64,6 +64,17 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Distribution functions: percent_rank and cume_dist — single exact
+    * divisions of ranks, bitwise cross-engine. */
+  private def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** Value-based (RANGE) frame: a 30-day trailing sum per customer —
     * the frame is defined by the *order value* (days since epoch), not
     * row position, so sparse/dense order histories behave identically.
@@ -125,6 +136,14 @@ object Windows {
         | floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin), windowFrame),
+
+    QueryDef("window_distribution", Some(
+      """SELECT c_mktsegment, c_custkey,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin), windowDistribution),
 
     QueryDef("window_range_frame", Some(
       """SELECT o_custkey, o_orderkey,
