@@ -104,6 +104,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The complete MinHash dedup pipeline, oracle-checked end-to-end:
+    * LSH banding generates candidate pairs (no all-pairs), then exact
+    * shingle-set Jaccard verifies each candidate, keeping pairs ≥ 0.5.
+    * This is the full candidate-generation → verification shape used on
+    * real corpora; the oracle recomputes the identical signatures,
+    * bands, candidates, and Jaccard in DuckDB. */
+  private def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val sig = withSignature(spark, dir)
+      .select(col("doc_id"),
+        array((0 until NumBands).map(j =>
+          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+    val exploded = sig.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band")))
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = broadcast(cands)
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dup pairs via the pigeonhole banding join: split each
     * 64-bit fingerprint into 4×16-bit blocks — any pair with Hamming
     * distance ≤ 3 must agree exactly on ≥1 block, so candidates come
@@ -232,6 +269,35 @@ object Dedup {
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
 
     QueryDef("dedup_minhash_pairs", None, dedupMinhashPairs),
+
+    QueryDef("dedup_minhash_verified", Some(minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id),
+        | shs AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |   FROM tk WHERE len(t) >= 3)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+        | common AS (
+        |  SELECT doc_a, doc_b, count(*) AS c
+        |  FROM cand
+        |   JOIN shs sa ON sa.doc_id = doc_a
+        |   JOIN shs sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin), dedupMinhashVerified),
 
     QueryDef("dedup_simhash", None, dedupSimhash),
     QueryDef("dedup_simhash_pairs", None, dedupSimhashPairs),
