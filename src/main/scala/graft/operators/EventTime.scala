@@ -4,7 +4,6 @@ import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Event-time operators on the `events` fact table (SURVEY.md §2.9):
   * tumbling / sliding / session windows plus explicit gaps-and-islands
