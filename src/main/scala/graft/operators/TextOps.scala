@@ -78,6 +78,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model fluency score: corpus-level bigram
+    * probabilities (one aggregation over the whole corpus), then each
+    * doc scores avg log p(bigram) — the statistical-LM quality signal
+    * (low score = improbable token sequences). Self-contained
+    * two-pass dataflow: the bigram table is broadcast back. */
+  private def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.fanout
+    val bg = explode(transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bg")
+    val bgs = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), bg)
+    val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    bgs.join(broadcast(counts), "bg")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(graft.Parity.r6(avg(col("lp"))).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end curation decision: combine quality signals into a
     * keep/drop verdict with a reason — the shape of a real training-data
     * quality filter (thresholds are illustrative). Pure CASE logic over
@@ -187,6 +212,22 @@ object TextOps {
         |      WHEN stop_ratio > 0.5 THEN 'drop:boilerplate'
         |      ELSE 'keep' END AS verdict
         |FROM s ORDER BY doc_id""".stripMargin), textQualityFilter),
+
+    QueryDef("text_lm_score", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | bgs AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        | counts AS (SELECT bg, count(*) AS cnt FROM bgs GROUP BY bg),
+        | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+        |SELECT doc_id,
+        | floor(avg(ln(CAST(cnt AS DOUBLE) / total)) * 1000000 + 0.5) / 1000000 AS lm_score,
+        | count(*) AS n_bigrams
+        |FROM bgs JOIN counts USING (bg) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin), textLmScore),
 
     QueryDef("text_langid", None, textLangId)
   )
