@@ -90,6 +90,20 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Struct + map construction and access — nested values built and
+    * consumed in-plan (outputs flattened for canonical comparison). */
+  private def fnStructMap(spark: SparkSession, dir: String): DataFrame = {
+    val st = struct(col("n_name").as("name"), col("n_regionkey").as("rk"))
+    val mp = map(lit("name"), col("n_name"), lit("key"), col("n_nationkey").cast(StringType))
+    nation(spark, dir)
+      .select(col("n_nationkey"),
+        st.getField("name").as("s_name"),
+        (st.getField("rk") + 100).cast(LongType).as("s_rk_plus"),
+        element_at(mp, "name").as("m_name"),
+        size(map_values(mp)).cast(LongType).as("m_size"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Hash + bitwise family (md5/sha256 are cross-engine; xxhash64 is
     * Spark-only and lives in the no-oracle dedup ops). */
   private def fnHashBitwise(spark: SparkSession, dir: String): DataFrame =
@@ -164,6 +178,14 @@ object ScalarQueries {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
         | array_to_string(json_keys(props), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin), fnMapJson),
+
+    QueryDef("fn_struct_map", Some(
+      """SELECT n_nationkey,
+        | struct_extract({'name': n_name, 'rk': n_regionkey}, 'name') AS s_name,
+        | CAST(struct_extract({'name': n_name, 'rk': n_regionkey}, 'rk') + 100 AS BIGINT) AS s_rk_plus,
+        | (map(['name', 'key'], [n_name, CAST(n_nationkey AS VARCHAR)])['name'])[1] AS m_name,
+        | CAST(len(map_values(map(['name', 'key'], [n_name, CAST(n_nationkey AS VARCHAR)]))) AS BIGINT) AS m_size
+        |FROM nation ORDER BY n_nationkey""".stripMargin), fnStructMap),
 
     QueryDef("fn_hash_bitwise", Some(
       """SELECT p_partkey,

@@ -44,6 +44,18 @@ object EventTime {
         col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Distinct users per tumbling window — the windowed-cardinality
+    * pattern (exact here; the streaming/at-scale variant swaps in
+    * approx_count_distinct for bounded state). */
+  private def windowTumblingDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_users"), col("n_events"))
+      .orderBy(col("window_start"))
+
   /** Spark-native session windows (30 min gap). No oracle: DuckDB has no
     * session windows and the boundary condition (gap strictly vs weakly
     * > 30 min) differs from the explicit formulation below — kept as the
@@ -167,6 +179,12 @@ object EventTime {
         |  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
         |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin),
       windowSliding),
+
+    QueryDef("window_tumbling_distinct", Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin),
+      windowTumblingDistinct),
 
     QueryDef("window_session", None, windowSession),
 

@@ -80,6 +80,18 @@ object Statistics {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
+  /** Unpivot (melt): wide measures → long (key, measure, value) rows —
+    * the inverse of agg_pivot, via Spark's native unpivot operator;
+    * oracle mirrors with the UNION ALL rewrite. */
+  private def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   /** TPC-H Q5-style local-supplier revenue: five-way join across the
     * full star (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region) with
     * the c_nationkey = s_nationkey locality condition — the deepest
@@ -132,6 +144,13 @@ object Statistics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggPercentile),
 
     QueryDef("agg_approx_percentile", None, aggApproxPercentile),
+
+    QueryDef("agg_unpivot", Some(
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin), aggUnpivot),
 
     QueryDef("agg_pivot", Some(
       """SELECT o_orderpriority,

@@ -26,6 +26,11 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]
+    # arrays/lists aren't sortable/hashable in pandas — canonicalize to tuples
+    for c in df.columns:
+        if df[c].map(lambda x: isinstance(x, (list, tuple)) or
+                     getattr(x, "ndim", 0) > 0).any():
+            df[c] = df[c].map(lambda x: tuple(x) if x is not None else None)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def cell_eq(a, b):
