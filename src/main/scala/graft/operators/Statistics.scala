@@ -29,17 +29,33 @@ object Statistics {
           sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2)).as("skew_disc"))
       .orderBy(col("l_returnflag"))
 
-  /** Exact interpolated percentiles (oracle: quantile_cont).
-    * Scale caveat: exact percentile buffers each group's values — right
-    * for bounded groups like these; at unbounded-group 100 TB scale use
-    * `agg_approx_percentile` (constant-memory sketch) instead. */
-  private def aggPercentile(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
+  /** Exact interpolated percentiles (oracle: quantile_cont), computed
+    * the scalable way: a distributed sort per group (window
+    * row_number) instead of Spark's built-in `percentile`, whose
+    * aggregation buffer holds every group value in memory. Here state
+    * is bounded: sort spills, and only the two boundary rows per
+    * percentile survive the aggregation. Interpolation is
+    * lo + (hi−lo)·frac at pos = p·(n−1) — bitwise-identical to
+    * DuckDB's quantile_cont. */
+  private def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def pct(p: Double, name: String) = {
+      val pos = lit(p) * (col("n") - 1)
+      val lo = max(when(col("rn") === floor(pos), col("l_extendedprice")))
+      val hi = max(when(col("rn") === ceil(pos), col("l_extendedprice")))
+      Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
+    }
+    ranked
       .groupBy(col("l_returnflag"))
-      .agg(
-        Parity.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        Parity.r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+      .agg(pct(0.5, "p50"), pct(0.9, "p90"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Sketch-based percentile (GK) — constant memory per group at any
     * scale, returns a member value not an interpolation ⇒ no oracle. */
