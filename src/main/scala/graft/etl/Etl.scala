@@ -155,6 +155,30 @@ object ZipSource {
   }
 }
 
+/** Pipeline data-quality observation: attaches named metrics
+  * (`df.observe`) that are computed as a side effect of whatever action
+  * runs the plan — row counts, null counts, bounds — with zero extra
+  * passes over the data. The ETL analogue of the reference's implicit
+  * "COPY cannot fail halfway" integrity concern
+  * (`/root/reference/src/load/pg.rs:19-20`): validate while loading,
+  * not after. */
+object Quality {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.Observation
+
+  /** Attach quality metrics; after any action runs the returned frame,
+    * `observation.get` yields them (n_rows, n_null_keys,
+    * approx_distinct_keys) without a second pass. */
+  def observed(df: DataFrame, keyCol: String): (DataFrame, Observation) = {
+    val obs = Observation()
+    val instrumented = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col(keyCol).isNull, 1)).as("n_null_keys"),
+      approx_count_distinct(col(keyCol)).as("approx_distinct_keys"))
+    (instrumented, obs)
+  }
+}
+
 // ------------------------------------------------------------------ sinks
 
 /** R13/R14 (`/root/reference/src/load/pg.rs:50-117`): the reference

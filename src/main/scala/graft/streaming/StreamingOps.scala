@@ -98,6 +98,13 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-static join: enrich a stream with a bounded dimension (the
+    * streaming form of the KeyMap lookup) — the static side is
+    * broadcast per micro-batch; no stream-side state. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
   /** Streaming exact dedup within the watermark horizon — the streaming
     * form of the reference's dedup-before-load precondition
     * (`/root/reference/src/load/pg.rs:19-20`): duplicate event_ids

@@ -99,6 +99,16 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(bytes.toSeq == (0 until 25).map(_.toByte).toSeq)
   }
 
+  test("quality observation: metrics computed as a load side effect") {
+    val (df, obs) = Quality.observed(
+      ParquetSource(s"${TestSpark.sf}/customer.parquet").read(spark), "c_custkey")
+    ParquetSink(tmp("quality_out")).write(df) // the action that runs the plan
+    val m = obs.get
+    assert(m("n_rows") == 150L)
+    assert(m("n_null_keys") == 0L)
+    assert(m("approx_distinct_keys").asInstanceOf[Long] > 100L)
+  }
+
   test("zip source streams entries distributed (R9)") {
     val dir = new java.io.File(tmp("zips")); dir.mkdirs()
     val f = new java.io.File(dir, "a.zip")

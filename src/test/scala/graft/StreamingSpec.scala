@@ -81,6 +81,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(all(1).session_start == t("2024-01-01 12:00:00"))
   }
 
+  test("stream-static join enriches events with a broadcast dim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("uid", "tier")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithDim(ms.toDF(), dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(2, t("2024-01-01 10:01:00"), 99, "click", 1.0)) // no dim row
+    drain(q)
+    val rows = spark.table("t_enrich").collect()
+      .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(rows(7L).contains("gold"))
+    assert(rows(99L).isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("session windows merge events within the gap") {
     val spark = TestSpark.spark
     import spark.implicits._
