@@ -90,6 +90,21 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Extended string family: edit distance, casing, padding, search —
+    * all integer/string-exact cross-engine. */
+  private def fnStringExtra(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("lev"),
+        concat(upper(expr("substr(p_name, 1, 1)")), expr("substr(p_name, 2)")).as("title"),
+        reverse(col("p_brand")).as("rev"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        repeat(col("p_brand"), 2).as("doubled"),
+        regexp_replace(col("p_name"), "a", "@").as("replaced"),
+        instr(col("p_name"), "a").cast(LongType).as("first_a"))
+      .orderBy(col("p_partkey"))
+
   /** Struct + map construction and access — nested values built and
     * consumed in-plan (outputs flattened for canonical comparison). */
   private def fnStructMap(spark: SparkSession, dir: String): DataFrame = {
@@ -178,6 +193,17 @@ object ScalarQueries {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
         | array_to_string(json_keys(props), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin), fnMapJson),
+
+    QueryDef("fn_string_extra", Some(
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+        | upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS title,
+        | reverse(p_brand) AS rev,
+        | lpad(p_brand, 12, '*') AS padded,
+        | repeat(p_brand, 2) AS doubled,
+        | regexp_replace(p_name, 'a', '@', 'g') AS replaced,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin), fnStringExtra),
 
     QueryDef("fn_struct_map", Some(
       """SELECT n_nationkey,

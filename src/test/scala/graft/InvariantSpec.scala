@@ -88,6 +88,33 @@ class InvariantSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("tumbling-distinct event totals equal the raw event count") {
+    val total = q("window_tumbling_distinct")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("retention at offset 0 covers every user exactly once per cohort") {
+    val df = q("events_retention")
+    val cohortTotal = df.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(cohortTotal == users)
+  }
+
+  test("verified minhash pairs are a subset of the banding candidates") {
+    val verified = q("dedup_minhash_verified")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = q("dedup_minhash_pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cands))
+  }
+
+  test("distributed percentile brackets: p50 <= p90 per group") {
+    val bad = q("agg_percentile").filter(col("p50") > col("p90")).count()
+    assert(bad == 0)
+  }
+
   test("langid predicts a known language with a score") {
     val df = q("text_langid")
     assert(df.filter(col("predicted_lang").isin("en", "fr", "es", "de", "zh", "und")).count()
