@@ -141,6 +141,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate clusters: connected components over the verified
+    * near-dup pair graph via iterative min-label propagation — the step
+    * a real dedup pipeline runs after pair detection, since duplicates
+    * are transitive (A≈B≈C must keep ONE representative, not resolve
+    * pairs independently). The driver coordinates iterations (bounded
+    * by graph diameter, capped); all data stays distributed. Oracle:
+    * recursive-CTE transitive closure in DuckDB. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+    var labels = edges.select(col("doc_a").as("doc"))
+      .distinct().withColumn("lbl", col("doc"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .groupBy(col("doc_b").as("doc")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(propagated, Seq("doc"), "left")
+        .select(col("doc"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next.localCheckpoint() // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc"), col("lbl").as("cluster"), col("cluster_size"))
+      .orderBy(col("doc"))
+  }
+
   /** SimHash near-dup pairs via the pigeonhole banding join: split each
     * 64-bit fingerprint into 4×16-bit blocks — any pair with Hamming
     * distance ≤ 3 must agree exactly on ≥1 block, so candidates come
@@ -269,6 +303,46 @@ object Dedup {
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
 
     QueryDef("dedup_minhash_pairs", None, dedupMinhashPairs),
+
+    QueryDef("dedup_clusters", Some(
+      minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, bands AS (
+        |  SELECT doc_id,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id),
+        | shs AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |   FROM tk WHERE len(t) >= 3)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+        | common AS (
+        |  SELECT doc_a, doc_b, count(*) AS c
+        |  FROM cand
+        |   JOIN shs sa ON sa.doc_id = doc_a
+        |   JOIN shs sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        | vp AS (
+        |  SELECT doc_a, doc_b FROM common
+        |   JOIN sizes sa ON sa.doc_id = doc_a
+        |   JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        | ed AS (SELECT doc_a AS a, doc_b AS b FROM vp
+        |        UNION SELECT doc_b, doc_a FROM vp),
+        | reach AS (
+        |  SELECT a AS src, b AS dst FROM ed
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst),
+        | cl AS (
+        |  SELECT src AS doc, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT doc, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM cl ORDER BY doc""".stripMargin), dedupClusters),
 
     QueryDef("dedup_minhash_verified", Some(minhashSigCte +
       """, bands AS (
