@@ -150,9 +150,12 @@ object Dedup {
     * recursive-CTE transitive closure in DuckDB. */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    // materialize the pair graph once — the signature→verify subtree
+    // must not re-execute on every propagation iteration
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
     var converged = false
