@@ -161,7 +161,7 @@ object Aggregates {
       """SELECT l_returnflag,
         | bool_and(l_quantity > 0) AS all_positive_qty,
         | bool_or(l_discount > 0.09) AS any_big_discount,
-        | count_if(l_tax = 0) AS n_taxfree
+        | CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggBool),
 
     QueryDef("dedup_exact", Some(

@@ -68,7 +68,9 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band bucket, scored by
     * signature agreement. The banding join is the scale path — no
-    * all-pairs crossJoin. Estimated similarity ⇒ no oracle. */
+    * all-pairs crossJoin. Fully deterministic (md5-seeded signatures),
+    * so the oracle recomputes the identical bands, candidate set, and
+    * per-position signature agreement in DuckDB. */
   private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = withSignature(spark, dir)
       .select(col("doc_id"),
@@ -128,7 +130,11 @@ object Dedup {
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = broadcast(cands)
+    // Plain shuffle join on doc_a: on a duplicate-heavy corpus the
+    // candidate-pair set grows with the data, so it must never be
+    // broadcast unconditionally — AQE still picks a broadcast when the
+    // runtime size is genuinely small.
+    val common = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
@@ -142,12 +148,18 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the verified
-    * near-dup pair graph via iterative min-label propagation — the step
-    * a real dedup pipeline runs after pair detection, since duplicates
-    * are transitive (A≈B≈C must keep ONE representative, not resolve
-    * pairs independently). The driver coordinates iterations (bounded
-    * by graph diameter, capped); all data stays distributed. Oracle:
-    * recursive-CTE transitive closure in DuckDB. */
+    * near-dup pair graph — the step a real dedup pipeline runs after
+    * pair detection, since duplicates are transitive (A≈B≈C must keep
+    * ONE representative, not resolve pairs independently).
+    *
+    * Algorithm: min-label propagation over edges + pointer jumping
+    * (`lbl := label(lbl)`) each round, so labels shortcut through
+    * already-labeled nodes and convergence is O(log diameter) rounds,
+    * not O(diameter) — a 1M-node duplicate chain converges in ~20
+    * rounds instead of 1M. One materializing job per iteration: the
+    * change flag is computed inline and probed on the checkpointed
+    * result (no recompute). The driver coordinates iterations; all data
+    * stays distributed. Oracle: recursive-CTE transitive closure. */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashVerified(spark, dir).select(col("doc_a"), col("doc_b"))
     // materialize the pair graph once — the signature→verify subtree
@@ -160,18 +172,33 @@ object Dedup {
       .distinct().withColumn("lbl", col("doc"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val MaxIters = 50 // O(log d) rounds: 50 covers any graph that fits on disk
+    while (!converged && iter < MaxIters) {
       val propagated = edges
         .join(labels.withColumnRenamed("doc", "doc_a"), "doc_a")
         .groupBy(col("doc_b").as("doc")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.join(propagated, Seq("doc"), "left")
-        .select(col("doc"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next.localCheckpoint() // truncate the iterative lineage
-      converged = changed == 0
+      val merged = labels.withColumnRenamed("lbl", "old")
+        .join(propagated, Seq("doc"), "left")
+        .select(col("doc"), col("old"),
+          least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"))
+      // pointer jump: follow the label's own label one hop — this is
+      // what turns O(diameter) propagation into O(log diameter)
+      val next = merged.as("m")
+        .join(labels.select(col("doc").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("plbl"), col("lbl"))) =!= col("old")).as("chg"))
+      labels = next.localCheckpoint() // the one materializing job per round
+      // probe over checkpointed data — no recompute of the round's work
+      converged = labels.filter(col("chg")).limit(1).isEmpty
+      labels = labels.drop("chg")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_clusters: label propagation did not converge in $MaxIters rounds — " +
+          "graph diameter exceeds 2^50; result would silently disagree with the " +
+          "transitive-closure oracle, so fail loudly instead")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc"), col("lbl").as("cluster"), col("cluster_size"))
@@ -305,7 +332,21 @@ object Dedup {
         | md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
 
-    QueryDef("dedup_minhash_pairs", None, dedupMinhashPairs),
+    QueryDef("dedup_minhash_pairs", Some(minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sig,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(len(list_filter(list_transform(generate_series(1, 8),
+        |   i -> sig_a[i] = sig_b[i]), x -> x)) AS DOUBLE) / 8 AS est_sim
+        |FROM cand ORDER BY doc_a, doc_b""".stripMargin), dedupMinhashPairs),
 
     QueryDef("dedup_clusters", Some(
       minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -84,7 +84,7 @@ object Multimodal {
     QueryDef("mm_binary_meta", Some(
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,
-        | lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex
+        | lower(substr(hex(encode(text)), 1, 16)) AS prefix_hex
         |FROM documents ORDER BY doc_id""".stripMargin), mmBinaryMeta),
 
     QueryDef("mm_decode_stub", None, mmDecodeStub),

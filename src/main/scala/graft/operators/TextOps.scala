@@ -82,7 +82,10 @@ object TextOps {
     * probabilities (one aggregation over the whole corpus), then each
     * doc scores avg log p(bigram) — the statistical-LM quality signal
     * (low score = improbable token sequences). Self-contained
-    * two-pass dataflow: the bigram table is broadcast back. */
+    * two-pass dataflow. The bigram vocabulary grows with the corpus, so
+    * the doc↔counts join is a plain shuffle join on `bg` — AQE still
+    * promotes it to broadcast when the vocab is genuinely small. Only
+    * the single-row grand total is broadcast unconditionally. */
   private def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables.fanout
     val bg = explode(transform(sequence(lit(1), size(col("tk")) - 1),
@@ -93,7 +96,7 @@ object TextOps {
       .select(col("doc_id"), bg)
     val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    bgs.join(broadcast(counts), "bg")
+    bgs.join(counts, "bg")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("lp"))
@@ -125,9 +128,12 @@ object TextOps {
   }
 
   /** Heuristic language-ID: score per language = fraction of tokens in
-    * that language's tiny marker lexicon; argmax with a fixed tie-break
-    * order. Approximate by construction ⇒ no oracle (rows-only check).
-    */
+    * that language's tiny marker lexicon; argmax with a fixed
+    * first-wins tie-break (fold order en,fr,es,de,zh — a later language
+    * wins only when STRICTLY greater). Deterministic marker counting +
+    * single exact-int divisions ⇒ oracle-checked: DuckDB recomputes the
+    * scores and mirrors the tie-break as a reversed strict-greater CASE
+    * chain. */
   private def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val markers = Seq(
       "en" -> Seq("the", "a", "of", "and", "to", "data", "value"),
@@ -229,6 +235,35 @@ object TextOps {
         |FROM bgs JOIN counts USING (bg) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin), textLmScore),
 
-    QueryDef("text_langid", None, textLangId)
+    // predicted_lang = FIRST argmax in fold order (en,fr,es,de,zh): the
+    // CASE chain tests from the last language down — language L wins
+    // iff strictly greater than every earlier language's score, which
+    // is exactly the Spark fold's "replace only when strictly greater".
+    QueryDef("text_langid", Some(
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, lang,
+        |   CAST(sum(CASE WHEN word IN ('the','a','of','and','to','data','value')
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_en,
+        |   CAST(sum(CASE WHEN word IN ('le','la','de','et','un')
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_fr,
+        |   CAST(sum(CASE WHEN word IN ('el','la','de','y','un')
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_es,
+        |   CAST(sum(CASE WHEN word IN ('der','die','das','und','ein')
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_de,
+        |   CAST(sum(CASE WHEN word IN ('de','shi','le')
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_zh
+        |  FROM w GROUP BY doc_id, lang)
+        |SELECT doc_id, lang AS labeled_lang,
+        | CASE WHEN score_zh > greatest(score_en, score_fr, score_es, score_de) THEN 'zh'
+        |      WHEN score_de > greatest(score_en, score_fr, score_es) THEN 'de'
+        |      WHEN score_es > greatest(score_en, score_fr) THEN 'es'
+        |      WHEN score_fr > score_en THEN 'fr'
+        |      ELSE 'en' END AS predicted_lang,
+        | greatest(score_en, score_fr, score_es, score_de, score_zh) AS score
+        |FROM s ORDER BY doc_id""".stripMargin), textLangId)
   )
 }
