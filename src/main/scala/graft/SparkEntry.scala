@@ -21,7 +21,8 @@ object SparkEntry {
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      etl.SpecQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

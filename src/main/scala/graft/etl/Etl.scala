@@ -110,27 +110,80 @@ object HttpJsonSource {
 /** R6/R7 (`/root/reference/src/extract/http.rs:41-124`): chunked
   * parallel download. The reference spawns a tokio task per 100 MB
   * range but serializes writes behind one `Mutex<File>` (`:92,:104`);
-  * here each executor fetches its ranges and the parts are assembled
-  * once — actual parallel I/O. Fetcher injectable for offline tests. */
+  * here each executor fetches AND persists its own ranges to shared
+  * storage (Hadoop FileSystem — local/HDFS/S3), so neither the bytes
+  * nor the writes ever funnel through the driver. Only per-part
+  * METADATA returns to the driver (one small row per 100 MB chunk),
+  * which then writes a manifest. Fetcher injectable for offline tests.
+  */
 final case class ChunkedDownload(
     url: String,
     totalBytes: Long,
     chunkBytes: Long = 100L * 1024 * 1024, // CHUNK_SIZE, http.rs:14
     fetchRange: (String, Long, Long) => Array[Byte]) {
 
+  import ChunkedDownload.Part
+
   def ranges: Seq[(Long, Long)] =
     (0L until totalBytes by chunkBytes).map(s => (s, math.min(s + chunkBytes, totalBytes) - 1))
 
-  /** Fetch all chunks across the cluster, return assembled bytes in
-    * order (caller streams them to storage). */
-  def run(spark: SparkSession): Array[Byte] = {
+  /** Fetch every chunk across the cluster and write it as
+    * `outDir/part-<start, zero-padded>` directly from the executor that
+    * fetched it (distributed parallel I/O, no driver assembly). The
+    * zero-padded name makes lexicographic part order = byte order, so
+    * any downstream consumer (or [[assembleTo]]) can reconstruct the
+    * file. Writes `outDir/_MANIFEST.json` last — its presence marks the
+    * download complete (the usual job-commit idiom). Returns the parts
+    * sorted by offset. */
+  def runTo(spark: SparkSession, outDir: String): Seq[Part] = {
     val u = url; val f = fetchRange
     val parts = spark.sparkContext
       .parallelize(ranges, math.min(ranges.size, 32))
-      .map { case (s, e) => (s, f(u, s, e)) }
-      .collect().sortBy(_._1)
-    parts.flatMap(_._2)
+      .map { case (s, e) =>
+        val bytes = f(u, s, e)
+        val p = new org.apache.hadoop.fs.Path(outDir, f"part-$s%016d")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+        Part(s, e, p.toString, bytes.length.toLong)
+      }
+      .collect() // metadata only — a few rows per 100 MB chunk
+      .sortBy(_.start).toIndexedSeq
+    val manifest = parts.map(p =>
+        s"""{"start":${p.start},"end":${p.end},"path":"${p.path}","n_bytes":${p.nBytes}}""")
+      .mkString("[\n", ",\n", "\n]")
+    val mp = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    parts
   }
+
+  /** Stream the parts into one destination file in offset order —
+    * constant memory (one chunk buffered at a time), for consumers that
+    * need the reference's single-file output (`http.rs:74-124`). */
+  def assembleTo(spark: SparkSession, parts: Seq[Part], dest: String): Long = {
+    val dp = new org.apache.hadoop.fs.Path(dest)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(dp, true)
+    try {
+      var written = 0L
+      parts.sortBy(_.start).foreach { p =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(p.path))
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) { out.write(buf, 0, n); written += n }; n = in.read(buf) }
+        } finally in.close()
+      }
+      written
+    } finally out.close()
+  }
+}
+
+object ChunkedDownload {
+  /** Per-chunk metadata returned to the driver (never the bytes). */
+  final case class Part(start: Long, end: Long, path: String, nBytes: Long)
 }
 
 /** R9 (`/root/reference/src/extract/fs.rs:19-60`): zip extraction. The

@@ -1,0 +1,146 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Declarative, config-driven pipeline construction — the working
+  * Spark analogue of the reference's designed-but-commented-out
+  * `#[skopje::extract(method = HTTP_GET, url = ...)]` /
+  * `#[skopje::load(...)]` attribute macros
+  * (`/root/reference/skopje-macros/src/lib.rs:12-75`): wire a whole
+  * extract → transform → load flow from a configuration document
+  * instead of code.
+  *
+  * A JSON spec names a source, an ordered list of transforms, and a
+  * sink, resolved against the [[Source]]/[[Sink]] registry in Etl.scala.
+  * Every transform is a SQL/Column EXPRESSION, never a closure, so the
+  * assembled [[Pipeline]] is still one Catalyst plan — filter pushdown
+  * and column pruning cross every spec stage, and the whole flow stays
+  * whole-stage-codegen'd exactly as if it had been written in code.
+  *
+  * {{{
+  * {"source": {"format": "parquet", "path": "/data/lineitem.parquet"},
+  *  "transforms": [
+  *    {"op": "filter", "expr": "l_quantity > 10"},
+  *    {"op": "withColumn", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+  *    {"op": "select", "columns": ["l_orderkey", "rev"]}],
+  *  "sink": {"format": "parquet", "path": "/out/rev", "mode": "overwrite"}}
+  * }}}
+  */
+object PipelineSpec {
+
+  /** Parse a JSON pipeline spec into a runnable [[Pipeline]]. */
+  def fromJson(json: String): Pipeline = {
+    val root = JsonMethods.parse(json)
+    Pipeline(source(root \ "source"), transforms(root \ "transforms"), sink(root \ "sink"))
+  }
+
+  /** Source + transforms only (no sink): the spec's dataflow as a
+    * DataFrame, for composing a spec'd extract into further code. */
+  def frame(spark: SparkSession, json: String): DataFrame = {
+    val root = JsonMethods.parse(json)
+    transforms(root \ "transforms").foldLeft(source(root \ "source").read(spark))((df, f) => f(df))
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  private def fail(msg: String, v: JValue): Nothing =
+    throw new IllegalArgumentException(s"pipeline spec: $msg in ${JsonMethods.compact(JsonMethods.render(v))}")
+
+  private def str(v: JValue, field: String): String = v \ field match {
+    case JString(s) => s
+    case _ => fail(s"missing string field '$field'", v)
+  }
+
+  private def strOpt(v: JValue, field: String): Option[String] = v \ field match {
+    case JString(s) => Some(s)
+    case _ => None
+  }
+
+  private def strSeq(v: JValue, field: String): Seq[String] = v \ field match {
+    case JArray(xs) => xs.map { case JString(s) => s; case other => fail("non-string element", other) }
+    case JNothing => Seq.empty
+    case _ => fail(s"field '$field' must be a string array", v)
+  }
+
+  private def boolOpt(v: JValue, field: String): Option[Boolean] = v \ field match {
+    case JBool(b) => Some(b)
+    case _ => None
+  }
+
+  private def intOpt(v: JValue, field: String): Option[Int] = v \ field match {
+    case JInt(i) => Some(i.toInt)
+    case _ => None
+  }
+
+  // ------------------------------------------------------------ registry
+
+  private def source(v: JValue): Source = str(v, "format") match {
+    case "parquet" => ParquetSource(str(v, "path"))
+    case "json" => JsonSource(str(v, "path"), StructType.fromDDL(str(v, "schema")),
+      multiLine = boolOpt(v, "multiLine").getOrElse(false))
+    case "csv" => CsvSource(str(v, "path"), StructType.fromDDL(str(v, "schema")),
+      header = boolOpt(v, "header").getOrElse(true))
+    case other => fail(s"unknown source format '$other'", v)
+  }
+
+  private def transforms(v: JValue): Seq[DataFrame => DataFrame] = v match {
+    case JArray(ts) => ts.map(transform)
+    case JNothing => Seq.empty
+    case _ => fail("'transforms' must be an array", v)
+  }
+
+  private def transform(v: JValue): DataFrame => DataFrame = str(v, "op") match {
+    case "filter" =>
+      val e = str(v, "expr"); df => df.filter(e)
+    case "select" =>
+      val cs = strSeq(v, "columns"); df => df.selectExpr(cs: _*)
+    case "withColumn" =>
+      val n = str(v, "name"); val e = str(v, "expr"); df => df.withColumn(n, expr(e))
+    case "drop" =>
+      val cs = strSeq(v, "columns"); df => df.drop(cs: _*)
+    case "dedup" =>
+      val cs = strSeq(v, "columns")
+      df => if (cs.isEmpty) df.dropDuplicates() else df.dropDuplicates(cs)
+    case "sort" =>
+      val cs = strSeq(v, "columns"); df => df.orderBy(cs.map(expr): _*)
+    case "limit" =>
+      val n = intOpt(v, "n").getOrElse(fail("limit needs 'n'", v)); df => df.limit(n)
+    case "repartition" =>
+      // explicit partitioning lever: by columns (co-locate a later
+      // join/agg) and/or a target partition count
+      val cs = strSeq(v, "columns"); val n = intOpt(v, "n")
+      df => (n, cs) match {
+        case (Some(k), Seq()) => df.repartition(k)
+        case (Some(k), cols) => df.repartition(k, cols.map(col): _*)
+        case (None, cols) if cols.nonEmpty => df.repartition(cols.map(col): _*)
+        case _ => fail("repartition needs 'n' and/or 'columns'", v)
+      }
+    case "sql" =>
+      // whole-query escape hatch: the running frame is exposed to the
+      // query as the view `graft_spec_input`
+      val q = str(v, "query")
+      df => { df.createOrReplaceTempView("graft_spec_input"); df.sparkSession.sql(q) }
+    case other => fail(s"unknown transform op '$other'", v)
+  }
+
+  private def sink(v: JValue): Sink = str(v, "format") match {
+    case "parquet" =>
+      ParquetSink(str(v, "path"), saveMode(strOpt(v, "mode")), strSeq(v, "partitionBy"))
+    case "noop" =>
+      // measurement/validation sink: computes everything, writes nothing
+      (df: DataFrame) => df.write.format("noop").mode("overwrite").save()
+    case other => fail(s"unknown sink format '$other'", v)
+  }
+
+  private def saveMode(s: Option[String]): SaveMode = s.map(_.toLowerCase) match {
+    case None | Some("overwrite") => SaveMode.Overwrite
+    case Some("append") => SaveMode.Append
+    case Some("ignore") => SaveMode.Ignore
+    case Some("error") | Some("errorifexists") => SaveMode.ErrorIfExists
+    case Some(other) => throw new IllegalArgumentException(s"pipeline spec: unknown save mode '$other'")
+  }
+}

@@ -265,10 +265,13 @@ object Dedup {
       .limit(100)
   }
 
-  /** Embedding-cosine near-dup: top-20 most-similar vector pairs.
-    * Brute-force pair enumeration here (bounded input); the scale path
-    * for ANN is Similarity.simAnnLsh. Dot products are sequential
-    * double sums — mirrored exactly by DuckDB list_inner_product. */
+  /** Embedding-cosine near-dup, brute-force: top-20 most-similar
+    * vector pairs via all-pairs enumeration. O(n²) BY CONSTRUCTION —
+    * this is the bounded CORRECTNESS BASELINE for small/reranked
+    * inputs; the corpus-scale path is [[dedupEmbeddingLsh]] below
+    * (bucket-local join, same output schema). Dot products are
+    * sequential double sums — mirrored exactly by DuckDB
+    * list_inner_product. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val v = fanout(embeddings(spark, dir))
@@ -280,6 +283,41 @@ object Dedup {
       .orderBy(col("cs").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
+
+  /** Embedding-cosine near-dup AT SCALE: random-hyperplane LSH buckets
+    * (8 deterministic ±1 planes → 256 buckets) make the self-join
+    * bucket-local — pair enumeration cost is Σ bucket², never n², so
+    * this is the variant a 100 TB corpus runs. Exact cosine reranks
+    * within buckets; near-identical vectors collide w.h.p. (a pair at
+    * angle θ lands together w.p. (1−θ/π)^8). Everything is
+    * deterministic — the oracle embeds the SAME planes as literals and
+    * recomputes identical buckets and cosines. */
+  private def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val bucket = embeddingPlanes.zipWithIndex.map { case (p, i) =>
+      when(Similarity.dotLambda(col("e"), array(p.map(lit): _*)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val v = fanout(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+      .withColumn("bucket", bucket)
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.Parity.r6(expr("dot_product(a.e, b.e)") / (col("a.nrm") * col("b.nrm")))
+          .as("cs"))
+      .orderBy(col("cs").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  private val embeddingPlanes = Similarity.planes(8, 64)
+
+  /** The same bucket expression as SQL, planes inlined as literals. */
+  private def embeddingBucketSql: String =
+    embeddingPlanes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_inner_product(e, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   private val minhashSigCte =
     """WITH tk AS (
@@ -448,6 +486,19 @@ object Dedup {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cs
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbedding)
+        |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbedding),
+
+    QueryDef("dedup_embedding_lsh", Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (
+         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm,
+         |   $embeddingBucketSql AS bucket
+         |  FROM v)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | floor(list_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000 + 0.5)
+         |   / 1000000 AS cs
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbeddingLsh)
   )
 }

@@ -26,8 +26,9 @@ object Similarity {
   import Tables._
 
   /** Interpreted fallback dot for literal-array operands (plane
-    * projections); data-path dots use the codegen'd `dot_product`. */
-  private def dotLambda(a: Column, b: Column): Column =
+    * projections); data-path dots use the codegen'd `dot_product`.
+    * Shared with Dedup.dedupEmbeddingLsh. */
+  private[operators] def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def normed(spark: SparkSession, dir: String): DataFrame = {
@@ -69,8 +70,9 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes from a fixed LCG seed (no RNG at
-    * runtime — resumable and cross-run stable). */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    * runtime — resumable and cross-run stable; also lets the DuckDB
+    * oracle embed the identical planes as literals). */
+  private[operators] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var state = 0x5DEECE66DL
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L

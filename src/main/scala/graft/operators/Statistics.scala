@@ -132,7 +132,74 @@ object Statistics {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q18-style "large volume orders": IN-subquery whose inner
+    * query is itself a GROUP BY ... HAVING aggregate — Catalyst
+    * decorrelates it to an aggregate + semi-join (no per-row
+    * re-execution). The quantity sums are integer-valued doubles, so
+    * the HAVING comparison is exact on both engines. */
+  private def sqlQ18(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        | date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        | o_totalprice,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM graft_sql_customer
+        | JOIN graft_sql_orders ON c_custkey = o_custkey
+        | JOIN graft_sql_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM graft_sql_lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
+  /** Scalar subqueries through the SQL surface: two CORRELATED
+    * aggregate scalar subqueries (decorrelated by Catalyst to outer
+    * joins with the count-bug null→0 repair) plus an uncorrelated one
+    * in the predicate (computed once, broadcast into the filter). All
+    * counts/max are exact ⇒ hash-oracle-safe. */
+  private def sqlScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    region(spark, dir).createOrReplaceTempView("graft_sql_region")
+    spark.sql(
+      """SELECT n_name,
+        | (SELECT count(*) FROM graft_sql_supplier
+        |   WHERE s_nationkey = n_nationkey) AS n_suppliers,
+        | (SELECT count(*) FROM graft_sql_customer
+        |   WHERE c_nationkey = n_nationkey) AS n_customers
+        |FROM graft_sql_nation
+        |WHERE n_regionkey <= (SELECT max(r_regionkey) FROM graft_sql_region) - 2
+        |ORDER BY n_name""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_q18_large_orders", Some(
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o_totalprice,
+        | floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin), sqlQ18),
+
+    QueryDef("sql_scalar_subquery", Some(
+      """SELECT n_name,
+        | (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers,
+        | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+        |FROM nation
+        |WHERE n_regionkey <= (SELECT max(r_regionkey) FROM region) - 2
+        |ORDER BY n_name""".stripMargin), sqlScalarSubquery),
+
     QueryDef("sql_q5_local_supplier", Some(
       """SELECT n_name,
         | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue

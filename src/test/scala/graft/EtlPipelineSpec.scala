@@ -29,6 +29,41 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(back.filter(col("l_quantity") <= 25).count() == 0)
   }
 
+  test("pipeline spec: JSON config → source/transforms/sink → runs end-to-end") {
+    val out = tmp("spec_out")
+    val pipeline = PipelineSpec.fromJson(
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/lineitem.parquet"},
+         | "transforms": [
+         |   {"op": "filter", "expr": "l_quantity > 25"},
+         |   {"op": "withColumn", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+         |   {"op": "select", "columns": ["l_orderkey", "l_quantity", "rev"]},
+         |   {"op": "dedup", "columns": []},
+         |   {"op": "sort", "columns": ["l_orderkey"]},
+         |   {"op": "limit", "n": 50}],
+         | "sink": {"format": "parquet", "path": "$out", "mode": "overwrite"}}""".stripMargin)
+    pipeline.run(spark)
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_quantity", "rev"))
+    assert(back.count() == 50)
+    assert(back.filter(col("l_quantity") <= 25).count() == 0)
+  }
+
+  test("pipeline spec: sql escape hatch sees the running frame as graft_spec_input") {
+    val df = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/region.parquet"},
+         | "transforms": [
+         |   {"op": "sql",
+         |    "query": "SELECT count(*) AS n FROM graft_spec_input"}]}""".stripMargin)
+    assert(df.collect()(0).getLong(0) == 5L)
+  }
+
+  test("pipeline spec: bad spec fails loudly with the offending fragment") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson("""{"source": {"format": "sqlite", "path": "x"}, "sink": {"format": "noop"}}""")
+    }
+    assert(e.getMessage.contains("sqlite"))
+  }
+
   test("upsert keeps existing rows and inserts only missing keys (R11)") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark
@@ -91,11 +126,26 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
-  test("chunked download splits ranges and reassembles in order (R6/R7)") {
+  test("chunked download: executors write parts + manifest, streamed reassembly (R6/R7)") {
     val dl = ChunkedDownload("u", totalBytes = 25, chunkBytes = 10,
       fetchRange = (_, s, e) => (s to e).map(_.toByte).toArray)
     assert(dl.ranges == Seq((0L, 9L), (10L, 19L), (20L, 24L)))
-    val bytes = dl.run(spark)
+    val outDir = tmp("chunks")
+    val parts = dl.runTo(spark, outDir)
+    assert(parts.map(p => (p.start, p.nBytes)) == Seq((0L, 10L), (10L, 10L), (20L, 5L)))
+    // parts land as individual files named so lexicographic = byte order
+    val names = new java.io.File(outDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq // drop Hadoop .crc sidecars
+    assert(names == Seq("_MANIFEST.json", "part-0000000000000000",
+      "part-0000000000000010", "part-0000000000000020"))
+    // manifest is valid JSON covering every byte exactly once
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains("\"start\":10"))
+    // streamed single-file assembly (constant memory) round-trips
+    val dest = tmp("chunks_assembled")
+    assert(dl.assembleTo(spark, parts, dest) == 25L)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dest))
     assert(bytes.toSeq == (0 until 25).map(_.toByte).toSeq)
   }
 

@@ -1,8 +1,11 @@
 package graft
 
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
 
 /** The streaming operators reuse the batch expressions — so a bounded
   * file driven through `readStream` must emit exactly the batch answer
@@ -41,5 +44,55 @@ class StreamBatchParitySpec extends AnyFunSuite {
     // within the final watermark horizon may be withheld)
     assert(emitted.size >= batch.size - 10,
       s"stream emitted ${emitted.size} of ${batch.size} windows")
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) equals batch events_sessionize") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val source = Tables.events(spark, TestSpark.sf).filter(col("user_id") < 20)
+    val rows = source.select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingOps.SessEvent].collect().toSeq
+    assert(rows.nonEmpty)
+    val maxTs = rows.map(_.ts.getTime).max
+
+    val ms = MemoryStream[StreamingOps.SessEvent]
+    val q = StreamingOps.statefulSessionize(ms.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // real session's timeout (last event + gap), the second triggers the
+    // micro-batch in which those timeouts actually fire
+    ms.addData(Seq(StreamingOps.SessEvent(999999L, new Timestamp(maxTs + 86400000L), 0.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingOps.SessEvent(999999L, new Timestamp(maxTs + 2 * 86400000L), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("sess_parity")
+      .filter(col("user_id") < 20) // drop the sentinel user
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // the oracle-checked batch operator, restricted to the same users
+    val batch = SparkEntry.queries("events_sessionize")(spark, TestSpark.sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // exact on (user, start, count); float sums compared with tolerance
+    // (the two paths accumulate in different orders)
+    assert(emitted.map(t => (t._1, t._2, t._3)).toSet ==
+      batch.map(t => (t._1, t._2, t._3)).toSet,
+      "stream sessions differ from batch gaps-and-islands sessions")
+    val batchSums = batch.map(t => (t._1, t._2) -> t._4).toMap
+    emitted.foreach { case (u, s, _, sum) =>
+      assert(math.abs(sum - batchSums((u, s))) < 1e-6 + 0.005,
+        s"sum mismatch for user $u session $s")
+    }
   }
 }
