@@ -137,12 +137,18 @@ final case class ChunkedDownload(
     * sorted by offset. */
   def runTo(spark: SparkSession, outDir: String): Seq[Part] = {
     val u = url; val f = fetchRange
+    // Ship the DRIVER's hadoop configuration to the executors: a fresh
+    // Configuration() there would miss every spark.hadoop.* setting
+    // (S3A credentials, fs.defaultFS), silently resolving outDir against
+    // a different filesystem than the manifest write below.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val parts = spark.sparkContext
       .parallelize(ranges, math.min(ranges.size, 32))
       .map { case (s, e) =>
         val bytes = f(u, s, e)
         val p = new org.apache.hadoop.fs.Path(outDir, f"part-$s%016d")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(confBc.value.value)
         val out = fs.create(p, true)
         try out.write(bytes) finally out.close()
         Part(s, e, p.toString, bytes.length.toLong)
@@ -163,13 +169,17 @@ final case class ChunkedDownload(
     * constant memory (one chunk buffered at a time), for consumers that
     * need the reference's single-file output (`http.rs:74-124`). */
   def assembleTo(spark: SparkSession, parts: Seq[Part], dest: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dp = new org.apache.hadoop.fs.Path(dest)
-    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dp.getFileSystem(conf)
     val out = fs.create(dp, true)
     try {
       var written = 0L
       parts.sortBy(_.start).foreach { p =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p.path))
+        // each part resolves its OWN filesystem — parts may live on a
+        // different scheme (s3a://) than the destination
+        val pp = new org.apache.hadoop.fs.Path(p.path)
+        val in = pp.getFileSystem(conf).open(pp)
         try {
           val buf = new Array[Byte](1 << 20)
           var n = in.read(buf)

@@ -32,6 +32,8 @@ import org.json4s.jackson.JsonMethods
   */
 object PipelineSpec {
 
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parse a JSON pipeline spec into a runnable [[Pipeline]]. */
   def fromJson(json: String): Pipeline = {
     val root = JsonMethods.parse(json)
@@ -55,9 +57,13 @@ object PipelineSpec {
     case _ => fail(s"missing string field '$field'", v)
   }
 
+  // Optional fields distinguish ABSENT (None) from PRESENT-BUT-WRONG-TYPED
+  // (loud failure) — a sink "mode": 5 must never silently default to
+  // Overwrite and destroy output the user meant to append to.
   private def strOpt(v: JValue, field: String): Option[String] = v \ field match {
     case JString(s) => Some(s)
-    case _ => None
+    case JNothing => None
+    case other => fail(s"field '$field' must be a string", other)
   }
 
   private def strSeq(v: JValue, field: String): Seq[String] = v \ field match {
@@ -68,12 +74,14 @@ object PipelineSpec {
 
   private def boolOpt(v: JValue, field: String): Option[Boolean] = v \ field match {
     case JBool(b) => Some(b)
-    case _ => None
+    case JNothing => None
+    case other => fail(s"field '$field' must be a boolean", other)
   }
 
   private def intOpt(v: JValue, field: String): Option[Int] = v \ field match {
     case JInt(i) => Some(i.toInt)
-    case _ => None
+    case JNothing => None
+    case other => fail(s"field '$field' must be an integer", other)
   }
 
   // ------------------------------------------------------------ registry
@@ -121,9 +129,19 @@ object PipelineSpec {
       }
     case "sql" =>
       // whole-query escape hatch: the running frame is exposed to the
-      // query as the view `graft_spec_input`
+      // query as the view `graft_spec_input`. Each invocation registers
+      // a UNIQUE physical view (counter suffix) and drops it after the
+      // query resolves, so concurrent pipelines / nested frame() calls
+      // in one session can't clobber each other and nothing leaks; the
+      // spec text itself keeps using the stable logical name.
       val q = str(v, "query")
-      df => { df.createOrReplaceTempView("graft_spec_input"); df.sparkSession.sql(q) }
+      df => {
+        val view = s"graft_spec_input_${viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        try df.sparkSession.sql(
+          q.replaceAll("\\bgraft_spec_input\\b", view))
+        finally df.sparkSession.catalog.dropTempView(view)
+      }
     case other => fail(s"unknown transform op '$other'", v)
   }
 
