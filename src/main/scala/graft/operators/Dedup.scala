@@ -184,17 +184,22 @@ object Dedup {
     }
     var converged = false
     var iter = 0
+    var prevSum: java.math.BigDecimal = null
     val MaxIters = 25 // 2 steps/job → 50 jump-accelerated steps total
     while (!converged && iter < MaxIters) {
       // two steps per materializing job: iteration cost here is job
       // overhead, not data volume, so halve the job count per step
-      val stepped = step(step(labels))
-      val next = stepped.join(labels.select(col("doc"), col("lbl").as("old")), "doc")
-        .select(col("doc"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
-      labels = next.localCheckpoint() // the one materializing job per round
-      // probe over checkpointed data — no recompute of the round's work
-      converged = labels.filter(col("chg")).limit(1).isEmpty
-      labels = labels.drop("chg")
+      labels = step(step(labels)).localCheckpoint()
+      // Convergence probe: labels only ever DECREASE (min/least
+      // everywhere), so the label sum strictly decreases until the fixed
+      // point — equal consecutive sums ⇔ no label changed. One tiny
+      // aggregate over the checkpointed result replaces the former
+      // join-with-previous-labels change flag (2 fewer exchanges per
+      // round). Decimal(38) sum: immune to BIGINT overflow at any n.
+      val s = labels.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .first().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     if (!converged)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Parity, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -278,6 +278,41 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Interval-overlap join via fixed-width binning — the scale path for
+    * range joins that would otherwise plan as a nested-loop: each
+    * interval explodes into the epoch-week bins it covers (≤3 for a
+    * 14-day interval), the join becomes an EQUI-join on the bin
+    * (shuffle-partitionable, AQE-skew-splittable), the exact overlap
+    * predicate filters within buckets, and `distinct` collapses pairs
+    * that met in several bins. Cost is Σ bucket² over bins — never
+    * |A|×|B| — so it survives two UNBOUNDED sides, which
+    * join_theta_range's broadcast BNLJ cannot. Oracle: the plain
+    * inequality join in DuckDB. Intervals are half-open [start, end). */
+  private def joinRangeBinned(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    def bins(start: Column, end: Column): Column =
+      explode(sequence(
+        floor(datediff(start, epoch) / 7),
+        floor((datediff(end, epoch) - 1) / 7)))
+    val a = orders(spark, dir).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("a_start"),
+      date_add(to_date(col("o_orderdate")), 14).as("a_end"))
+    val b = lineitem(spark, dir)
+      .select(to_date(date_trunc("week", col("l_shipdate"))).as("b_start"))
+      .distinct()
+      .withColumn("b_end", date_add(col("b_start"), 7))
+    a.withColumn("bin", bins(col("a_start"), col("a_end")))
+      .join(b.withColumn("bin", bins(col("b_start"), col("b_end"))), "bin")
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("o_orderkey"),
+        date_format(col("b_start"), "yyyy-MM-dd").as("week_start"),
+        datediff(least(col("a_end"), col("b_end")),
+          greatest(col("a_start"), col("b_start"))).cast(LongType).as("overlap_days"))
+      .distinct()
+      .orderBy(col("o_orderkey"), col("week_start"))
+  }
+
   // --------------------------------------------------------- sampling
   /** Seeded Bernoulli sample — deterministic given the seed, but the
     * RNG differs from DuckDB's ⇒ rows-only check. At scale, sampling
@@ -424,6 +459,20 @@ object Relational {
         | count(DISTINCT a.user_id) AS n_users
         |FROM active a JOIN first f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin), eventsRetention),
+
+    QueryDef("join_range_binned", Some(
+      """WITH a AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a_start,
+        |         CAST(o_orderdate AS DATE) + 14 AS a_end FROM orders),
+        | b AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', l_shipdate) AS DATE) AS b_start
+        |  FROM lineitem),
+        | b2 AS (SELECT b_start, b_start + 7 AS b_end FROM b)
+        |SELECT o_orderkey, strftime(b_start, '%Y-%m-%d') AS week_start,
+        | CAST(datediff('day', greatest(a_start, b_start), least(a_end, b_end)) AS BIGINT)
+        |   AS overlap_days
+        |FROM a JOIN b2 ON a_start < b_end AND b_start < a_end
+        |ORDER BY o_orderkey, week_start""".stripMargin), joinRangeBinned),
 
     QueryDef("sample_bernoulli", None, sampleBernoulli),
     QueryDef("sample_stratified", None, sampleStratified)

@@ -106,27 +106,71 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** IVF-style ANN: a fixed set of coarse centroids partitions the
+  /** Distributed Lloyd k-means for the IVF coarse centroids. Trains on
+    * a deterministic hash-sample of the corpus — the standard IVF
+    * recipe: centroids only need a representative sample, so training
+    * cost is decoupled from corpus size while assignment still covers
+    * every vector. Per iteration: assign each sample vector to its
+    * nearest centroid via a broadcast literal centroid array + a
+    * partial-agg `min(struct(…))` argmin (map-side combinable — no
+    * per-vector window sort), then recompute element-wise means with
+    * posexplode→avg. Only k×dim doubles return to the driver per
+    * iteration. Init is the k sample vectors with the lowest
+    * md5(vec_id) — corpus-order-free and cross-run stable. */
+  private[operators] def trainCentroids(
+      v: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val sample = v
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .select(col("vec_id"), col("e"))
+      .localCheckpoint() // iterated over — don't rescan parquet per round
+    var cents: Seq[(Int, Seq[Double])] =
+      sample.withColumn("h", md5(col("vec_id").cast(StringType)))
+        .orderBy(col("h")).limit(k)
+        .collect().toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("e").toSeq) }
+    for (_ <- 1 to iters) {
+      val centLits = cents.map { case (id, ce) =>
+        struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
+      val means = sample
+        .select(col("vec_id"), col("e"), explode(array(centLits: _*)).as("c"))
+        .select(col("vec_id"), col("e"), col("c.cent_id").as("cent_id"), col("c.ce").as("ce"))
+        // argmin ||v−c||² == argmax (v·c − ½c·c); ties → smaller cent_id
+        .select(col("vec_id"), col("e"), struct(
+          (lit(0.5) * expr("dot_product(ce, ce)") - expr("dot_product(e, ce)")).as("negscore"),
+          col("cent_id")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"), first(col("e")).as("e"))
+        .select(col("m.cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("ce"))
+        .collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("ce").toSeq)
+        .toMap
+      // a centroid that lost every point keeps its previous position
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: k-means-trained coarse centroids partition the
     * corpus into cells (assignment = nearest centroid via the codegen
-    * dot product); queries probe only their own cell. Centroid
-    * "training" is stubbed as a deterministic sample (vec_id 100–109) —
-    * a k-means step would slot in unchanged; the inverted-file search
-    * structure (assign → cell-local join → exact rerank) is the real
-    * contract. Approximate recall ⇒ no oracle. */
+    * dot product); queries probe only their own cell, so the search
+    * join is cell-local — no all-pairs. Assignment is the same
+    * partial-agg argmin as training (scales without a window sort).
+    * Approximate recall ⇒ no oracle. */
   private def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
-    val cents = v.filter(col("vec_id").between(100, 109))
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // argmin ||v−c||² == argmax (v·c − ½c·c); ties broken by cent_id
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("cent_id"))
-    val cells = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (expr("dot_product(e, ce)") - lit(0.5) * expr("dot_product(ce, ce)")).as("score"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-    val withCell = v.join(cells, "vec_id")
+    val centLits = trainCentroids(v, k = 10, iters = 3).map { case (id, ce) =>
+      struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
+    val withCell = v
+      .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
+      .select(col("vec_id"), col("e"), col("nrm"), struct(
+        (lit(0.5) * expr("dot_product(c.ce, c.ce)") - expr("dot_product(e, c.ce)")).as("negscore"),
+        col("c.cent_id").as("cent_id")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("m.cent_id").as("cell"))
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
         col("cell").as("qcell"))

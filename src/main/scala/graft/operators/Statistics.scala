@@ -177,7 +177,138 @@ object Statistics {
         |ORDER BY n_name""".stripMargin)
   }
 
+  /** TPC-H Q2-style correlated scalar-subquery with min: suppliers whose
+    * balance is the minimum within their nation. Catalyst decorrelates
+    * the per-row min into one aggregate + join (no re-execution per
+    * outer row) — the Q2 access pattern without Q2's partsupp table.
+    * The equality compares stored doubles (no arithmetic) ⇒ exact. */
+  private def sqlQ2(spark: SparkSession, dir: String): DataFrame = {
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    spark.sql(
+      """SELECT s1.s_name, s1.s_acctbal, n_name
+        |FROM graft_sql_supplier s1 JOIN graft_sql_nation ON s1.s_nationkey = n_nationkey
+        |WHERE s1.s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM graft_sql_supplier s2
+        |  WHERE s2.s_nationkey = s1.s_nationkey)
+        |ORDER BY n_name, s1.s_name""".stripMargin)
+  }
+
+  /** TPC-H Q7-style bilateral trade volume: lineitem⋈orders⋈customer⋈
+    * supplier with TWO nation dimension joins (supplier's and
+    * customer's), symmetric pair filter, yearly rollup. Both nation
+    * joins broadcast; the fact-side joins shuffle on their keys. */
+  private def sqlQ7(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        | floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |   l_extendedprice * (1 - l_discount) AS volume
+        |  FROM graft_sql_supplier
+        |   JOIN graft_sql_lineitem ON s_suppkey = l_suppkey
+        |   JOIN graft_sql_orders ON o_orderkey = l_orderkey
+        |   JOIN graft_sql_customer ON c_custkey = o_custkey
+        |   JOIN graft_sql_nation n1 ON s_nationkey = n1.n_nationkey
+        |   JOIN graft_sql_nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q10-style returned-item revenue: which customers returned
+    * the most value. Fact-fact join + customer/nation dims, top-20 by
+    * revenue (TakeOrderedAndProject — no global sort materializes). */
+  private def sqlQ10(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        | c_acctbal, n_name
+        |FROM graft_sql_customer
+        | JOIN graft_sql_orders ON c_custkey = o_custkey
+        | JOIN graft_sql_lineitem ON l_orderkey = o_orderkey
+        | JOIN graft_sql_nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    * suppliers per nation — the SQL-surface twin of topk_per_group.
+    * Catalyst plans the lateral limit as a partitioned window, not a
+    * per-nation re-scan. */
+  private def sqlLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_sql_nation")
+    spark.sql(
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM graft_sql_nation,
+        | LATERAL (
+        |  SELECT s_name, s_acctbal FROM graft_sql_supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_q2_min_balance", Some(
+      """SELECT s1.s_name, s1.s_acctbal, n_name
+        |FROM supplier s1 JOIN nation ON s1.s_nationkey = n_nationkey
+        |WHERE s1.s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM supplier s2
+        |  WHERE s2.s_nationkey = s1.s_nationkey)
+        |ORDER BY n_name, s1.s_name""".stripMargin), sqlQ2),
+
+    QueryDef("sql_q7_nation_volume", Some(
+      """SELECT supp_nation, cust_nation, l_year,
+        | floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |   l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |   JOIN lineitem ON s_suppkey = l_suppkey
+        |   JOIN orders ON o_orderkey = l_orderkey
+        |   JOIN customer ON c_custkey = o_custkey
+        |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin), sqlQ7),
+
+    QueryDef("sql_q10_returned", Some(
+      """SELECT c_custkey, c_name,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        | c_acctbal, n_name
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin), sqlQ10),
+
+    QueryDef("sql_lateral_topn", Some(
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM nation,
+        | LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin), sqlLateralTopn),
+
     QueryDef("sql_q18_large_orders", Some(
       """SELECT c_name, c_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
