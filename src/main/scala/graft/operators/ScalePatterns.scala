@@ -58,7 +58,35 @@ object ScalePatterns {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Partition-pruned scan: the fact table is laid out
+    * hive-partitioned by year (the standard 100 TB lake layout); a
+    * filter on the partition column then prunes directories at PLANNING
+    * time — the scan never opens a non-matching file, so query cost
+    * follows the selected partitions, not the table. Written once and
+    * reused (amortized layout cost, like the bucketed tables); the
+    * _SUCCESS marker gates against a half-written layout. The test
+    * suite asserts PartitionFilters in the plan. */
+  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partyear_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(base)
+    }
+    spark.read.parquet(base)
+      .filter(col("o_year") === 1995)
+      .groupBy(month(col("o_orderdate")).cast("bigint").as("month"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("month"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_partition_pruned", Some(
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, count(*) AS n,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY month""".stripMargin), partitionPrunedScan),
+
     QueryDef("join_skew_salted", Some(
       """SELECT o_orderstatus, count(*) AS n,
         | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue

@@ -161,7 +161,7 @@ object Similarity {
     * Approximate recall ⇒ no oracle. */
   private def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
-    val centLits = trainCentroids(v, k = 10, iters = 3).map { case (id, ce) =>
+    val centLits = trainCentroids(v, k = 10, iters = 2).map { case (id, ce) =>
       struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
     val withCell = v
       .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))

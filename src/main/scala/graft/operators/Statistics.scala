@@ -67,6 +67,48 @@ object Statistics {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Fixed-width histogram over a measure column: one hash-agg on the
+    * bin id (map-side combinable — shuffle volume is #bins, not rows),
+    * the distribution-profiling primitive. Bin id from floor-division:
+    * exact in IEEE doubles at these magnitudes, so cross-engine safe. */
+  private def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy((floor(col("l_extendedprice") / 5000) * 5000).cast("bigint").as("bin_lo"))
+      .agg(
+        count(lit(1)).as("n"),
+        Parity.r2(min(col("l_extendedprice"))).as("bin_min"),
+        Parity.r2(max(col("l_extendedprice"))).as("bin_max"))
+      .orderBy(col("bin_lo"))
+
+  /** Median (interpolated, quantile_cont parity — same two-boundary-rows
+    * window recipe as agg_percentile) plus a DETERMINISTIC mode: most
+    * frequent value, ties broken toward the smallest — count + window
+    * argmax, mirrored textually in the oracle. Spark's built-in `mode`
+    * is tie-nondeterministic, hence the explicit form. */
+  private def aggMedianMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val pos = lit(0.5) * (col("n") - 1)
+    val lo = max(when(col("rn") === floor(pos), col("l_quantity")))
+    val hi = max(when(col("rn") === ceil(pos), col("l_quantity")))
+    val med = ranked.groupBy(col("l_returnflag"))
+      .agg(Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as("median_qty"))
+    val wMode = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    val mode = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wMode))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_n"))
+    med.join(mode, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
   /** Pivot: per-priority order value by status — column-per-status. The
     * oracle mirrors with conditional aggregation (the pivot rewrite). */
   private def aggPivot(spark: SparkSession, dir: String): DataFrame =
@@ -262,6 +304,30 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_histogram", Some(
+      """SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,
+        | count(*) AS n,
+        | floor(min(l_extendedprice) * 100 + 0.5) / 100 AS bin_min,
+        | floor(max(l_extendedprice) * 100 + 0.5) / 100 AS bin_max
+        |FROM lineitem GROUP BY 1 ORDER BY bin_lo""".stripMargin), aggHistogram),
+
+    QueryDef("agg_median_mode", Some(
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |   floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        | cnts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        | md AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY cnt DESC, l_quantity) AS rk
+        |  FROM cnts)
+        |SELECT l_returnflag, median_qty, mode_qty, mode_n
+        |FROM med JOIN md USING (l_returnflag)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin), aggMedianMode),
+
     QueryDef("sql_q2_min_balance", Some(
       """SELECT s1.s_name, s1.s_acctbal, n_name
         |FROM supplier s1 JOIN nation ON s1.s_nationkey = n_nationkey

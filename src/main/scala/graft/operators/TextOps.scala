@@ -162,7 +162,106 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical text normalization — the first stage of every dedup /
+    * quality pipeline: lowercase, strip non-alphanumerics, collapse
+    * whitespace runs, trim. Pure per-row projection (no shuffle); both
+    * engines run the identical ASCII regexes so the md5 of the
+    * normalized form is bit-identical cross-engine. */
+  private def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast(LongType).as("norm_chars"),
+        md5(col("norm_text")).as("norm_fp"))
+  }
+
+  /** PII redaction over event payloads: emails, phone-shaped numbers,
+    * and residual digit runs are replaced with typed placeholders, with
+    * per-category match counts for audit. The contact line is
+    * synthesized deterministically from (user_id, event_id, props) —
+    * the driver data carries no real PII — so both engines build and
+    * redact the identical string; replacement ORDER matters (email
+    * first: its digits must not be half-eaten by the number pass).
+    * Per-row regex work → `fanout` spreads single-split inputs. */
+  private def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val num = "[0-9]+"
+    val contact = concat(
+      lit("reach user"), col("user_id").cast(StringType),
+      lit("@example.com or 555-"),
+      lpad((col("event_id") % 10000).cast(StringType), 4, "0"),
+      lit(" ref "), col("props"))
+    graft.Tables.fanout(events(spark, dir))
+      .select(col("event_id"), contact.as("contact"))
+      .select(
+        col("event_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("contact"),
+          email, "<EMAIL>"), phone, "<PHONE>"), num, "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("contact"), lit(email), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("contact"), lit(phone), lit(0)))
+          .cast(LongType).as("n_phones"))
+  }
+
+  /** Corpus n-gram statistics: top-50 bigrams by total occurrences with
+    * document frequency — the building block for boilerplate detection
+    * and contamination scans. One explode → hash-agg (map-side
+    * combine); shuffle volume is the bigram vocabulary, not the corpus.
+    * Exact distinct doc counts stay cheap because the group key (the
+    * bigram) already partitions the shuffle. */
+  private def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val bg = explode(transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bg")
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), bg)
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(50)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_normalize", Some(
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text
+        | FROM documents)
+        |SELECT doc_id, norm_text,
+        | CAST(length(norm_text) AS BIGINT) AS norm_chars,
+        | md5(norm_text) AS norm_fp
+        |FROM n""".stripMargin), textNormalize),
+
+    QueryDef("text_pii_redact", Some(
+      """WITH c AS (SELECT event_id,
+        |  'reach user' || CAST(user_id AS VARCHAR) || '@example.com or 555-' ||
+        |  lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ' ref ' || props AS contact
+        | FROM events)
+        |SELECT event_id,
+        | regexp_replace(regexp_replace(regexp_replace(contact,
+        |   '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]+', '<NUM>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(contact, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(contact, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM c""".stripMargin), textPiiRedact),
+
+    QueryDef("text_ngrams", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | bgs AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        |  FROM tk WHERE len(t) >= 2)
+        |SELECT bg, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+        |FROM bgs GROUP BY bg
+        |ORDER BY cnt DESC, bg LIMIT 50""".stripMargin), textNgrams),
+
     QueryDef("text_tokenize_tf", Some(
       """SELECT word, count(*) AS cnt FROM (
         | SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -114,4 +114,39 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: purchases joined to the same user's
+    * touches (clicks/views) within the trailing `windowMinutes` — the
+    * streaming twin of events_attribution. Both sides are watermarked
+    * and the join condition bounds touch_ts to
+    * [purchase_ts − window, purchase_ts], so each side's state store
+    * retains only the interval + watermark horizon — bounded state, the
+    * canonical stream-stream join recipe. Inner join: Spark can prove
+    * state expiry on both sides. */
+  def joinPurchasesToTouches(purchases: DataFrame, touches: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val c = touches.withWatermark("ts", watermark)
+      .select(col("user_id").as("t_user"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("touch_id"))
+    p.join(c,
+      col("user_id") === col("t_user") &&
+        col("touch_ts") <= col("purchase_ts") &&
+        col("touch_ts") >= col("purchase_ts") - expr(s"interval $windowMinutes minutes"))
+      .drop("t_user")
+  }
+
+  /** Idempotent micro-batch parquet sink via foreachBatch: each batch
+    * lands in an epoch-addressed subdirectory, so a replayed batch (the
+    * at-least-once failure mode) OVERWRITES its own previous attempt
+    * instead of appending duplicates — exactly-once at the directory
+    * level without a transactional table format. `foreachBatch` is also
+    * the escape hatch for sinks Structured Streaming lacks natively
+    * (JDBC, the graft Sink registry). */
+  def sinkEpochParquet(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    }
 }

@@ -120,4 +120,42 @@ class InvariantSpec extends AnyFunSuite {
     assert(df.filter(col("predicted_lang").isin("en", "fr", "es", "de", "zh", "und")).count()
       == df.count())
   }
+
+  test("pii redaction leaves no digits and counts every synthesized email/phone") {
+    val df = q("text_pii_redact")
+    assert(df.filter(col("redacted").rlike("[0-9]")).count() == 0)
+    // every row synthesizes exactly one email and one phone
+    assert(df.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+  }
+
+  test("attribution touches precede their purchase") {
+    val df = q("events_attribution")
+    assert(df.filter(col("touch_ts") > col("purchase_ts")).count() == 0)
+    assert(df.filter(col("touch_type").isNotNull &&
+      !col("touch_type").isin("click", "view")).count() == 0)
+  }
+
+  test("normalized text is idempotent under re-normalization") {
+    val df = q("text_normalize")
+    val renorm = trim(regexp_replace(
+      regexp_replace(lower(col("norm_text")), "[^a-z0-9 ]", " "), " +", " "))
+    assert(df.filter(renorm =!= col("norm_text")).count() == 0)
+  }
+
+  test("histogram bins partition lineitem and respect bin bounds") {
+    val df = q("agg_histogram")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) == total)
+    assert(df.filter(col("bin_min") < col("bin_lo") ||
+      col("bin_max") >= col("bin_lo") + 5000).count() == 0)
+  }
+
+  test("median lies within group min/max; mode count is the group maximum") {
+    val mm = q("agg_median_mode")
+    val bounds = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+    val bad = mm.join(bounds, "l_returnflag")
+      .filter(col("median_qty") < col("lo") || col("median_qty") > col("hi"))
+    assert(bad.count() == 0)
+  }
 }

@@ -46,4 +46,29 @@ class PlanAssertionSpec extends AnyFunSuite {
   test("sim_cosine_topk: the tiny query side is the broadcast build") {
     assert(plan("sim_cosine_topk").contains("BroadcastNestedLoopJoin BuildRight"))
   }
+
+  test("scan_partition_pruned: year filter prunes partitions at planning time") {
+    val p = plan("scan_partition_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("o_year"))
+    // the partition predicate must NOT survive as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(o_year)"))
+  }
+
+  test("join_range_binned: interval overlap plans as an equi-join, no nested loop") {
+    val p = plan("join_range_binned")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events_attribution: exactly one shuffle (on user_id)") {
+    val p = plan("events_attribution")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join")) // window carry, not a self-join
+  }
+
+  test("agg_histogram: map-side partial aggregation before the bin shuffle") {
+    val p = plan("agg_histogram")
+    assert(p.contains("partial_count") || p.contains("partial count"))
+  }
 }

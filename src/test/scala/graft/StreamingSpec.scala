@@ -99,6 +99,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(99L).isEmpty) // left join keeps unmatched stream rows
   }
 
+  test("stream-stream interval join attributes purchases to in-window touches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val touches = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.joinPurchasesToTouches(
+        purchases.toDF(), touches.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    touches.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 7, "click", 0.0),  // in window
+      Ev(2, t("2024-01-01 09:00:00"), 7, "view", 0.0),   // too old
+      Ev(3, t("2024-01-01 10:05:00"), 8, "click", 0.0))  // other user
+    purchases.addData(Ev(10, t("2024-01-01 10:20:00"), 7, "purchase", 9.99))
+    drain(q)
+    val rows = spark.table("t_ssjoin").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("touch_id") == 1)
+    assert(rows(0).getAs[Long]("purchase_id") == 10)
+  }
+
+  test("epoch-addressed foreachBatch sink overwrites, never duplicates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_epoch_sink").toString
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sinkEpochParquet(ms.toDF(), out)
+      .outputMode("append").start()
+    ms.addData(Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(2, t("2024-01-01 10:01:00"), 7, "view", 2.0))
+    drain(q)
+    val read = spark.read.parquet(out)
+    assert(read.count() == 2)
+    assert(read.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("session windows merge events within the gap") {
     val spark = TestSpark.spark
     import spark.implicits._
