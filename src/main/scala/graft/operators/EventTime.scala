@@ -4,6 +4,7 @@ import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Event-time operators on the `events` fact table (SURVEY.md §2.9):
   * tumbling / sliding / session windows plus explicit gaps-and-islands
@@ -158,7 +159,40 @@ object EventTime {
         col("last_touch.id").as("touch_event_id"))
   }
 
+  /** Sequence-pattern matching over per-user event streams (the
+    * MATCH_RECOGNIZE shape): each user's time-ordered event types
+    * collapse to a letter string (c/p/e/s/v), and patterns become plain
+    * regexes — here "click immediately followed by purchase" counts and
+    * a signup→…→purchase conversion flag. One shuffle on user_id; the
+    * collected sequence is bounded by per-user activity (the same bound
+    * sessionization relies on), not corpus size. */
+  private def eventsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))).as("evs"))
+      .select(col("user_id"),
+        concat_ws("", transform(col("evs"), e => e.getField("c"))).as("seq"))
+    seqs.select(
+      col("user_id"),
+      length(col("seq")).cast(LongType).as("n_events"),
+      size(regexp_extract_all(col("seq"), lit("cp"), lit(0)))
+        .cast(LongType).as("n_click_then_purchase"),
+      col("seq").rlike("s.*p").as("converted"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_pattern_match", Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        | CAST(length(seq) AS BIGINT) AS n_events,
+        | CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS n_click_then_purchase,
+        | regexp_matches(seq, 's.*p') AS converted
+        |FROM s""".stripMargin), eventsPatternMatch),
+
     QueryDef("events_attribution", Some(
       """WITH t AS (
         |  SELECT event_id, user_id, ts, value, event_type,

@@ -80,7 +80,31 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Cross-modal join: text metadata ⋈ embedding vectors on shared ids
+    * — the "align every modality of a sample" primitive a multimodal
+    * training pipeline runs before packing examples. Per-row vector
+    * math only (codegen'd dot_product for the L2 norm) — no shuffle
+    * beyond the id join, which at scale co-locates when both modality
+    * tables are bucketed by id (see join_bucketed). */
+  private def mmTextEmbedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val vecs = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    documents(spark, dir)
+      .join(vecs, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("e")).cast(LongType).as("dim"),
+        graft.Parity.r6(sqrt(expr("dot_product(e, e)"))).as("l2_norm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_text_embed_join", Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT doc_id, lang, source,
+        | CAST(len(e) AS BIGINT) AS dim,
+        | floor(sqrt(list_inner_product(e, e)) * 1000000 + 0.5) / 1000000 AS l2_norm
+        |FROM documents JOIN v ON doc_id = vec_id""".stripMargin), mmTextEmbedJoin),
+
     QueryDef("mm_binary_meta", Some(
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

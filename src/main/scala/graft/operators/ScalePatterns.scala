@@ -80,7 +80,40 @@ object ScalePatterns {
       .orderBy(col("month"))
   }
 
+  /** Incremental aggregation (lambda-architecture primitive): a
+    * materialized partial aggregate over the closed history merges with
+    * a freshly-computed delta — the nightly-batch + today's-increment
+    * pattern that avoids rescanning 100 TB of history per refresh.
+    * Count/sum partials merge exactly (counts are ints; l_quantity sums
+    * are integer-valued doubles, so merge order can't move an ulp); the
+    * oracle recomputes the full aggregate from scratch and must match
+    * bit-for-bit. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_incragg_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      lineitem(spark, dir)
+        .filter(col("l_shipdate") < lit(cutoff))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .write.mode("overwrite").parquet(base)
+    }
+    val delta = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(cutoff))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    spark.read.parquet(base).unionByName(delta)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("n")).as("n"), sum(col("qty")).as("qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_incremental_agg", Some(
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+      incrementalAgg),
+
     QueryDef("scan_partition_pruned", Some(
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, count(*) AS n,
         | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue

@@ -225,7 +225,39 @@ object TextOps {
       .limit(50)
   }
 
+  /** Two-phase exact heavy hitters: a Misra–Gries sketch pass (custom
+    * TypedImperativeAggregate, ≤40 counters per partial buffer — see
+    * functions.MisraGriesAgg) shrinks the candidate set without ever
+    * shuffling the full vocabulary, then ONE exact count of just the
+    * candidates. MG's guarantee (every item with true freq > n/41
+    * survives) makes the final output exact and order-independent even
+    * though intermediate sketch counts aren't — which is why this
+    * sketch pipeline can carry a DuckDB oracle (plain GROUP BY/HAVING)
+    * that pure-sketch ops like agg_approx_distinct cannot. */
+  private def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MisraGriesAgg.register(spark)
+    val words = documents(spark, dir).select(explode(toks).as("word"))
+    val cand = words.agg(expr("mg_topk(word, 40)").as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item").as("word"))
+    val total = words.agg(count(lit(1)).as("total"))
+    words.join(broadcast(cand), "word") // cand is distinct ⇒ inner ≡ semi
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("total") / 41.0)
+      .select(col("word"), col("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_heavy_hitters", Some(
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS cnt FROM w GROUP BY word
+        |HAVING count(*) > (SELECT count(*) FROM w) / 41.0
+        |ORDER BY cnt DESC, word""".stripMargin), textHeavyHitters),
+
     QueryDef("text_normalize", Some(
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

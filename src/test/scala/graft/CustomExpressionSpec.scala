@@ -87,4 +87,35 @@ class CustomExpressionSpec extends AnyFunSuite {
         .agg(expr("simhash_agg(h)")).collect()(0).getLong(0)
     assert(run(1) == run(7))
   }
+
+  test("mg_topk keeps at most k counters and never loses a true heavy hitter") {
+    import spark.implicits._
+    graft.functions.MisraGriesAgg.register(spark)
+    // 1000×'hot' + 50 each of 40 cold items: n=3000, k=5 ⇒ guarantee
+    // threshold n/(k+1)=500 < freq(hot) — 'hot' MUST survive the sketch
+    val rows = Seq.fill(1000)("hot") ++ (1 to 40).flatMap(i => Seq.fill(50)(s"cold$i"))
+    val df = rows.toDF("w").repartition(8) // force partial-buffer merges
+    val out = df.agg(expr("mg_topk(w, 5)").as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item"), col("c.est"))
+      .collect()
+    assert(out.length <= 5)
+    val hot = out.find(_.getString(0) == "hot")
+    assert(hot.isDefined)
+    // MG estimate underestimates by at most n/(k+1)
+    assert(hot.get.getLong(1) >= 1000 - 3000 / 6 && hot.get.getLong(1) <= 1000)
+  }
+
+  test("mg_topk with k >= cardinality is exact regardless of partitioning") {
+    import spark.implicits._
+    graft.functions.MisraGriesAgg.register(spark)
+    val rows = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(5)("c")
+    def run(parts: Int): Map[String, Long] =
+      rows.toDF("w").repartition(parts)
+        .agg(expr("mg_topk(w, 10)").as("mg"))
+        .select(explode(col("mg")).as("c"))
+        .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    val expect = Map("a" -> 7L, "b" -> 3L, "c" -> 5L)
+    assert(run(1) == expect && run(6) == expect)
+  }
 }
