@@ -185,11 +185,12 @@ object Dedup {
     var converged = false
     var iter = 0
     var prevSum: java.math.BigDecimal = null
-    val MaxIters = 17 // 3 steps/job → 51 jump-accelerated steps total
+    val MaxIters = 25 // 2 steps/job → 50 jump-accelerated steps total
     while (!converged && iter < MaxIters) {
-      // three steps per materializing job: iteration cost here is job
-      // overhead, not data volume, so amortize checkpoints over steps
-      labels = step(step(step(labels))).localCheckpoint()
+      // two steps per materializing job: a third step per job costs 50%
+      // more exchanges without reducing the job count (convergence
+      // detection always needs one trailing no-change job)
+      labels = step(step(labels)).localCheckpoint()
       // Convergence probe: labels only ever DECREASE (min/least
       // everywhere), so the label sum strictly decreases until the fixed
       // point — equal consecutive sums ⇔ no label changed. One tiny
@@ -204,7 +205,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dedup_clusters: label propagation did not converge in ${3 * MaxIters} " +
+        s"dedup_clusters: label propagation did not converge in ${2 * MaxIters} " +
           "jump-accelerated steps — result would silently disagree with the " +
           "transitive-closure oracle, so fail loudly instead")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))

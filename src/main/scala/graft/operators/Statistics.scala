@@ -80,33 +80,41 @@ object Statistics {
         Parity.r2(max(col("l_extendedprice"))).as("bin_max"))
       .orderBy(col("bin_lo"))
 
-  /** Median (interpolated, quantile_cont parity — same two-boundary-rows
-    * window recipe as agg_percentile) plus a DETERMINISTIC mode: most
-    * frequent value, ties broken toward the smallest — count + window
-    * argmax, mirrored textually in the oracle. Spark's built-in `mode`
-    * is tie-nondeterministic, hence the explicit form. */
+  /** Median (interpolated, quantile_cont parity) plus a DETERMINISTIC
+    * mode (most frequent value, ties toward the smallest — Spark's
+    * built-in `mode` is tie-nondeterministic, hence the explicit form).
+    *
+    * Both derive from ONE value histogram: group by (flag, value) with
+    * map-side combine, then window math over the ~|distinct values|
+    * histogram rows — the median comes from cumulative counts (the two
+    * boundary VALUES bracket pos = 0.5·(n−1)), never from a per-row
+    * sort. For a bounded-cardinality measure this shrinks the shuffle
+    * from the fact table to the histogram; the general-cardinality
+    * full-sort recipe stays available as agg_percentile. */
   private def aggMedianMode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    val pos = lit(0.5) * (col("n") - 1)
-    val lo = max(when(col("rn") === floor(pos), col("l_quantity")))
-    val hi = max(when(col("rn") === ceil(pos), col("l_quantity")))
-    val med = ranked.groupBy(col("l_returnflag"))
-      .agg(Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as("median_qty"))
-    val wMode = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("cnt").desc, col("l_quantity"))
-    val mode = lineitem(spark, dir)
+    val counts = lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wMode))
-      .filter(col("rk") === 1)
-      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_n"))
-    med.join(mode, "l_returnflag").orderBy(col("l_returnflag"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = byFlag.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val modeW = byFlag.orderBy(col("cnt").desc, col("l_quantity"))
+    val hist = counts
+      .withColumn("cum", sum(col("cnt")).over(cumW)) // 1-based end position
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+      .withColumn("rk", row_number().over(modeW))
+    val pos = lit(0.5) * (col("n") - 1) // 0-based; value v covers [cum-cnt, cum-1]
+    val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
+    val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
+    val lo = max(when(coversLo, col("l_quantity")))
+    val hi = max(when(coversHi, col("l_quantity")))
+    hist.groupBy(col("l_returnflag"))
+      .agg(
+        Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as("median_qty"),
+        max(when(col("rk") === 1, col("l_quantity"))).as("mode_qty"),
+        max(when(col("rk") === 1, col("cnt"))).as("mode_n"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Pivot: per-priority order value by status — column-per-status. The
