@@ -181,7 +181,37 @@ object EventTime {
       col("seq").rlike("s.*p").as("converted"))
   }
 
+  /** Z-score anomaly flagging: per-type mean/stddev (one tiny aggregate
+    * — 5 groups), broadcast back onto the stream, events beyond 2σ
+    * surface with their score. The shape of every metrics-pipeline
+    * outlier monitor; the per-type stats stay one row per type at any
+    * corpus size, so the enrich join always broadcasts. Float caveat:
+    * mean/σ are order-sensitive double sums, rounded (Parity) exactly
+    * like agg_stats — residual ulps can't flip a rounded digit at these
+    * magnitudes, and the 2σ cut sits far from any value's boundary. */
+  private def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val stats = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_id"), col("event_type"),
+        Parity.r2(col("value")).as("value"), Parity.r2(col("z")).as("z"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_anomaly", Some(
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        | floor(value * 100 + 0.5) / 100 AS value,
+        | floor((value - mu) / sd * 100 + 0.5) / 100 AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - mu) / sd) > 2""".stripMargin), eventsAnomaly),
+
     QueryDef("events_pattern_match", Some(
       """WITH s AS (
         |  SELECT user_id,

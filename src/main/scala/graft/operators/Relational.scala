@@ -302,8 +302,12 @@ object Relational {
       .select(to_date(date_trunc("week", col("l_shipdate"))).as("b_start"))
       .distinct()
       .withColumn("b_end", date_add(col("b_start"), 7))
+    // the distinct-weeks side is bounded by the covered timespan (one
+    // row per calendar week), so broadcast it explicitly — the planner
+    // otherwise guesses from pre-agg stats and may broadcast the
+    // unbounded interval side
     a.withColumn("bin", bins(col("a_start"), col("a_end")))
-      .join(b.withColumn("bin", bins(col("b_start"), col("b_end"))), "bin")
+      .join(broadcast(b.withColumn("bin", bins(col("b_start"), col("b_end")))), "bin")
       .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
       .select(col("o_orderkey"),
         date_format(col("b_start"), "yyyy-MM-dd").as("week_start"),

@@ -108,7 +108,56 @@ object ScalePatterns {
       .orderBy(col("l_linestatus"))
   }
 
+  /** CDC apply / MERGE INTO compaction: a change stream (here: events
+    * re-read as keyed upserts/deletes — 'error' = delete, else upsert
+    * of `value`) collapses to latest-change-per-key, then applies to
+    * the snapshot in ONE full outer join: update where both sides
+    * match, insert where only the stream side exists, delete drops the
+    * row, untouched snapshot rows pass through. This is the nightly
+    * compaction shape for mutable 100 TB tables without a transactional
+    * format — latest-wins via row_number over (ts, id) is deterministic
+    * and mirrored textually in the oracle. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("key"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("new_val"))
+    val snapshot = customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal"))
+    snapshot.join(latest, Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D") // deletes drop out
+      .select(col("key"),
+        Parity.r2(when(col("op") === "U", col("new_val")).otherwise(col("c_acctbal")))
+          .as("balance"),
+        when(col("c_acctbal").isNull, "inserted")
+          .when(col("op") === "U", "updated")
+          .otherwise("kept").as("change_status"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_cdc_apply", Some(
+      """WITH latest AS (
+        |  SELECT user_id AS key,
+        |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |   value AS new_val,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        | l AS (SELECT key, op, new_val FROM latest WHERE rn = 1),
+        | s AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+        |SELECT key,
+        | floor((CASE WHEN op = 'U' THEN new_val ELSE c_acctbal END) * 100 + 0.5) / 100
+        |   AS balance,
+        | CASE WHEN c_acctbal IS NULL THEN 'inserted'
+        |      WHEN op = 'U' THEN 'updated'
+        |      ELSE 'kept' END AS change_status
+        |FROM s FULL OUTER JOIN l USING (key)
+        |WHERE coalesce(op, '') <> 'D'""".stripMargin), cdcApply),
+
     QueryDef("scale_incremental_agg", Some(
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
