@@ -58,7 +58,7 @@ object TextOps {
   }
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    graft.Tables.fanout(documents(spark, dir)) // per-row regex work: spread single-split inputs
       .select(
         col("doc_id"),
         size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast(LongType)
@@ -170,7 +170,7 @@ object TextOps {
   private def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    documents(spark, dir)
+    graft.Tables.fanout(documents(spark, dir)) // per-row regex work
       .select(col("doc_id"), norm.as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         length(col("norm_text")).cast(LongType).as("norm_chars"),

@@ -150,6 +150,20 @@ class InvariantSpec extends AnyFunSuite {
       col("bin_max") >= col("bin_lo") + 5000).count() == 0)
   }
 
+  test("IVF ANN finds a usable fraction of the exact top-k (recall sanity)") {
+    val exact = q("sim_cosine_topk")
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = q("sim_ann_ivf")
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cell-local search trades recall for never touching other cells;
+    // random 64-dim embeddings are the hardest case, so the bar is a
+    // sanity floor, not a quality target
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // every IVF hit must be a real vector pair, self-pairs excluded
+    assert(ivf.forall { case (q0, c) => q0 != c })
+  }
+
   test("median lies within group min/max; mode count is the group maximum") {
     val mm = q("agg_median_mode")
     val bounds = Tables.lineitem(spark, sf).groupBy("l_returnflag")
