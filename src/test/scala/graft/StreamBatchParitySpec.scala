@@ -46,6 +46,74 @@ class StreamBatchParitySpec extends AnyFunSuite {
       s"stream emitted ${emitted.size} of ${batch.size} windows")
   }
 
+  test("streamed watermark dedup equals batch dropDuplicates on a replayed file") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    final case class E(event_id: Long, ts: Timestamp, user_id: Long)
+    val base = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .limit(200).as[(Long, Timestamp, Long)].collect().toSeq
+    val withDups = base ++ base.take(50) // replay a prefix = duplicate ids
+
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.dedupWithinWatermark(
+        ms.toDF().toDF("event_id", "ts", "user_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_parity").outputMode("append").start()
+    ms.addData(withDups)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dedup_parity")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val batch = base.map(_._1).distinct.sorted
+    assert(streamed == batch, "watermark dedup diverged from batch distinct")
+  }
+
+  test("stream-stream interval join equals the batch interval join on a replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = Tables.events(spark, TestSpark.sf)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+        event_type: String, value: Double)
+    val rows = ev.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val touches = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.joinPurchasesToTouches(
+        named(purchases).filter(col("event_type") === "purchase"),
+        named(touches).filter(col("event_type").isin("click", "view")),
+        windowMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ssj_parity").outputMode("append").start()
+    purchases.addData(rows)
+    touches.addData(rows)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssj_parity")
+      .select("purchase_id", "touch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("touch_id"), col("user_id"), col("ts").as("tts"))
+    val batch = p.join(t, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("interval 30 minutes"))
+      .select("purchase_id", "touch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch,
+      s"stream-stream join diverged: missing=${(batch -- streamed).take(3)} " +
+        s"extra=${(streamed -- batch).take(3)}")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch events_sessionize") {
     val spark2 = spark
     import spark2.implicits._
