@@ -235,7 +235,33 @@ object Similarity {
         |SELECT qid, label AS pred_label, votes FROM best WHERE rn = 1
         |ORDER BY qid""".stripMargin), simKnnLabel),
 
-    QueryDef("sim_ann_lsh", None, simAnnLsh),
+    // deterministic planes ⇒ the oracle rebuilds the IDENTICAL 12-bit
+    // buckets from inlined literals and reranks with the same rounded
+    // cosine — the recall approximation is shared, so results match
+    // exactly (same hardening dedup_embedding_lsh already has)
+    QueryDef("sim_ann_lsh", Some {
+      val bucketSql = planes(12, 64).zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_inner_product(e, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (
+         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm,
+         |   $bucketSql AS bucket
+         |  FROM v),
+         | scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5)
+         |     / 1000000 AS cs
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         | ranked AS (
+         |  SELECT qid, cid, cs,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, cs
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }, simAnnLsh),
     QueryDef("sim_ann_ivf", None, simAnnIvf),
 
     QueryDef("fn_vector", Some(
