@@ -339,6 +339,37 @@ object Relational {
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("c_mktsegment"))
 
+  /** Hash-threshold Bernoulli sample: keep rows whose md5(seed:key)
+    * falls below p·2¹²⁸ (hex-string compare ≡ numeric compare on the
+    * uniform hash). Unlike RNG sampling this is REPRODUCIBLE across
+    * engines, runs, and partitionings — the lineage-stable sampling a
+    * training pipeline needs for replayable corpus snapshots — which is
+    * also what lets it carry an exact DuckDB oracle. Pure scan-level
+    * filter: no shuffle, no materialization. */
+  private def sampleHashBernoulli(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("s42:"), col("l_orderkey").cast(StringType),
+      lit(":"), col("l_linenumber").cast(StringType)))
+    lineitem(spark, dir)
+      .filter(h < "19999999999999999999999999999999") // p ≈ 0.1
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  /** Hash-threshold stratified sample: per-stratum keep probability via
+    * a threshold CASE over the same uniform hash — rebalances class
+    * skew deterministically (0.2 BUILDING / 0.5 AUTO+MACH / 0.8 rest). */
+  private def sampleHashStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("s42:"), col("c_custkey").cast(StringType)))
+    val threshold = when(col("c_mktsegment") === "BUILDING",
+        "33333333333333333333333333333333")
+      .when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"),
+        "80000000000000000000000000000000")
+      .otherwise("cccccccccccccccccccccccccccccccc")
+    customer(spark, dir)
+      .filter(h < threshold)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ------------------------------------------------------------- defs
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", Some(q1Sql), q1),
@@ -479,6 +510,23 @@ object Relational {
       joinRangeBinned),
 
     QueryDef("sample_bernoulli", None, sampleBernoulli),
-    QueryDef("sample_stratified", None, sampleStratified)
+    QueryDef("sample_stratified", None, sampleStratified),
+
+    QueryDef("sample_hash_bernoulli", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE md5('s42:' || CAST(l_orderkey AS VARCHAR) || ':'
+        |  || CAST(l_linenumber AS VARCHAR))
+        |  < '19999999999999999999999999999999'""".stripMargin), sampleHashBernoulli),
+
+    QueryDef("sample_hash_stratified", Some(
+      """SELECT c_mktsegment, count(*) AS n_sampled FROM customer
+        |WHERE md5('s42:' || CAST(c_custkey AS VARCHAR)) <
+        |  CASE c_mktsegment
+        |   WHEN 'BUILDING' THEN '33333333333333333333333333333333'
+        |   WHEN 'AUTOMOBILE' THEN '80000000000000000000000000000000'
+        |   WHEN 'MACHINERY' THEN '80000000000000000000000000000000'
+        |   ELSE 'cccccccccccccccccccccccccccccccc' END
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      sampleHashStratified)
   )
 }
