@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[functions.RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.RollingHash(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[functions.MisraGriesAgg].getName, "mg_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.MisraGriesAgg(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }
 
