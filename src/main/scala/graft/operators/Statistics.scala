@@ -294,6 +294,43 @@ object Statistics {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q14-style promotion share: conditional revenue ratio per
+    * month — CASE inside sum over a fact⋈dim join, the
+    * share-of-category reporting shape. Ratio of two group sums: ulp
+    * jitter from cross-engine accumulation order is absorbed by r4
+    * rounding (same argument as agg_stats). */
+  private def sqlQ14(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    part(spark, dir).createOrReplaceTempView("graft_sql_part")
+    spark.sql(
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+        | floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |   / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+        |   AS promo_share
+        |FROM graft_sql_lineitem JOIN graft_sql_part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)
+  }
+
+  /** TPC-H Q19-style disjunctive predicate: three OR'd brand/size/
+    * quantity branches — exercises Catalyst's CNF conversion and
+    * partial predicate pushdown (the common-conjunct join condition
+    * reaches the scan; the disjunction filters post-join). */
+  private def sqlQ19(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    part(spark, dir).createOrReplaceTempView("graft_sql_part")
+    spark.sql(
+      """SELECT count(*) AS n_lines,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM graft_sql_lineitem JOIN graft_sql_part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin)
+  }
+
   /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
     * suppliers per nation — the SQL-surface twin of topk_per_group.
     * Catalyst plans the lateral limit as a partitioned window, not a
@@ -373,6 +410,26 @@ object Statistics {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin), sqlQ10),
+
+    QueryDef("sql_q14_promo_share", Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |   / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+        |   AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin), sqlQ14),
+
+    QueryDef("sql_q19_disjunctive", Some(
+      """SELECT count(*) AS n_lines,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin), sqlQ19),
 
     QueryDef("sql_lateral_topn", Some(
       """SELECT n_name, s.s_name, s.s_acctbal
