@@ -47,6 +47,53 @@ object PipelineSpec {
     transforms(root \ "transforms").foldLeft(source(root \ "source").read(spark))((df, f) => f(df))
   }
 
+  /** The SAME spec grammar, executed as a stream: the source becomes a
+    * `readStream` (file sources need an explicit "schema" — streaming
+    * scans can't infer), the expression transforms apply unchanged
+    * (they are Catalyst expressions, so batch/stream unification is
+    * literal code reuse), and the sink becomes a `writeStream`. This is
+    * the engine's batch/stream convergence point: one config document,
+    * two execution modes. Transforms with batch-only semantics (sort,
+    * limit) fail at stream start with Spark's own analysis error. */
+  def streamFrame(spark: SparkSession, json: String): DataFrame = {
+    val root = JsonMethods.parse(json)
+    val src = root \ "source"
+    val schema = StructType.fromDDL(str(src, "schema"))
+    val reader = spark.readStream.schema(schema)
+    val df = str(src, "format") match {
+      case "parquet" => reader.parquet(str(src, "path"))
+      case "json" => reader.json(str(src, "path"))
+      case "csv" => reader.option("header", boolOpt(src, "header").getOrElse(true).toString)
+        .csv(str(src, "path"))
+      case other => fail(s"unknown streaming source format '$other'", src)
+    }
+    transforms(root \ "transforms").foldLeft(df)((d, f) => f(d))
+  }
+
+  /** Run a spec as a streaming query. Sinks: "parquet" (append files,
+    * requires "checkpoint" for exactly-once progress tracking),
+    * "memory" (test/inspection, requires "name"). Returns the running
+    * query; the caller owns its lifecycle. */
+  def startStream(spark: SparkSession, json: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = JsonMethods.parse(json)
+    val out = streamFrame(spark, json)
+    val snk = root \ "sink"
+    str(snk, "format") match {
+      case "parquet" =>
+        out.writeStream.format("parquet")
+          .option("path", str(snk, "path"))
+          .option("checkpointLocation", str(snk, "checkpoint"))
+          .outputMode(strOpt(snk, "outputMode").getOrElse("append"))
+          .start()
+      case "memory" =>
+        out.writeStream.format("memory")
+          .queryName(str(snk, "name"))
+          .outputMode(strOpt(snk, "outputMode").getOrElse("append"))
+          .start()
+      case other => fail(s"unknown streaming sink format '$other'", snk)
+    }
+  }
+
   // ------------------------------------------------------------- parsing
 
   private def fail(msg: String, v: JValue): Nothing =

@@ -57,6 +57,31 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(df.collect()(0).getLong(0) == 5L)
   }
 
+  test("pipeline spec: the same spec grammar runs as a stream (batch/stream parity)") {
+    // stage a bounded file; stream it through the spec'd transforms
+    val src = tmp("spec_stream_src")
+    Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(src)
+    val spec =
+      s"""{"source": {"format": "parquet", "path": "$src",
+         |  "schema": "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE"},
+         | "transforms": [
+         |   {"op": "filter", "expr": "l_quantity > 25"},
+         |   {"op": "withColumn", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+         |   {"op": "select", "columns": ["l_orderkey", "rev"]}],
+         | "sink": {"format": "memory", "name": "spec_stream_out"}}""".stripMargin
+    val q = PipelineSpec.startStream(spark, spec)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("spec_stream_out")
+    val batch = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_quantity") > 25)
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .select("l_orderkey", "rev")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("pipeline spec: bad spec fails loudly with the offending fragment") {
     val e = intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"source": {"format": "sqlite", "path": "x"}, "sink": {"format": "noop"}}""")
