@@ -248,6 +248,38 @@ object Relational {
   private def setExcept(spark: SparkSession, dir: String): DataFrame =
     segKeys(spark, dir).except(bigSpenders(spark, dir)).orderBy(col("c_custkey"))
 
+  // bag (ALL) variants: duplicates preserved with multiplicity
+  // arithmetic — Spark plans these without materializing either bag
+  // (intersectAll/exceptAll lower to joins on value + replication count)
+  private def suppBagA(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).filter(col("l_quantity") > 45).select(col("l_suppkey"))
+
+  private def suppBagB(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).filter(col("l_discount") > 0.08).select(col("l_suppkey"))
+
+  private def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    suppBagA(spark, dir).intersectAll(suppBagB(spark, dir)).orderBy(col("l_suppkey"))
+
+  private def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    suppBagA(spark, dir).exceptAll(suppBagB(spark, dir)).orderBy(col("l_suppkey"))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of silently dropping — the correctness
+    * trap of joining on nullable columns. Both sides aggregate first
+    * (the scale-safe shape: a raw null-keyed join would concentrate
+    * every null row on one key), so the join runs on group rows. */
+  private def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val a = lineitem(spark, dir)
+      .groupBy(expr("nullif(l_returnflag, 'N')").as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = lineitem(spark, dir).filter(col("l_quantity") > 25)
+      .groupBy(expr("nullif(l_returnflag, 'R')").as("k"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_a"), col("n_b"))
+      .orderBy(col("k"))
+  }
+
   /** IN-subquery through the SQL surface — exercises Catalyst's
     * subquery decorrelation (rewritten to a semi-join; same result as
     * join_left_semi but arriving via the parser). */
@@ -478,6 +510,30 @@ object Relational {
     QueryDef("set_except", Some(setCte +
       """SELECT c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
         |ORDER BY c_custkey""".stripMargin), setExcept),
+
+    QueryDef("set_intersect_all", Some(
+      """SELECT l_suppkey FROM (
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        | INTERSECT ALL
+        | SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+        |ORDER BY l_suppkey""".stripMargin), setIntersectAll),
+
+    QueryDef("set_except_all", Some(
+      """SELECT l_suppkey FROM (
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        | EXCEPT ALL
+        | SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+        |ORDER BY l_suppkey""".stripMargin), setExceptAll),
+
+    QueryDef("join_null_safe", Some(
+      """WITH a AS (
+        |  SELECT nullif(l_returnflag, 'N') AS k, count(*) AS n_a
+        |  FROM lineitem GROUP BY 1),
+        | b AS (
+        |  SELECT nullif(l_returnflag, 'R') AS k, count(*) AS n_b
+        |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
+        |SELECT a.k AS k, n_a, n_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k""".stripMargin), joinNullSafe),
 
     QueryDef("join_in_subquery", Some(
       """SELECT c_custkey, c_name FROM customer
