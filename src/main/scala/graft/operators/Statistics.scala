@@ -30,28 +30,35 @@ object Statistics {
       .orderBy(col("l_returnflag"))
 
   /** Exact interpolated percentiles (oracle: quantile_cont), computed
-    * the scalable way: a distributed sort per group (window
-    * row_number) instead of Spark's built-in `percentile`, whose
-    * aggregation buffer holds every group value in memory. Here state
-    * is bounded: sort spills, and only the two boundary rows per
-    * percentile survive the aggregation. Interpolation is
-    * lo + (hi−lo)·frac at pos = p·(n−1) — bitwise-identical to
-    * DuckDB's quantile_cont. */
+    * the scalable way: a map-side-combined VALUE HISTOGRAM per group,
+    * then cumulative-count window math over histogram rows — the fact
+    * table is never window-sorted row-by-row, and no aggregation
+    * buffer ever holds a group's values (Spark's built-in `percentile`
+    * does). Sort work is O(|distinct values|) per group, which at lake
+    * scale is orders of magnitude below row count. A value v with
+    * cumulative end position `cum` (1-based) covers 0-based ranks
+    * [cum−cnt, cum−1]; the two boundary VALUES bracketing
+    * pos = p·(n−1) interpolate as lo + (hi−lo)·frac — bitwise-identical
+    * to DuckDB's quantile_cont. */
   private def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = byFlag.orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
     def pct(p: Double, name: String) = {
       val pos = lit(p) * (col("n") - 1)
-      val lo = max(when(col("rn") === floor(pos), col("l_extendedprice")))
-      val hi = max(when(col("rn") === ceil(pos), col("l_extendedprice")))
+      val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
+      val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
+      val lo = max(when(coversLo, col("l_extendedprice")))
+      val hi = max(when(coversHi, col("l_extendedprice")))
       Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
     }
-    ranked
+    hist
       .groupBy(col("l_returnflag"))
       .agg(pct(0.5, "p50"), pct(0.9, "p90"))
       .orderBy(col("l_returnflag"))

@@ -25,4 +25,19 @@ class OracleLintSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"bad name: $n"))
   }
+
+  test("no oracle SQL uses round() — .5 ties differ cross-engine (Parity rule)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.toLowerCase.matches("(?s).*\\bround\\s*\\(.*"),
+        s"oracle[$name] uses round(); use floor(x*10^d + 0.5)/10^d instead")
+    }
+  }
+
+  test("no oracle SQL uses Spark-only hash functions") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val l = sql.toLowerCase
+      assert(!l.contains("xxhash64") && !l.matches("(?s).*\\bhash\\s*\\(.*"),
+        s"oracle[$name] uses an engine-native hash; md5 is the only cross-engine hash")
+    }
+  }
 }
