@@ -53,6 +53,27 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL sketch RE-aggregation — the pattern that makes distinct counts
+    * pre-aggregable at scale: exact distincts don't add across
+    * partitions of a cube, but their sketches UNION losslessly. Daily
+    * per-type user sketches (the stored rollup) merge into per-type
+    * totals without revisiting raw events — at 100 TB the nightly job
+    * stores k-byte sketches, and any ad-hoc slice unions them in
+    * milliseconds. Datasketches HLL via Spark built-ins
+    * (hll_sketch_agg / hll_union_agg / hll_sketch_estimate); sketch ⇒
+    * no oracle, accuracy invariant-tested against exact counts. */
+  private def aggHllReaggregate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.events
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   private def aggRollup(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -129,6 +150,7 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggDistinct),
 
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
+    QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
 
     QueryDef("agg_rollup", Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -147,6 +147,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark decontamination: find corpus documents that leak an
+    * eval/benchmark set (here: doc_id % 20 == 0 stands in for the
+    * benchmark) — THE pre-training hygiene step. Two detection tiers
+    * in one pass shape: exact canonical-fingerprint equi-join
+    * (normalized md5) and MinHash-band near-dup (signature agreement
+    * ≥ 0.5), exact taking precedence per pair. Both tiers are
+    * banded/keyed equi-joins — benchmark size × banding bounds the
+    * candidate set, never corpus² — and fully md5-deterministic, so
+    * the oracle recomputes both tiers verbatim. */
+  private def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val isBench = col("doc_id") % 20 === 0
+    val fpCol = md5(concat_ws(" ",
+      array_sort(filter(split(lower(col("text")), " "), t => t =!= ""))))
+    val fps = documents(spark, dir).select(col("doc_id"), fpCol.as("fp"))
+    val exact = fps.filter(!isBench)
+      .select(col("doc_id").as("corpus_doc"), col("fp"))
+      .join(fps.filter(isBench).select(col("doc_id").as("bench_doc"), col("fp")), "fp")
+      .select(col("corpus_doc"), col("bench_doc"))
+    val sig = withSignature(spark, dir)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"),
+        array((0 until NumBands).map(j =>
+          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+    val ex = sig.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("bi", "band")))
+    val near = ex.filter(col("doc_id") % 20 =!= 0).as("c")
+      .join(ex.filter(col("doc_id") % 20 === 0).as("b"),
+        col("c.bi") === col("b.bi") && col("c.band") === col("b.band"))
+      .select(col("c.doc_id").as("corpus_doc"), col("b.doc_id").as("bench_doc"),
+        col("c.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        b => b)) >= NumHashes / 2)
+      .select(col("corpus_doc"), col("bench_doc"))
+    val nearOnly = near.join(exact, Seq("corpus_doc", "bench_doc"), "left_anti")
+    exact.withColumn("reason", lit("exact_dup"))
+      .unionByName(nearOnly.withColumn("reason", lit("near_dup")))
+      .orderBy(col("corpus_doc"), col("bench_doc"))
+  }
+
   /** Duplicate clusters: connected components over the verified
     * near-dup pair graph — the step a real dedup pipeline runs after
     * pair detection, since duplicates are transitive (A≈B≈C must keep
@@ -394,6 +434,37 @@ object Dedup {
         | CAST(len(list_filter(list_transform(generate_series(1, 8),
         |   i -> sig_a[i] = sig_b[i]), x -> x)) AS DOUBLE) / 8 AS est_sim
         |FROM cand ORDER BY doc_a, doc_b""".stripMargin), dedupMinhashPairs),
+
+    QueryDef("text_decontaminate", Some(minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sig,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_filter(
+        |    string_split(lower(text), ' '), t -> t <> '')), ' ')) AS fp
+        |  FROM documents),
+        | ex AS (
+        |  SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc
+        |  FROM fp c JOIN fp b ON c.fp = b.fp
+        |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+        | cand AS (
+        |  SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+        |   c.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands c JOIN bands b ON c.bi = b.bi AND c.band = b.band
+        |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+        | near AS (
+        |  SELECT corpus_doc, bench_doc FROM cand
+        |  WHERE len(list_filter(list_transform(generate_series(1, 8),
+        |    i -> sig_a[i] = sig_b[i]), x -> x)) >= 4),
+        | nearonly AS (
+        |  SELECT n.corpus_doc, n.bench_doc FROM near n
+        |  ANTI JOIN ex USING (corpus_doc, bench_doc))
+        |SELECT corpus_doc, bench_doc, 'exact_dup' AS reason FROM ex
+        |UNION ALL
+        |SELECT corpus_doc, bench_doc, 'near_dup' AS reason FROM nearonly
+        |ORDER BY corpus_doc, bench_doc""".stripMargin), textDecontaminate),
 
     QueryDef("dedup_clusters", Some(
       minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -164,6 +164,30 @@ class InvariantSpec extends AnyFunSuite {
     assert(ivf.forall { case (q0, c) => q0 != c })
   }
 
+  test("HLL sketch re-aggregation tracks exact distinct counts within 5%") {
+    val est = q("agg_hll_reaggregate")
+      .select("event_type", "est_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"HLL estimate for $t drifted: est=${est(t)} exact=$n")
+    }
+  }
+
+  test("decontamination: every flagged pair crosses corpus→benchmark") {
+    val df = q("text_decontaminate")
+    assert(df.filter(col("corpus_doc") % 20 === 0).count() == 0)
+    assert(df.filter(col("bench_doc") % 20 =!= 0).count() == 0)
+    assert(df.filter(!col("reason").isin("exact_dup", "near_dup")).count() == 0)
+    // a (corpus, bench) pair appears exactly once (exact wins over near)
+    assert(df.groupBy("corpus_doc", "bench_doc").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("median lies within group min/max; mode count is the group maximum") {
     val mm = q("agg_median_mode")
     val bounds = Tables.lineitem(spark, sf).groupBy("l_returnflag")
