@@ -249,7 +249,70 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** The canonical curation pipeline as ONE dataflow — normalize →
+    * quality-gate → exact-dedup (keep min doc per fingerprint) →
+    * redact → per-language corpus stats. Demonstrates that the
+    * individual operators COMPOSE into a single Catalyst plan: the
+    * scan is read once, filters fuse, and the only shuffles are the
+    * dedup window and the final stats aggregate. Every stage is
+    * deterministic, so the full five-stage pipeline hash-matches the
+    * DuckDB CTE chain end-to-end. */
+  private def pipelineCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val normText = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val tk = filter(split(col("norm_text"), " "), t => t =!= "")
+    val norm = graft.Tables.fanout(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), normText.as("norm_text"))
+      .withColumn("n_words", size(tk).cast(LongType))
+      .withColumn("distinct_ratio",
+        size(array_distinct(tk)).cast(DoubleType) / size(tk))
+    val kept = norm.filter(col("n_words") >= 20 && col("distinct_ratio") >= 0.3)
+      .withColumn("fp", md5(concat_ws(" ", array_sort(tk))))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    deduped
+      .withColumn("redacted", regexp_replace(col("norm_text"), "[0-9]+", "<num>"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("redacted"), " "), t => t =!= "")).cast(LongType))
+          .as("total_tokens"),
+        graft.Parity.r4(avg(col("distinct_ratio"))).as("avg_distinct_ratio"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_curate_corpus", Some(
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |     ' +', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        | scored AS (
+        |  SELECT doc_id, lang, norm_text,
+        |   list_filter(string_split(norm_text, ' '), t -> t <> '') AS tk
+        |  FROM norm),
+        | gated AS (
+        |  SELECT doc_id, lang, norm_text, tk,
+        |   CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+        |   md5(array_to_string(list_sort(tk), ' ')) AS fp
+        |  FROM scored
+        |  WHERE len(tk) >= 20
+        |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3),
+        | deduped AS (
+        |  SELECT * FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |   FROM gated) WHERE rn = 1),
+        | redacted AS (
+        |  SELECT doc_id, lang, distinct_ratio,
+        |   regexp_replace(norm_text, '[0-9]+', '<num>', 'g') AS redacted
+        |  FROM deduped)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(list_filter(string_split(redacted, ' '), t -> t <> ''))) AS BIGINT)
+        |   AS total_tokens,
+        | floor(avg(distinct_ratio) * 10000 + 0.5) / 10000 AS avg_distinct_ratio
+        |FROM redacted GROUP BY lang ORDER BY lang""".stripMargin), pipelineCurateCorpus),
+
     QueryDef("text_heavy_hitters", Some(
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
