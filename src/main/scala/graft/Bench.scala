@@ -14,7 +14,10 @@ object Bench {
     "dedup_exact_docs", "dedup_minhash_verified", "dedup_clusters",
     "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
-    "text_langid", "text_lm_score", "text_quality", "text_token_count")
+    "text_langid", "text_lm_score", "text_quality", "text_token_count",
+    "scan_partition_pruned", "scale_incremental_agg", "scale_cdc_apply",
+    "join_range_binned", "events_attribution", "text_heavy_hitters",
+    "text_decontaminate", "pipeline_curate_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
