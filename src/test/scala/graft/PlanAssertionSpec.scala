@@ -71,4 +71,15 @@ class PlanAssertionSpec extends AnyFunSuite {
     val p = plan("agg_histogram")
     assert(p.contains("partial_count") || p.contains("partial count"))
   }
+
+  test("pipeline_curate_corpus: five stages fuse into a single scan") {
+    val p = plan("pipeline_curate_corpus")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "curation pipeline should read documents exactly once")
+  }
+
+  test("text_decontaminate: both tiers are keyed joins, no cartesian") {
+    val p = plan("text_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
