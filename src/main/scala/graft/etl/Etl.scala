@@ -52,6 +52,12 @@ final case class CsvSource(path: String, schema: StructType, header: Boolean = t
     spark.read.schema(schema).option("header", header).csv(path)
 }
 
+/** ORC — the second columnar lake format (predicate pushdown + column
+  * pruning parity with parquet via Spark's native reader). */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** R10–R12 (`/root/reference/src/extract/pg.rs`): the reference pushes
   * SQL text to Postgres and maps rows; Spark's JDBC source does the
   * same with Catalyst filter pushdown. `partitionColumn` splits the
@@ -253,6 +259,27 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+}
+
+final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Seq.empty) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+}
+
+/** Interchange sinks for systems that can't read columnar formats —
+  * CSV keeps a header for round-tripping; JSON writes one object per
+  * line (the streaming-friendly NDJSON shape). */
+final case class CsvSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    header: Boolean = true) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode).option("header", header).csv(path)
+}
+
+final case class JsonSink(path: String, mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
 }
 
 /** JDBC sink: per-partition transactions with batched prepared

@@ -135,6 +135,7 @@ object PipelineSpec {
 
   private def source(v: JValue): Source = str(v, "format") match {
     case "parquet" => ParquetSource(str(v, "path"))
+    case "orc" => OrcSource(str(v, "path"))
     case "json" => JsonSource(str(v, "path"), StructType.fromDDL(str(v, "schema")),
       multiLine = boolOpt(v, "multiLine").getOrElse(false))
     case "csv" => CsvSource(str(v, "path"), StructType.fromDDL(str(v, "schema")),
@@ -195,6 +196,13 @@ object PipelineSpec {
   private def sink(v: JValue): Sink = str(v, "format") match {
     case "parquet" =>
       ParquetSink(str(v, "path"), saveMode(strOpt(v, "mode")), strSeq(v, "partitionBy"))
+    case "orc" =>
+      OrcSink(str(v, "path"), saveMode(strOpt(v, "mode")), strSeq(v, "partitionBy"))
+    case "csv" =>
+      CsvSink(str(v, "path"), saveMode(strOpt(v, "mode")),
+        header = boolOpt(v, "header").getOrElse(true))
+    case "json" =>
+      JsonSink(str(v, "path"), saveMode(strOpt(v, "mode")))
     case "noop" =>
       // measurement/validation sink: computes everything, writes nothing
       (df: DataFrame) => df.write.format("noop").mode("overwrite").save()

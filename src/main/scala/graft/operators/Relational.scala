@@ -86,6 +86,23 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** ORC round-trip: the second columnar lake format — written once
+    * (amortized, like the bucketed/partitioned layouts), read back with
+    * a pushable predicate. Spark's native ORC reader gives the same
+    * pushdown/pruning contract as parquet; DuckDB can't read ORC, so
+    * the oracle recomputes from the parquet original — equality proves
+    * the format round-trip is lossless. */
+  private def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/customer_orc_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(tmp, "_SUCCESS").exists())
+      customer(spark, dir).write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), graft.Parity.r2(sum(col("c_acctbal"))).as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // --------------------------------------------------- project / filter
   private def projectFilter(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -413,6 +430,12 @@ object Relational {
 
     QueryDef("scan_json", Some(
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"), scanJson),
+
+    QueryDef("scan_orc", Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), scanOrc),
 
     QueryDef("scan_csv", Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"), scanCsv),

@@ -82,6 +82,26 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("pipeline spec: orc and csv sinks round-trip through the registry") {
+    val orcOut = tmp("spec_orc_out")
+    PipelineSpec.fromJson(
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/nation.parquet"},
+         | "transforms": [{"op": "select", "columns": ["n_nationkey", "n_name"]}],
+         | "sink": {"format": "orc", "path": "$orcOut", "mode": "overwrite"}}""".stripMargin)
+      .run(spark)
+    // read the ORC back through a spec'd OrcSource into a CSV sink
+    val csvOut = tmp("spec_csv_out")
+    PipelineSpec.fromJson(
+      s"""{"source": {"format": "orc", "path": "$orcOut"},
+         | "transforms": [{"op": "filter", "expr": "n_nationkey < 10"}],
+         | "sink": {"format": "csv", "path": "$csvOut", "mode": "overwrite"}}""".stripMargin)
+      .run(spark)
+    val back = spark.read.option("header", "true").csv(csvOut)
+    assert(back.count() == Tables.nation(spark, TestSpark.sf)
+      .filter(col("n_nationkey") < 10).count())
+    assert(back.columns.toSeq == Seq("n_nationkey", "n_name"))
+  }
+
   test("pipeline spec: bad spec fails loudly with the offending fragment") {
     val e = intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"source": {"format": "sqlite", "path": "x"}, "sink": {"format": "noop"}}""")
