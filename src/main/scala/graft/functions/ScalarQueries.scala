@@ -81,7 +81,7 @@ object ScalarQueries {
 
   private def fnMapJson(spark: SparkSession, dir: String): DataFrame = {
     val parsed = from_json(col("props"), MapType(StringType, LongType))
-    events(spark, dir)
+    graft.Tables.fanout(events(spark, dir)) // JSON parsing is CPU-bound per row
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k_get"),
