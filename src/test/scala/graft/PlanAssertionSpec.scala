@@ -78,6 +78,12 @@ class PlanAssertionSpec extends AnyFunSuite {
       "curation pipeline should read documents exactly once")
   }
 
+  test("scan_orc: predicate pushdown and column pruning reach the ORC scan") {
+    val p = plan("scan_orc")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]"))
+    assert(p.contains("ReadSchema: struct<c_acctbal:double,c_mktsegment:string>"))
+  }
+
   test("text_decontaminate: both tiers are keyed joins, no cartesian") {
     val p = plan("text_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
