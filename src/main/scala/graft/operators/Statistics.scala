@@ -30,16 +30,18 @@ object Statistics {
       .orderBy(col("l_returnflag"))
 
   /** Exact interpolated percentiles (oracle: quantile_cont), computed
-    * the scalable way: a map-side-combined VALUE HISTOGRAM per group,
-    * then cumulative-count window math over histogram rows — the fact
-    * table is never window-sorted row-by-row, and no aggregation
+    * over a map-side-combined VALUE HISTOGRAM per group, then
+    * cumulative-count window math over histogram rows. No aggregation
     * buffer ever holds a group's values (Spark's built-in `percentile`
-    * does). Sort work is O(|distinct values|) per group, which at lake
-    * scale is orders of magnitude below row count. A value v with
-    * cumulative end position `cum` (1-based) covers 0-based ranks
-    * [cum−cnt, cum−1]; the two boundary VALUES bracketing
-    * pos = p·(n−1) interpolate as lo + (hi−lo)·frac — bitwise-identical
-    * to DuckDB's quantile_cont. */
+    * does); sort work is O(|distinct values|) per group — a large win
+    * when values repeat (discrete measures: see agg_median_mode, 50
+    * values standing in for 600k rows) and a clean degeneration to the
+    * distributed-sort recipe when they don't (l_extendedprice here is
+    * ~97% unique, so this IS the sort path, with spill and identical
+    * asymptotics — nothing lost). A value v with cumulative end
+    * position `cum` (1-based) covers 0-based ranks [cum−cnt, cum−1];
+    * the two boundary VALUES bracketing pos = p·(n−1) interpolate as
+    * lo + (hi−lo)·frac — bitwise-identical to DuckDB's quantile_cont. */
   private def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byFlag = Window.partitionBy(col("l_returnflag"))
