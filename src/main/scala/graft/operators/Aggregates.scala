@@ -74,6 +74,22 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Weighted aggregates: quantity-weighted mean price and weighted
+    * discount per flag — the unit-economics shape (`sum(w·x)/sum(w)`)
+    * that a plain avg() silently gets wrong. Single extra multiply in
+    * the partial aggregate; ulp jitter from cross-engine sum order is
+    * absorbed by r4 (agg_stats argument). */
+  private def aggWeighted(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.Parity.r4(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+          .as("wavg_price"),
+        graft.Parity.r6(sum(col("l_discount") * col("l_quantity")) / sum(col("l_quantity")))
+          .as("wavg_discount"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   private def aggRollup(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -151,6 +167,16 @@ object Aggregates {
 
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
     QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
+
+    QueryDef("agg_weighted", Some(
+      """SELECT l_returnflag,
+        | floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 10000 + 0.5) / 10000
+        |   AS wavg_price,
+        | floor(sum(l_discount * l_quantity) / sum(l_quantity) * 1000000 + 0.5) / 1000000
+        |   AS wavg_discount,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggWeighted),
 
     QueryDef("agg_rollup", Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

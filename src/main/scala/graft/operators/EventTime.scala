@@ -201,6 +201,29 @@ object EventTime {
         Parity.r2(col("value")).as("value"), Parity.r2(col("z")).as("z"))
   }
 
+  /** Top user journeys: the 10 most common 3-event sub-sequences
+    * across all users — per-user letter-encoded timelines (same
+    * encoding as events_pattern_match) sliced into trigrams, counted
+    * corpus-wide. The journey-mining primitive behind "what do users
+    * do right before purchasing". Shuffles: one on user_id to build
+    * timelines (bounded per-user state), one map-side-combined count
+    * on the ≤5³ distinct trigrams. */
+  private def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))).as("evs"))
+      .select(concat_ws("", transform(col("evs"), e => e.getField("c"))).as("seq"))
+      .filter(length(col("seq")) >= 3)
+    seqs
+      .select(explode(transform(sequence(lit(1), length(col("seq")) - 2),
+        i => col("seq").substr(i, lit(3)))).as("tri"))
+      .groupBy(col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tri"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("events_anomaly", Some(
       """WITH s AS (
@@ -211,6 +234,18 @@ object EventTime {
         | floor((value - mu) / sd * 100 + 0.5) / 100 AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE abs((value - mu) / sd) > 2""".stripMargin), eventsAnomaly),
+
+    QueryDef("events_top_paths", Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        | tri AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(seq) - 2),
+        |    i -> substr(seq, i, 3))) AS tri
+        |  FROM s WHERE length(seq) >= 3)
+        |SELECT tri, count(*) AS cnt FROM tri GROUP BY tri
+        |ORDER BY cnt DESC, tri LIMIT 10""".stripMargin), eventsTopPaths),
 
     QueryDef("events_pattern_match", Some(
       """WITH s AS (
