@@ -164,6 +164,36 @@ class InvariantSpec extends AnyFunSuite {
     assert(ivf.forall { case (q0, c) => q0 != c })
   }
 
+  test("GK-sketch percentiles bracket the exact interpolated values") {
+    val approx = q("agg_approx_percentile")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q("agg_percentile")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val spread = Tables.lineitem(spark, sf)
+      .agg(max(col("l_extendedprice")) - min(col("l_extendedprice")))
+      .collect()(0).getDouble(0)
+    val colMax = Tables.lineitem(spark, sf)
+      .agg(max(col("l_extendedprice"))).collect()(0).getDouble(0)
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (a50, a99) = approx(flag) // approx computes p50 + p99
+      // GK guarantees rank error <= eps*n; translate loosely to a value
+      // bound of 10% of the column spread (generous — catches gross breaks)
+      assert(math.abs(a50 - p50) <= spread * 0.1, s"$flag p50: $a50 vs $p50")
+      assert(a99 >= p90 - spread * 0.02 && a99 <= colMax,
+        s"$flag p99 outside [p90, max]: $a99")
+    }
+  }
+
+  test("rolling-hash windows cover each document exactly (len - k + 1)") {
+    val df = q("dedup_rolling_chunks") // rolling_hash(text, 16)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val bad = df.join(docs, "doc_id")
+      .filter(col("n_windows") =!= greatest(col("len") - 15, lit(0L)) ||
+        col("n_boundaries") > col("n_windows"))
+    assert(bad.count() == 0)
+  }
+
   test("HLL sketch re-aggregation tracks exact distinct counts within 5%") {
     val est = q("agg_hll_reaggregate")
       .select("event_type", "est_users")
