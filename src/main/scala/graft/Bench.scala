@@ -17,7 +17,8 @@ object Bench {
     "text_langid", "text_lm_score", "text_quality", "text_token_count",
     "scan_partition_pruned", "scale_incremental_agg", "scale_cdc_apply",
     "join_range_binned", "events_attribution", "text_heavy_hitters",
-    "text_decontaminate", "pipeline_curate_corpus")
+    "text_decontaminate", "pipeline_curate_corpus", "scale_zorder",
+    "text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,7 +139,59 @@ object ScalePatterns {
           .otherwise("kept").as("change_status"))
   }
 
+  /** Z-order (Morton) clustering key: interleave the bits of two filter
+    * dimensions so ONE range-clustered layout serves range predicates on
+    * EITHER dimension. At 100 TB this is the data-layout lever:
+    * `repartitionByRange(z)` + `sortWithinPartitions(z)` at write time
+    * gives every file a tight min/max envelope on BOTH l_partkey and
+    * l_suppkey, so parquet row-group stats prune files for either
+    * predicate — one layout, two clustered dims (vs. a plain sort, which
+    * clusters only its leading column).
+    *
+    * The query proves the locality property the pruning relies on: rows
+    * are bucketed by the top 4 bits of a 16-bit Morton code (8 bits per
+    * dim) and each bucket reports its bounding rectangle — z-contiguous
+    * ⇒ each side spans at most 2^6 = 64 values (asserted in
+    * InvariantSpec). Production would rank-normalize each dim to the
+    * full code width; here the low 8 bits of dense surrogate keys are
+    * already uniform, and masking keeps the arithmetic exactly
+    * reproducible in the oracle. Pure codegen'd bit ops, one hash-agg. */
+  private def morton8(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def scaleZorder(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_partkey").bitwiseAND(lit(255L))
+    val y = col("l_suppkey").bitwiseAND(lit(255L))
+    lineitem(spark, dir)
+      .select(x.as("x"), y.as("y"), morton8(x, y).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("z_bucket"))
+  }
+
+  /** DuckDB recomputes the identical Morton code term-by-term. */
+  private val mortonSql: String = (0 until 8).map { i =>
+    s"((((l_partkey & 255) >> $i) & 1) << ${2 * i}) | " +
+      s"((((l_suppkey & 255) >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" | ")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_zorder", Some(
+      s"""WITH z AS (
+         |  SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y,
+         |   ($mortonSql) AS z
+         |  FROM lineitem)
+         |SELECT z >> 12 AS z_bucket, count(*) AS n,
+         | min(x) AS min_x, max(x) AS max_x,
+         | min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin), scaleZorder),
+
     QueryDef("scale_cdc_apply", Some(
       """WITH latest AS (
         |  SELECT user_id AS key,

@@ -78,6 +78,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals (the Gopher/C4-style quality rules): the most
+    * frequent token's share of the doc, the duplicated-bigram fraction,
+    * and the top bigram's share. Boilerplate and spam repeat themselves;
+    * these catch it where length/stopword rules don't. Two explode →
+    * hash-agg passes (word-level and bigram-level) — shuffle volume is
+    * the per-doc vocabulary (map-side combine), never the corpus text —
+    * then a narrow doc_id equi-join. Exact integer counts divided once
+    * at the end ⇒ bit-deterministic, oracle-checked. */
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.fanout
+    val docs = fanout(documents(spark, dir)).select(col("doc_id"), toks.as("tk"))
+    val words = docs
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_w"))
+    val bg = explode(transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bg")
+    val bigrams = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), bg)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bg"), count(lit(1)).as("d_bg"),
+        max(col("cnt")).as("top_bg"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"),
+        (col("top_w").cast(DoubleType) / col("n_words")).as("top_word_frac"),
+        ((col("n_bg") - col("d_bg")).cast(DoubleType) / col("n_bg")).as("dup_bigram_frac"),
+        (col("top_bg").cast(DoubleType) / col("n_bg")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram language-model fluency score: corpus-level bigram
     * probabilities (one aggregation over the whole corpus), then each
     * doc scores avg log p(bigram) — the statistical-LM quality signal
@@ -412,6 +445,30 @@ object TextOps {
         |      WHEN stop_ratio > 0.5 THEN 'drop:boilerplate'
         |      ELSE 'keep' END AS verdict
         |FROM s ORDER BY doc_id""".stripMargin), textQualityFilter),
+
+    QueryDef("text_repetition", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w),
+        | ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_w
+        |  FROM wc GROUP BY doc_id),
+        | bc AS (
+        |  SELECT doc_id, bg, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        |        FROM tk WHERE len(t) >= 2)
+        |  GROUP BY doc_id, bg),
+        | bs AS (SELECT doc_id, sum(cnt) AS n_bg, count(*) AS d_bg, max(cnt) AS top_bg
+        |  FROM bc GROUP BY doc_id)
+        |SELECT doc_id,
+        | CAST(top_w AS DOUBLE) / n_words AS top_word_frac,
+        | CAST(n_bg - d_bg AS DOUBLE) / n_bg AS dup_bigram_frac,
+        | CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac
+        |FROM ws JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin),
+      textRepetition),
 
     QueryDef("text_lm_score", Some(
       """WITH tk AS (

@@ -194,6 +194,26 @@ class InvariantSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("z-order buckets bound both dimensions to 64-value rectangles") {
+    // top-4 Morton bits fix 2 high bits of each 8-bit dim ⇒ sides ≤ 2^6
+    val bad = q("scale_zorder").filter(
+      col("max_x") - col("min_x") >= 64 || col("max_y") - col("min_y") >= 64)
+    assert(bad.count() == 0)
+  }
+
+  test("repetition fractions are well-formed and bounded") {
+    val df = q("text_repetition")
+    val bad = df.filter(
+      col("top_word_frac") <= 0 || col("top_word_frac") > 1 ||
+        col("dup_bigram_frac") < 0 || col("dup_bigram_frac") >= 1 ||
+        col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1)
+    assert(bad.count() == 0)
+    // every doc with >=2 tokens appears exactly once
+    val expected = Tables.documents(spark, sf)
+      .filter(size(filter(split(col("text"), " "), t => t =!= "")) >= 2).count()
+    assert(df.count() == expected)
+  }
+
   test("HLL sketch re-aggregation tracks exact distinct counts within 5%") {
     val est = q("agg_hll_reaggregate")
       .select("event_type", "est_users")
