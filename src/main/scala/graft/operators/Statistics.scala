@@ -357,7 +357,104 @@ object Statistics {
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
   }
 
+  /** TPC-H Q21-style "suppliers who kept orders waiting": the classic
+    * hardest decorrelation shape — a correlated EXISTS (some OTHER
+    * supplier shipped on the order) AND a correlated NOT EXISTS (no
+    * OTHER supplier shipped late), both with a non-equi correlation on
+    * the outer's supplier key. Catalyst plans them as one left-semi and
+    * one left-anti join on l_orderkey (no per-row re-execution). "Late"
+    * adapts the reference predicate to this schema: shipped > 90 days
+    * after the order date. Date comparisons are exact cross-engine. */
+  private def sqlQ21(spark: SparkSession, dir: String): DataFrame = {
+    supplier(spark, dir).createOrReplaceTempView("graft_sql_supplier")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_sql_supplier
+        | JOIN graft_sql_lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN graft_sql_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > date_add(o_orderdate, 90)
+        |  AND EXISTS (
+        |    SELECT 1 FROM graft_sql_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_sql_lineitem l3
+        |     JOIN graft_sql_orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > date_add(o3.o_orderdate, 90))
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q22-style "idle high-balance customers": anti-join against
+    * orders (here: customers who never placed a >300k order — the
+    * fixtures give every customer SOME order) plus an uncorrelated
+    * aggregate threshold in the predicate.
+    * The reference's `acctbal > avg(acctbal)` is a float-sum boundary
+    * trap (group sums differ in ulps across engines/partitionings), so
+    * the threshold is restated EXACTLY in integers: cents(acctbal) ×
+    * n_positive > total_positive_cents — same rows, bit-deterministic.
+    * Country code adapts phone-prefix grouping to this schema
+    * (nationkey mod 10). */
+  private def sqlQ22(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("graft_sql_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_sql_orders")
+    spark.sql(
+      """SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+        | count(*) AS numcust,
+        | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+        |FROM graft_sql_customer
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |    (SELECT count(*) FROM graft_sql_customer WHERE c_acctbal > 0.0)
+        |  > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |     FROM graft_sql_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_sql_orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_nationkey % 10
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_q21_waiting_suppliers", Some(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |     JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin), sqlQ21),
+
+    QueryDef("sql_q22_idle_customers", Some(
+      """SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+        | count(*) AS numcust,
+        | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+        |FROM customer
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |    (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |  > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |     FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_nationkey % 10
+        |ORDER BY cntrycode""".stripMargin), sqlQ22),
+
     QueryDef("agg_histogram", Some(
       """SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,
         | count(*) AS n,
