@@ -18,7 +18,8 @@ object Bench {
     "scan_partition_pruned", "scale_incremental_agg", "scale_cdc_apply",
     "join_range_binned", "events_attribution", "text_heavy_hitters",
     "text_decontaminate", "pipeline_curate_corpus", "scale_zorder",
-    "text_repetition")
+    "text_repetition", "agg_bitmap_distinct", "window_merge_intervals",
+    "sql_q21_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,6 +74,29 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT distinct counting via bitmap partials — the precise
+    * counterpart of agg_hll_reaggregate. Monthly (l_returnflag, month,
+    * bucket) partials store a ≤4 KB bitmap each (bit = one key in a
+    * 32768-wide bucket); re-aggregation ORs bitmaps per bucket, then
+    * sums per-bucket popcounts. Unlike count(DISTINCT) this
+    * pre-aggregates: the 100 TB nightly job persists the monthly
+    * bitmaps and any slice re-unions them without touching raw rows —
+    * and unlike HLL the answer is exact, so the oracle is a plain
+    * count(DISTINCT). Memory is bounded by key-space/8 bits per group,
+    * the right trade for dense surrogate-key domains. */
+  private def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("mon"),
+        bitmap_bucket_number(col("l_partkey")).as("bkt"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("l_partkey"))).as("bm"))
+    monthly
+      .groupBy(col("l_returnflag"), col("bkt"))
+      .agg(bitmap_or_agg(col("bm")).as("bm")) // re-aggregation: OR the stored partials
+      .groupBy(col("l_returnflag"))
+      .agg(sum(bitmap_count(col("bm"))).as("distinct_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Weighted aggregates: quantity-weighted mean price and weighted
     * discount per flag — the unit-economics shape (`sum(w·x)/sum(w)`)
     * that a plain avg() silently gets wrong. Single extra multiply in
@@ -167,6 +190,11 @@ object Aggregates {
 
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
     QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
+
+    QueryDef("agg_bitmap_distinct", Some(
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggBitmapDistinct),
 
     QueryDef("agg_weighted", Some(
       """SELECT l_returnflag,

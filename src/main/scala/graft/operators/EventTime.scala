@@ -224,7 +224,61 @@ object EventTime {
       .limit(10)
   }
 
+  /** Overlapping-interval coalescing (interval union): per supplier,
+    * merge [shipdate, shipdate + quantity days] ranges into maximal
+    * islands and report interval/island counts and total covered days —
+    * the utilization/availability shape sessionization doesn't cover
+    * (intervals OVERLAP rather than merely cluster in time). One
+    * cumulative-max window pass: an interval opens a new island iff its
+    * start exceeds the running max end of everything before it; island
+    * id = running count of such opens. One shuffle on the partition key,
+    * O(n log n) per supplier, no self-join. Explicit ROWS frames on both
+    * engines keep tie handling identical; all outputs are exact ints. */
+  private def mergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val byS = Window.partitionBy(col("l_suppkey")).orderBy(col("s"), col("e"))
+    val prevMaxEnd = max(col("e"))
+      .over(byS.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L)
+    lineitem(spark, dir)
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("e"))
+      .withColumn("pme", prevMaxEnd)
+      .withColumn("island",
+        sum(opens).over(byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"), count(lit(1)).as("n"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("n")).as("n_intervals"),
+        sum(datediff(col("me"), col("ms")).cast(LongType)).as("covered_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("window_merge_intervals", Some(
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |   CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+        |  FROM lineitem),
+        | w AS (
+        |  SELECT l_suppkey, s, e,
+        |   max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        | isl AS (
+        |  SELECT l_suppkey, s, e,
+        |   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w),
+        | m AS (
+        |  SELECT l_suppkey, island, min(s) AS ms, max(e) AS me, count(*) AS n
+        |  FROM isl GROUP BY l_suppkey, island)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(n) AS BIGINT) AS n_intervals,
+        | CAST(sum(me - ms) AS BIGINT) AS covered_days
+        |FROM m GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      mergeIntervals),
+
     QueryDef("events_anomaly", Some(
       """WITH s AS (
         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
