@@ -253,7 +253,51 @@ object EventTime {
       .orderBy(col("l_suppkey"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary): one hash-agg
+    * per user, a 1-row broadcast of the corpus max timestamp for
+    * recency, then three ntile(4) windows to quartile each axis — the
+    * standard customer-scoring shape. ntile is made deterministic by a
+    * total order (user_id tiebreak); the monetary axis orders by the
+    * ROUNDED sum (r2) so cross-engine ulp jitter in the float sum can't
+    * flip a quartile boundary. Scale: the per-user aggregate is the
+    * only corpus-sized shuffle; the ntile windows are global-order over
+    * one row per user (the already-reduced relation). */
+  private def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        Parity.r2(sum(col("value"))).as("monetary"))
+    val corpusMax = events(spark, dir).agg(max(to_date(col("ts"))).as("max_day"))
+    perUser.crossJoin(broadcast(corpusMax))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast(LongType).as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency_days"), col("user_id"))).cast(LongType))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("user_id"))).cast(LongType))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))).cast(LongType))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_rfm", Some(
+      """WITH pu AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |   count(*) AS frequency,
+        |   floor(sum(value) * 100 + 0.5) / 100 AS monetary
+        |  FROM events GROUP BY user_id),
+        | mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events)
+        |SELECT user_id,
+        | CAST(max_day - last_day AS BIGINT) AS recency_days,
+        | frequency, monetary,
+        | CAST(ntile(4) OVER (ORDER BY max_day - last_day, user_id) AS BIGINT) AS r_q,
+        | CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+        | CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q
+        |FROM pu CROSS JOIN mx ORDER BY user_id""".stripMargin), eventsRfm),
+
     QueryDef("window_merge_intervals", Some(
       """WITH iv AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,

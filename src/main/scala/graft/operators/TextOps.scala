@@ -139,6 +139,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * primitive. One (doc, term) hash-agg gives tf; df is a count over
+    * that same relation (never re-tokenizes); only the 1-row corpus
+    * size broadcasts — the tf⋈df join is vocabulary-sized and left to
+    * AQE. Top-3 per doc via a partitioned window. ln() is not
+    * IEEE-identical cross-engine, so the score is rounded (r6) BEFORE
+    * ranking and ties break on the term — rank order is deterministic
+    * on both engines. */
+  private def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.filter(size(toks) > 0).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", graft.Parity.r6(
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term")))
+        .cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** End-to-end curation decision: combine quality signals into a
     * keep/drop verdict with a reason — the shape of a real training-data
     * quality filter (thresholds are illustrative). Pure CASE logic over
@@ -445,6 +472,26 @@ object TextOps {
         |      WHEN stop_ratio > 0.5 THEN 'drop:boilerplate'
         |      ELSE 'keep' END AS verdict
         |FROM s ORDER BY doc_id""".stripMargin), textQualityFilter),
+
+    QueryDef("text_tfidf", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tk) GROUP BY doc_id, term),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM tk WHERE len(t) > 0),
+        | s AS (
+        |  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |   floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin), textTfidf),
 
     QueryDef("text_repetition", Some(
       """WITH tk AS (
