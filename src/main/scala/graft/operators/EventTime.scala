@@ -282,7 +282,40 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** DAU / rolling-7-day WAU — the engagement dashboard query. Exact
+    * window distinct WITHOUT a self-join: each distinct (user, day)
+    * explodes into the ≤7 window-end days it contributes to, then one
+    * distinct + hash-agg per window. Shuffle volume is 7× user-days
+    * (already deduplicated — NOT 7× raw events), the standard scale
+    * trade vs. an O(days²) range self-join; for longer windows the HLL
+    * path (agg_hll_reaggregate) is the sketch alternative. */
+  private def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("win_end"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("win_end")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("win_end"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_dau_wau", Some(
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        | expl AS (
+        |  SELECT DISTINCT day + CAST(i AS INT) AS win_end, user_id
+        |  FROM ud, generate_series(0, 6) AS g(i)),
+        | wau AS (SELECT win_end, count(*) AS wau FROM expl GROUP BY win_end)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau
+        |FROM dau JOIN wau ON day = win_end ORDER BY day""".stripMargin),
+      eventsDauWau),
+
     QueryDef("events_rfm", Some(
       """WITH pu AS (
         |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,

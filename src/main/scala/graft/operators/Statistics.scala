@@ -126,6 +126,22 @@ object Statistics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group least-squares regression (regr_slope / regr_intercept /
+    * regr_r2): one pass, partial-merge-able moment aggregates — the
+    * trend-line primitive at any scale. Same (y, x) argument order on
+    * both engines; outputs rounded per the agg_stats argument (stable
+    * merge formulas differ in ulps across engines, never in rounded
+    * digits at these magnitudes). */
+  private def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Parity.r6(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        Parity.r2(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
+        Parity.r6(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot: per-priority order value by status — column-per-status. The
     * oracle mirrors with conditional aggregation (the pivot rewrite). */
   private def aggPivot(spark: SparkSession, dir: String): DataFrame =
@@ -454,6 +470,15 @@ object Statistics {
         |    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY c_nationkey % 10
         |ORDER BY cntrycode""".stripMargin), sqlQ22),
+
+    QueryDef("agg_regression", Some(
+      """SELECT l_returnflag,
+        | floor(regr_slope(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000 AS slope,
+        | floor(regr_intercept(l_extendedprice, l_quantity) * 100 + 0.5) / 100 AS intercept,
+        | floor(regr_r2(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000 AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggRegression),
 
     QueryDef("agg_histogram", Some(
       """SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,
