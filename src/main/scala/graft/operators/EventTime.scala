@@ -260,8 +260,11 @@ object EventTime {
     * total order (user_id tiebreak); the monetary axis orders by the
     * ROUNDED sum (r2) so cross-engine ulp jitter in the float sum can't
     * flip a quartile boundary. Scale: the per-user aggregate is the
-    * only corpus-sized shuffle; the ntile windows are global-order over
-    * one row per user (the already-reduced relation). */
+    * only corpus-sized shuffle; the ntile windows then single-partition
+    * the REDUCED relation (one narrow row per user) — fine into the
+    * hundreds of millions, but at billion-user scale swap the quartile
+    * assignment for a boundary join against the exact
+    * histogram-percentile recipe (agg_percentile) to stay distributed. */
   private def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
     val perUser = events(spark, dir)
       .groupBy(col("user_id"))
