@@ -19,7 +19,7 @@ object Bench {
     "join_range_binned", "events_attribution", "text_heavy_hitters",
     "text_decontaminate", "pipeline_curate_corpus", "scale_zorder",
     "text_repetition", "agg_bitmap_distinct", "window_merge_intervals",
-    "sql_q21_waiting_suppliers")
+    "sql_q21_waiting_suppliers", "text_tfidf", "events_dau_wau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

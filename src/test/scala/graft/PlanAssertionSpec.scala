@@ -88,4 +88,43 @@ class PlanAssertionSpec extends AnyFunSuite {
     val p = plan("text_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("window_merge_intervals: one shuffle end-to-end (on l_suppkey)") {
+    val p = plan("window_merge_intervals")
+    // both window passes and both group-by levels reuse the suppkey
+    // partitioning: a second hashpartitioning exchange means a regression
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("sql_q21: EXISTS/NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("sql_q21_waiting_suppliers")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_q22: anti-join form, scalar subqueries as single aggregates") {
+    val p = plan("sql_q22_idle_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThan(c_acctbal,0.0)")) // pushed to scan
+  }
+
+  test("scale_zorder: morton code folds into the grouping, scan pruned to 2 cols") {
+    val p = plan("scale_zorder")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"))
+    assert(p.contains("partial_count")) // map-side combine over 16 buckets
+  }
+
+  test("text_tfidf: no cartesian beyond the 1-row corpus-size broadcast") {
+    val p = plan("text_tfidf")
+    // the tf⋈df join must be a keyed join; only n_docs may nested-loop in
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("events_dau_wau: distinct user-days aggregate before the window explode") {
+    val p = plan("events_dau_wau")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
 }
