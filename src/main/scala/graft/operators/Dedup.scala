@@ -404,7 +404,51 @@ object Dedup {
       .orderBy(col("keep_doc"))
   }
 
+  /** Blocked fuzzy matching (entity resolution): candidate pairs come
+    * from a BLOCKING equi-join — same trailing token ("noun") and same
+    * length — then an edit-distance confirm, the record-linkage shape
+    * that never materializes n² pairs (work is Σ block², like the
+    * n-gram inverted index). Both engines compute the same classic
+    * Levenshtein (unit costs), so the per-block match stats are
+    * oracle-exact. At corpus scale: add more blocking passes (first
+    * char, phonetic key) rather than loosening one block. */
+  private def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select(
+      col("p_partkey"), col("p_name"),
+      element_at(split(col("p_name"), " "), -1).as("noun"),
+      length(col("p_name")).as("len"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("noun"), col("len"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("noun"), col("len"))
+    a.join(b, Seq("noun", "len"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .groupBy(col("noun"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_matches"),
+        min(col("dist")).cast(LongType).as("min_dist"),
+        max(col("dist")).cast(LongType).as("max_dist"))
+      .orderBy(col("noun"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_fuzzy_names", Some(
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |   list_extract(string_split(p_name, ' '), -1) AS noun,
+        |   length(p_name) AS len
+        |  FROM part),
+        | pairs AS (
+        |  SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b
+        |    ON a.noun = b.noun AND a.len = b.len AND a.p_partkey < b.p_partkey)
+        |SELECT noun, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        | CAST(min(dist) AS BIGINT) AS min_dist,
+        | CAST(max(dist) AS BIGINT) AS max_dist
+        |FROM pairs GROUP BY noun ORDER BY noun""".stripMargin), dedupFuzzyNames),
+
     QueryDef("dedup_exact_docs", Some(
       """WITH f AS (SELECT doc_id,
         |  md5(array_to_string(list_sort(list_filter(string_split(lower(text), ' '),
