@@ -97,6 +97,29 @@ object Multimodal {
         graft.Parity.r6(sqrt(expr("dot_product(e, e)"))).as("l2_norm"))
   }
 
+  /** Inference batch scheduling: assign payloads to byte-capped batches
+    * per modality stream (lang stands in for the modality key) — the
+    * GPU-feeding shape: each batch holds consecutive items whose
+    * cumulative size stays near the 64 KiB cap (greedy offset / cap
+    * assignment, the streaming analogue of bin packing). One window
+    * pass per modality partition; batch ids derive from exact integer
+    * byte offsets ⇒ oracle-checked. At scale the partition key is the
+    * real modality column and the cap is the accelerator's batch
+    * memory. */
+  private def mmBatchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 65536L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"))
+      .withColumn("off", sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .groupBy(col("lang"), floor(col("off") / cap).cast(LongType).as("batch_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("batch_bytes"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_text_embed_join", Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -110,6 +133,20 @@ object Multimodal {
         | octet_length(encode(text)) AS n_bytes,
         | lower(substr(hex(encode(text)), 1, 16)) AS prefix_hex
         |FROM documents ORDER BY doc_id""".stripMargin), mmBinaryMeta),
+
+    QueryDef("mm_batch_schedule", Some(
+      """WITH b AS (
+        |  SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        | o AS (
+        |  SELECT lang, n_bytes,
+        |   sum(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS off
+        |  FROM b)
+        |SELECT lang, CAST(floor(off / 65536) AS BIGINT) AS batch_id,
+        | count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS batch_bytes
+        |FROM o GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin),
+      mmBatchSchedule),
 
     QueryDef("mm_decode_stub", None, mmDecodeStub),
     QueryDef("mm_frame_sample", None, mmFrameSample)
