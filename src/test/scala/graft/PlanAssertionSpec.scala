@@ -127,4 +127,25 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
+
+  test("events_rfm: per-user relation never crosses a single-partition window") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("events_rfm")(spark, TestSpark.sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("ntile"), "quartiles must come from boundary joins, not ntile")
+    // Global (unpartitioned) windows are allowed ONLY above the bounded
+    // per-axis histogram — i.e. an aggregation must sit below each one,
+    // proving the window's input is histogram-sized, not user-sized.
+    val globalWindows = qe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty, "boundary recipe should use histogram windows")
+    globalWindows.foreach { w =>
+      assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"global window over an un-reduced relation:\n$w")
+    }
+    // quartile assignment reaches users via broadcast of the 1-row bounds
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
 }
