@@ -314,18 +314,35 @@ object Dedup {
       .limit(100)
   }
 
+  /** Hard ceiling on the brute-force pair enumeration: 32k vectors →
+    * ≤ 5.4e8 pairs, a bounded distributed job. Anything larger must
+    * route through [[dedupEmbeddingLsh]]; the guard FAILS LOUDLY
+    * rather than letting an unbounded cartesian reach a cluster. */
+  private[graft] val BruteForceCap = 32768L
+
   /** Embedding-cosine near-dup, brute-force: top-20 most-similar
     * vector pairs via all-pairs enumeration. O(n²) BY CONSTRUCTION —
-    * this is the bounded CORRECTNESS BASELINE for small/reranked
-    * inputs; the corpus-scale path is [[dedupEmbeddingLsh]] below
-    * (bucket-local join, same output schema). Dot products are
-    * sequential double sums — mirrored exactly by DuckDB
-    * list_inner_product. */
-  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    * this is the bounded RERANK-STAGE BASELINE: the corpus-scale entry
+    * point is [[dedupEmbeddingLsh]] below (bucket-local join, same
+    * output schema), and this exact form is what runs WITHIN a bucket
+    * or over a candidate set it hands down. The cartesian is therefore
+    * CONDITIONED: a driver-side cardinality guard (one count of the
+    * input — metadata, not data) rejects inputs past [[BruteForceCap]]
+    * instead of submitting an n² job. Dot products are sequential
+    * double sums — mirrored exactly by DuckDB list_inner_product. */
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingCapped(spark, dir, BruteForceCap)
+
+  private[graft] def dedupEmbeddingCapped(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val v = fanout(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
       .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+    val n = v.count()
+    require(n <= cap,
+      s"dedup_embedding is the bounded rerank baseline (n=$n > cap=$cap); " +
+        "route corpus-scale input through dedup_embedding_lsh")
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (expr("dot_product(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))).as("cs"))

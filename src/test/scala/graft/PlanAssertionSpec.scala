@@ -148,4 +148,14 @@ class PlanAssertionSpec extends AnyFunSuite {
     // quartile assignment reaches users via broadcast of the 1-row bounds
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dedup_embedding: the cartesian is conditioned on a hard input cap") {
+    // oversized inputs are rejected BEFORE any n² job is submitted
+    val e = intercept[IllegalArgumentException] {
+      operators.Dedup.dedupEmbeddingCapped(spark, TestSpark.sf, 5L)
+    }
+    assert(e.getMessage.contains("dedup_embedding_lsh"))
+    // and the corpus-scale twin plans bucket-local, never cartesian
+    assert(!plan("dedup_embedding_lsh").contains("CartesianProduct"))
+  }
 }
