@@ -66,7 +66,7 @@ object Relational {
     * an explicit schema (no runtime inference — the reference declares
     * schemas statically, `/root/reference/src/extract/fs.rs:6-13`). */
   private def scanJson(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/region_json_${math.abs(dir.hashCode)}"
+    val tmp = graft.Caches.dir("region_json", dir, Seq("region"))
     region(spark, dir).coalesce(1).write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
@@ -76,7 +76,7 @@ object Relational {
   }
 
   private def scanCsv(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/nation_csv_${math.abs(dir.hashCode)}"
+    val tmp = graft.Caches.dir("nation_csv", dir, Seq("nation"))
     nation(spark, dir).coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -93,7 +93,7 @@ object Relational {
     * the oracle recomputes from the parquet original — equality proves
     * the format round-trip is lossless. */
   private def scanOrc(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scan/customer_orc_${math.abs(dir.hashCode)}"
+    val tmp = graft.Caches.dir("customer_orc", dir, Seq("customer"))
     if (!new java.io.File(tmp, "_SUCCESS").exists())
       customer(spark, dir).write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp)

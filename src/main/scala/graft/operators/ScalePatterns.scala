@@ -43,9 +43,10 @@ object ScalePatterns {
     * every subsequent join (the standard layout for a 100 TB fact
     * store). The test suite asserts the exchange-free plan. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${math.abs(dir.hashCode)}"
-    val li = "graft_li_bucketed"
-    val od = "graft_od_bucketed"
+    val key = graft.Caches.tableSuffix("bucketed", dir, Seq("lineitem", "orders"))
+    val wh = graft.Caches.dir("bucketed", dir, Seq("lineitem", "orders"))
+    val li = s"graft_li_bucketed_$key"
+    val od = s"graft_od_bucketed_$key"
     if (!spark.catalog.tableExists(li)) {
       lineitem(spark, dir).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/$li").mode("overwrite").saveAsTable(li)
@@ -67,7 +68,7 @@ object ScalePatterns {
     * _SUCCESS marker gates against a half-written layout. The test
     * suite asserts PartitionFilters in the plan. */
   def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partyear_${math.abs(dir.hashCode)}"
+    val base = graft.Caches.dir("partyear", dir, Seq("orders"))
     if (!new java.io.File(base, "_SUCCESS").exists()) {
       orders(spark, dir)
         .withColumn("o_year", year(col("o_orderdate")))
@@ -90,7 +91,7 @@ object ScalePatterns {
     * bit-for-bit. */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = "1997-01-01"
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_incragg_${math.abs(dir.hashCode)}"
+    val base = graft.Caches.dir("incragg", dir, Seq("lineitem"))
     if (!new java.io.File(base, "_SUCCESS").exists()) {
       lineitem(spark, dir)
         .filter(col("l_shipdate") < lit(cutoff))

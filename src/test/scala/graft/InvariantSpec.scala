@@ -164,6 +164,16 @@ class InvariantSpec extends AnyFunSuite {
     assert(ivf.forall { case (q0, c) => q0 != c })
   }
 
+  test("IVF centroids train once: a second invocation reuses the stored layout") {
+    q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
+    val f = new java.io.File(
+      Caches.dir("ivfcent", sf, Seq("embeddings")), "centroids_k10_i2.csv")
+    assert(f.exists(), "first invocation must publish the centroid store")
+    val published = f.lastModified()
+    q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
+    assert(f.lastModified() == published, "second invocation must not retrain")
+  }
+
   test("GK-sketch percentiles bracket the exact interpolated values") {
     val approx = q("agg_approx_percentile")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
