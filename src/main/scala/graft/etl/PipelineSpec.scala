@@ -175,6 +175,44 @@ object PipelineSpec {
         case (None, cols) if cols.nonEmpty => df.repartition(cols.map(col): _*)
         case _ => fail("repartition needs 'n' and/or 'columns'", v)
       }
+    case "join" =>
+      // first-class multi-source composition (the reference macro
+      // design's implied join, skopje-macros/src/lib.rs:12-75): the
+      // right side is itself a nested {source, transforms} spec, so a
+      // config document expresses a full star join with per-dimension
+      // pushdown. Equi-keys ("on") keep Catalyst free to pick
+      // broadcast/shuffle strategy; "broadcast": true hints a bounded
+      // dimension explicitly; "condition" admits theta joins.
+      val right = v \ "right"
+      if (right == JNothing) fail("join needs a 'right' {source, transforms} spec", v)
+      val rightSrc = source(right \ "source")
+      val rightTs = transforms(right \ "transforms")
+      val on = strSeq(v, "on")
+      val condOpt = strOpt(v, "condition")
+      val how = strOpt(v, "how").getOrElse("inner")
+      val bcast = boolOpt(v, "broadcast").getOrElse(false)
+      df => {
+        val built = rightTs.foldLeft(rightSrc.read(df.sparkSession))((d, f) => f(d))
+        val r = if (bcast) org.apache.spark.sql.functions.broadcast(built) else built
+        (on, condOpt) match {
+          case (keys, None) if keys.nonEmpty => df.join(r, keys, how)
+          case (Seq(), Some(c)) => df.join(r, expr(c), how)
+          case _ => fail("join needs exactly one of 'on' or 'condition'", v)
+        }
+      }
+    case "aggregate" =>
+      // declarative groupBy: "aggs" are SQL aggregate expressions with
+      // aliases ("sum(x) AS total"); empty "groupBy" = global aggregate.
+      // Still one Catalyst plan — partial aggregation happens map-side
+      // exactly as in code-built queries.
+      val gs = strSeq(v, "groupBy")
+      val aggs = strSeq(v, "aggs")
+      if (aggs.isEmpty) fail("aggregate needs a nonempty 'aggs' array", v)
+      df => {
+        val aggCols = aggs.map(expr)
+        if (gs.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(gs.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
     case "sql" =>
       // whole-query escape hatch: the running frame is exposed to the
       // query as the view `graft_spec_input`. Each invocation registers

@@ -24,11 +24,42 @@ object SpecQueries {
          |   {"op": "sort", "columns": ["l_orderkey", "l_linenumber"]}
          | ]}""".stripMargin)
 
+  /** A config-declared STAR JOIN + aggregation — no `sql` escape hatch:
+    * three sources, two equi-joins (each right side a nested spec with
+    * its own projection, so per-dimension column pruning is declared,
+    * not inferred), one grouped aggregate. Completes the reference
+    * macro design's implied declarative composition. */
+  private def pipelineSpecJoin(spark: SparkSession, dir: String): DataFrame =
+    PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$dir/lineitem.parquet"},
+         | "transforms": [
+         |   {"op": "filter", "expr": "l_returnflag = 'R'"},
+         |   {"op": "join", "how": "inner", "condition": "l_orderkey = o_orderkey",
+         |    "right": {"source": {"format": "parquet", "path": "$dir/orders.parquet"},
+         |              "transforms": [{"op": "select", "columns": ["o_orderkey", "o_custkey"]}]}},
+         |   {"op": "join", "how": "inner", "condition": "o_custkey = c_custkey",
+         |    "right": {"source": {"format": "parquet", "path": "$dir/customer.parquet"},
+         |              "transforms": [{"op": "select", "columns": ["c_custkey", "c_mktsegment"]}]}},
+         |   {"op": "aggregate", "groupBy": ["c_mktsegment"],
+         |    "aggs": ["count(*) AS n",
+         |             "floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue"]},
+         |   {"op": "sort", "columns": ["c_mktsegment"]}
+         | ]}""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_spec", Some(
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1 - l_discount) AS rev
         |FROM lineitem WHERE l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin), pipelineSpec)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin), pipelineSpec),
+
+    QueryDef("pipeline_spec_join", Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), pipelineSpecJoin)
   )
 }

@@ -57,6 +57,43 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(df.collect()(0).getLong(0) == 5L)
   }
 
+  test("pipeline spec: first-class join + aggregate match the code-built plan") {
+    val df = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/nation.parquet"},
+         | "transforms": [
+         |   {"op": "withColumn", "name": "r_regionkey", "expr": "n_regionkey"},
+         |   {"op": "join", "on": ["r_regionkey"], "how": "inner", "broadcast": true,
+         |    "right": {"source": {"format": "parquet", "path": "${TestSpark.sf}/region.parquet"}}},
+         |   {"op": "aggregate", "groupBy": ["r_name"],
+         |    "aggs": ["count(*) AS n_nations"]},
+         |   {"op": "sort", "columns": ["r_name"]}]}""".stripMargin)
+    val expected = Tables.nation(spark, TestSpark.sf)
+      .join(Tables.region(spark, TestSpark.sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).count()
+    assert(df.count() == expected.count())
+  }
+
+  test("pipeline spec: join broadcast hint reaches the physical plan") {
+    val df = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/customer.parquet"},
+         | "transforms": [
+         |   {"op": "join", "condition": "c_nationkey = n_nationkey", "broadcast": true,
+         |    "right": {"source": {"format": "parquet", "path": "${TestSpark.sf}/nation.parquet"},
+         |              "transforms": [{"op": "select", "columns": ["n_nationkey", "n_name"]}]}},
+         |   {"op": "aggregate", "groupBy": ["n_name"], "aggs": ["count(*) AS n"]}]}""".stripMargin)
+    assert(df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    assert(df.count() == 25)
+  }
+
+  test("pipeline spec: aggregate with empty groupBy is a global aggregate") {
+    val df = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/region.parquet"},
+         | "transforms": [
+         |   {"op": "aggregate", "groupBy": [], "aggs": ["count(*) AS n"]}]}""".stripMargin)
+    assert(df.collect()(0).getLong(0) == 5L)
+  }
+
   test("pipeline spec: the same spec grammar runs as a stream (batch/stream parity)") {
     // stage a bounded file; stream it through the spec'd transforms
     val src = tmp("spec_stream_src")
