@@ -220,6 +220,9 @@ object PipelineSpec {
       // query resolves, so concurrent pipelines / nested frame() calls
       // in one session can't clobber each other and nothing leaks; the
       // spec text itself keeps using the stable logical name.
+      // DOCUMENTED LIMIT: the rewrite is textual (word-boundary regex),
+      // so the token `graft_spec_input` is also replaced inside string
+      // literals/comments in the query — treat the name as reserved.
       val q = str(v, "query")
       df => {
         val view = s"graft_spec_input_${viewCounter.incrementAndGet()}"

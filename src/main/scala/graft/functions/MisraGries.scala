@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -39,9 +39,21 @@ case class MisraGriesAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v, IntegerType) => v.asInstanceOf[Int]
-    case e => e.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+
+  // Analysis-time validation (mirrors built-ins like approx_percentile):
+  // k must be a compile-time-constant positive int, or the failure is an
+  // obscure executor error / silently wrong summary size.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string item column")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k to be an integer literal")
+    else if (kExpr.eval(InternalRow.empty) == null ||
+        kExpr.eval(InternalRow.empty).asInstanceOf[Int] <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0")
+    else TypeCheckResult.TypeCheckSuccess
   }
 
   override def children: Seq[Expression] = Seq(child, kExpr)
@@ -62,8 +74,12 @@ case class MisraGriesAgg(
         case Some(c) => buf.update(item, c + 1)
         case None if buf.size < k => buf.update(item, 1L)
         case None => // decrement-all; drop exhausted counters
+          // iterate a key SNAPSHOT: value updates during keysIterator
+          // happen to be non-structural today, but mutation mid-iteration
+          // is outside the collections contract
+          val keys = buf.keys.toArray
           val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { key =>
+          keys.foreach { key =>
             val c = buf(key) - 1
             if (c == 0) dead += key else buf.update(key, c)
           }
@@ -79,8 +95,9 @@ case class MisraGriesAgg(
     if (a.size > k) {
       // subtract the (k+1)-th largest count from everyone; ≤ k survive
       val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val keys = a.keys.toArray // snapshot, as in update()
       val dead = mutable.ArrayBuffer.empty[String]
-      a.keysIterator.foreach { key =>
+      keys.foreach { key =>
         val c = a(key) - cut
         if (c <= 0) dead += key else a.update(key, c)
       }

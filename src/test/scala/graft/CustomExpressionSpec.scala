@@ -106,6 +106,16 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(hot.get.getLong(1) >= 1000 - 3000 / 6 && hot.get.getLong(1) <= 1000)
   }
 
+  test("mg_topk rejects non-literal and non-positive k at analysis time") {
+    import spark.implicits._
+    graft.functions.MisraGriesAgg.register(spark)
+    val df = Seq(("a", 3)).toDF("w", "n")
+    for (bad <- Seq("mg_topk(w, n)", "mg_topk(w, 0)", "mg_topk(n, 5)")) {
+      val e = intercept[Exception] { df.agg(expr(bad)).collect() }
+      assert(e.getMessage.toLowerCase.contains("mg_topk"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("mg_topk with k >= cardinality is exact regardless of partitioning") {
     import spark.implicits._
     graft.functions.MisraGriesAgg.register(spark)
