@@ -1,17 +1,28 @@
 package graft
 
 /** Plan audit aid: prints the physical plan of each named query
-  * (args: sfDir query...). Source for PLANS.md excerpts. */
+  * (args: sfDir query...). Source for PLANS.md excerpts.
+  *
+  * With `-final`, each query is EXECUTED (noop sink) first and the
+  * post-execution adaptive plan is printed (`isFinalPlan=true`) — the
+  * plan AQE actually ran, with runtime join strategy revisions and
+  * coalesced shuffle reads, which the static explain can't show. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    val finalMode = args.contains("-final")
+    val rest = args.filterNot(_ == "-final")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args.tail) {
+    for (q <- rest.tail) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, args(0))
-        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      val df = SparkEntry.queries(q)(spark, rest(0))
+      // execute THIS QueryExecution's cached adaptive plan (a .write or
+      // .foreach wraps a fresh QueryExecution, and the clone — not df —
+      // would carry the finalized plan)
+      if (finalMode) df.queryExecution.executedPlan.execute().foreach(_ => ())
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
     }
     spark.stop()
   }
