@@ -424,26 +424,42 @@ object Dedup {
   /** Blocked fuzzy matching (entity resolution): candidate pairs come
     * from a BLOCKING equi-join — same trailing token ("noun") and same
     * length — then an edit-distance confirm, the record-linkage shape
-    * that never materializes n² pairs (work is Σ block², like the
-    * n-gram inverted index). Both engines compute the same classic
-    * Levenshtein (unit costs), so the per-block match stats are
-    * oracle-exact. At corpus scale: add more blocking passes (first
-    * char, phonetic key) rather than loosening one block. */
+    * that never materializes n² pairs. Work is Σ block² over DISTINCT
+    * names (see the in-function note), not rows. Both engines compute
+    * the same classic Levenshtein (unit costs), so the per-block match
+    * stats are oracle-exact. At corpus scale: add more blocking passes
+    * (first char, phonetic key) rather than loosening one block. */
   private def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
-    val p = part(spark, dir).select(
-      col("p_partkey"), col("p_name"),
-      element_at(split(col("p_name"), " "), -1).as("noun"),
-      length(col("p_name")).as("len"))
-    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("noun"), col("len"))
-    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("noun"), col("len"))
-    a.join(b, Seq("noun", "len"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+    // Aggregate-on-distinct + multiplicity expansion: the edit-distance
+    // work follows DISTINCT names per block, not rows — on a corpus
+    // where names repeat (here: 64 distinct among 20k at sf0.1; real
+    // entity data is the same shape) this cuts the levenshtein count
+    // from Σ block_rows² (18.8M) to Σ block_names² (192). The id-pair
+    // statistics are recovered EXACTLY by weighting each distinct name
+    // pair: ca·cb pairs across two names, c·(c−1)/2 within one (dist
+    // 0). The oracle deliberately KEEPS the brute-force id-pair
+    // enumeration — an independent formulation hash-matching this one
+    // is the strongest equivalence check available.
+    val names = part(spark, dir)
+      .groupBy(col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("noun"),
+        length(col("p_name")).as("len"))
+      .agg(count(lit(1)).as("c"))
+    val a = names.select(col("p_name").as("name_a"), col("noun"), col("len"),
+      col("c").as("ca"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"), col("len"),
+      col("c").as("cb"))
+    val cross = a.join(b, Seq("noun", "len"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("noun"), levenshtein(col("name_a"), col("name_b")).as("dist"),
+        (col("ca") * col("cb")).as("w"))
+    val same = names.select(col("noun"), lit(0).as("dist"),
+      expr("(c * (c - 1)) div 2").as("w"))
+    cross.unionByName(same)
+      .filter(col("w") > 0)
       .groupBy(col("noun"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_matches"),
+      .agg(sum(col("w")).as("n_pairs"),
+        sum(when(col("dist") <= 3, col("w")).otherwise(0L)).as("n_matches"),
         min(col("dist")).cast(LongType).as("min_dist"),
         max(col("dist")).cast(LongType).as("max_dist"))
       .orderBy(col("noun"))
