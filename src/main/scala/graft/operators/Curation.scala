@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-corpus assembly operators — the steps between a curated
+  * document set and tensors: sequence packing, context-window chunking,
+  * reproducible per-group sampling, and the two profiling queries a
+  * pipeline runs before committing a 100 TB read.
+  *
+  * Everything is deterministic (md5-keyed ordering/sharding, integer
+  * arithmetic) so each query carries an exact DuckDB oracle.
+  */
+object Curation {
+  import Tables._
+
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+
+  /** Fixed-budget sequence packing (contiguous fill): documents are
+    * hash-sharded, ordered deterministically within their shard, and a
+    * running token total assigns each doc to training sequence
+    * ceil(cum/B) — docs stay whole, a sequence closes when the budget
+    * is crossed. Output is per-sequence stats (the pack manifest).
+    *
+    * Scale: the only corpus-sized movement is ONE shuffle on shard_id;
+    * the running sum is a per-shard window (shards are the parallelism
+    * unit — 64 here, thousands at scale), then a (shard, seq) hash-agg
+    * with map-side combine. No global ordering anywhere. */
+  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val nShards = 64
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+        // first 8 md5 hex digits → int: cross-engine-stable shard id
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % nShards).as("shard_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", ceil(col("cum").cast("double") / budget).cast(LongType))
+      .groupBy(col("shard_id"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard_id"), col("seq_id"))
+  }
+
+  /** Context-window chunking with overlap: each document's token array
+    * is cut into windows of 64 tokens at stride 48 (16-token overlap) —
+    * the long-document → training-example explosion. Work is linear in
+    * corpus tokens; the explode happens after a fan-out repartition so
+    * per-row CPU spreads across the cluster. Chunks are identified by
+    * md5 of their joined text (compact, cross-engine identical). */
+  private def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        posexplode(transform(
+          sequence(lit(1), greatest(lit(1), ceil((size(col("tk")) - win)
+            .cast("double") / stride).cast("int") + 1)),
+          i => slice(col("tk"), lit(1) + (i - 1) * stride, lit(win))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), (col("chunk_idx") + 1).cast(LongType).as("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Reproducible k-per-group sampling, two-phase: stage 1 keeps each
+    * PARTITION's k smallest md5 ranks per group (a superset of the
+    * global answer, pruned with parallelism = partitions × groups, no
+    * skew from group count); stage 2 ranks the ≤ k·P survivors per
+    * group. The partition-local pruning is semantically transparent —
+    * the k globally-smallest hashes per group survive any partitioning
+    * — so the result is partitioning-independent and oracle-exact. */
+  private def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val h = md5(concat(lit("g42:"), col("event_id").cast("string")))
+    val local = Window.partitionBy(col("pid"), col("event_type")).orderBy(col("h"))
+    val global = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), h.as("h"),
+        spark_partition_id().as("pid"))
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(global).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("rn"), col("event_id"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** Key-skew profile — the pre-flight check before keying a 100 TB
+    * shuffle: per-key histogram (map-side combined), then one tiny
+    * aggregate of its shape: row/key counts, the heaviest key, and the
+    * share the top 10 keys hold. A high top-share says "salt this key"
+    * before the job, not after it straggles. */
+  private def profileKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val byCnt = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byCnt))
+    hist.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_key_rows"),
+      Parity.r6(sum(when(col("rk") <= 10, col("cnt")).otherwise(0L))
+        / sum(col("cnt"))).as("top10_share"))
+  }
+
+  /** Column-quality profile: null and distinct counts for every audited
+    * column in ONE pass over the table (a single aggregate row,
+    * unpivoted to long form) — the schema-drift tripwire that runs
+    * before a training read trusts 100 TB of upstream output. */
+  private def profileNulls(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"))
+    }
+    val one = orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"))
+    }
+    one.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column_name"), col("s.n_nulls"), col("s.n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_pack_sequences", Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard_id
+        |  FROM documents),
+        | c AS (
+        |  SELECT shard_id, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard_id, CAST(ceil(cum / 256.0) AS BIGINT) AS seq_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        | min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard_id, seq_id""".stripMargin),
+      packSequences),
+
+    QueryDef("text_chunk_overlap", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id,
+        |   unnest(generate_series(1,
+        |     greatest(1, CAST(ceil((len(tk) - 64) / 48.0) AS INT) + 1))) AS chunk_idx,
+        |   tk
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(len(tk[1 + (chunk_idx-1)*48 : (chunk_idx-1)*48 + 64]) AS BIGINT) AS chunk_len,
+        | md5(array_to_string(tk[1 + (chunk_idx-1)*48 : (chunk_idx-1)*48 + 64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      chunkOverlap),
+
+    QueryDef("sample_per_group", Some(
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |   md5('g42:' || CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        | r AS (
+        |  SELECT event_type, event_id,
+        |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT event_type, rn, event_id FROM r WHERE rn <= 5
+        |ORDER BY event_type, rn""".stripMargin),
+      samplePerGroup),
+
+    QueryDef("profile_key_skew", Some(
+      """WITH hist AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        | rk AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+        |  FROM hist)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        | max(cnt) AS max_key_rows,
+        | floor(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1.0 / sum(cnt)
+        |   * 1000000 + 0.5) / 1000000 AS top10_share
+        |FROM rk""".stripMargin),
+      profileKeySkew),
+
+    QueryDef("profile_nulls", Some(
+      """WITH a AS (
+        |  SELECT
+        |   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_n,
+        |   count(DISTINCT o_custkey) AS ck_d,
+        |   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS os_n,
+        |   count(DISTINCT o_orderstatus) AS os_d,
+        |   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_n,
+        |   count(DISTINCT o_totalprice) AS tp_d,
+        |   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS op_n,
+        |   count(DISTINCT o_orderpriority) AS op_d
+        |  FROM orders)
+        |SELECT 'o_custkey' AS column_name, CAST(ck_n AS BIGINT) AS n_nulls,
+        |  CAST(ck_d AS BIGINT) AS n_distinct FROM a
+        |UNION ALL SELECT 'o_orderstatus', CAST(os_n AS BIGINT),
+        |  CAST(os_d AS BIGINT) FROM a
+        |UNION ALL SELECT 'o_totalprice', CAST(tp_n AS BIGINT),
+        |  CAST(tp_d AS BIGINT) FROM a
+        |UNION ALL SELECT 'o_orderpriority', CAST(op_n AS BIGINT),
+        |  CAST(op_d AS BIGINT) FROM a
+        |ORDER BY column_name""".stripMargin),
+      profileNulls)
+  )
+}

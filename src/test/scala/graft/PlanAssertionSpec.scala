@@ -149,6 +149,24 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pipeline_pack_sequences: the running sum is per-shard, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("pipeline_pack_sequences")(spark, TestSpark.sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "packing must window by shard_id — a global cumsum is a 100 TB straggler")
+  }
+
+  test("sample_per_group: partition-local pruning runs before the global rank") {
+    val p = plan("sample_per_group")
+    // stage 1: window keyed by (pid, event_type); stage 2: event_type only.
+    assert(p.contains("pid"), "local pruning window missing — group-count skew returns")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("sample_per_group")(spark, TestSpark.sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected local+global windows, got ${windows.size}")
+  }
+
   test("dedup_embedding: the cartesian is conditioned on a hard input cap") {
     // oversized inputs are rejected BEFORE any n² job is submitted
     val e = intercept[IllegalArgumentException] {
