@@ -19,7 +19,7 @@ object Bench {
     "join_range_binned", "events_attribution", "text_heavy_hitters",
     "text_decontaminate", "pipeline_curate_corpus", "scale_zorder",
     "text_repetition", "agg_bitmap_distinct", "window_merge_intervals",
-    "sql_q21_waiting_suppliers", "text_tfidf", "events_dau_wau",
+    "sql_q21_waiting_suppliers", "text_tfidf", "events_dau_wau", "scale_runtime_filter",
     "pipeline_pack_sequences", "sample_per_group", "profile_key_skew",
     "dedup_fuzzy_names", "events_rfm", "pipeline_spec_join")
 

@@ -182,7 +182,41 @@ object ScalePatterns {
       s"((((l_suppkey & 255) >> $i) & 1) << ${2 * i + 1})"
   }.mkString(" | ")
 
+  /** Runtime bloom-filter join pruning (Spark's runtime row-level
+    * filtering, SPARK-32268): when a selective dimension filter feeds a
+    * SHUFFLE join, the optimizer builds a bloom filter over the
+    * creation side's join keys at runtime and injects
+    * `might_contain(...)` into the fact scan — rows that can't join are
+    * dropped BEFORE the shuffle, the 100 TB analogue of partition
+    * pruning for non-partition keys. Local-mode demo knobs, isolated in
+    * a child session so nothing leaks to other queries: the
+    * application-side scan threshold drops to 0 (the fixture files are
+    * KBs; a real fact table passes the 10 GB default on its own) and
+    * broadcast is disabled (a broadcast join already prunes at the hash
+    * table — the runtime filter is the SHUFFLE-join lever). The plan
+    * suite asserts `might_contain` reaches the lineitem scan. */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val od = orders(s, dir).filter(col("o_totalprice") > 400000)
+    lineitem(s, dir)
+      .join(od.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_runtime_filter", Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      runtimeFilterJoin),
+
     QueryDef("scale_zorder", Some(
       s"""WITH z AS (
          |  SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y,

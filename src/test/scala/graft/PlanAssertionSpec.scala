@@ -149,6 +149,14 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("scale_runtime_filter: bloom might_contain reaches the fact scan") {
+    val df = SparkEntry.queries("scale_runtime_filter")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "runtime bloom filter not injected")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "pattern must exercise the shuffle-join path, not broadcast")
+  }
+
   test("pipeline_pack_sequences: the running sum is per-shard, never global") {
     import org.apache.spark.sql.execution.window.WindowExec
     val qe = SparkEntry.queries("pipeline_pack_sequences")(spark, TestSpark.sf).queryExecution
