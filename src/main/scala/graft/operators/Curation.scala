@@ -131,7 +131,90 @@ object Curation {
       .orderBy(col("column_name"))
   }
 
+  /** Deterministic train/val/test split: each doc lands in a split by
+    * its md5 fraction (0.90 / 0.05 / 0.05) — reproducible, partition-
+    * independent, and stable under corpus growth (a doc never changes
+    * split when new docs arrive; a rate-based sampler can't promise
+    * that). Output is the split manifest: per (split, lang) doc and
+    * token counts. Pure scan-level routing — zero extra shuffles beyond
+    * the final tiny aggregate. */
+  private def sampleTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("split42:"), col("doc_id").cast("string")))
+    val split = when(h < "e6666666666666666666666666666666", "train") // 0.90
+      .when(h < "f3333333333333333333333333333333", "val")           // 0.05
+      .otherwise("test")                                             // 0.05
+    fanout(documents(spark, dir))
+      .select(split.as("split"), col("lang"), size(toks).cast(LongType).as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Corpus-mixture plan: given target sampling weights per source and
+    * a global token budget, compute each source's keep rate
+    * min(1, budget·w / tokens) and expected contribution — the
+    * manifest a mixture-weighted training run is launched from. One
+    * aggregate over the corpus + a 1-row budget broadcast; arithmetic
+    * is rounded (r6) so the plan is cross-engine exact. */
+  private def pipelineMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val budgetShare = 0.5 // train on half the corpus tokens
+    val weight = when(col("source") === "src0", 0.4)
+      .when(col("source") === "src1", 0.3)
+      .when(col("source") === "src2", 0.2)
+      .otherwise(0.1)
+    val perSource = fanout(documents(spark, dir))
+      .select(col("source"), size(toks).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val total = perSource.agg(sum(col("src_tokens")).as("total_tokens"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        floor(col("total_tokens") * budgetShare * weight).cast(LongType))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("target_tokens"),
+        Parity.r6(least(lit(1.0),
+          col("target_tokens") / col("src_tokens"))).as("keep_rate"),
+        least(col("target_tokens"), col("src_tokens")).as("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sample_train_split", Some(
+      """WITH d AS (
+        |  SELECT CASE
+        |    WHEN md5('split42:' || CAST(doc_id AS VARCHAR))
+        |      < 'e6666666666666666666666666666666' THEN 'train'
+        |    WHEN md5('split42:' || CAST(doc_id AS VARCHAR))
+        |      < 'f3333333333333333333333333333333' THEN 'val'
+        |    ELSE 'test' END AS split,
+        |   lang,
+        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin),
+      sampleTrainSplit),
+
+    QueryDef("pipeline_mixture_plan", Some(
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |   CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+        |     AS src_tokens
+        |  FROM documents GROUP BY source),
+        | t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM s),
+        | w AS (
+        |  SELECT source, n_docs, src_tokens, total_tokens,
+        |   CAST(floor(total_tokens * 0.5 * CASE source
+        |     WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+        |     WHEN 'src2' THEN 0.2 ELSE 0.1 END) AS BIGINT) AS target_tokens
+        |  FROM s CROSS JOIN t)
+        |SELECT source, n_docs, src_tokens, target_tokens,
+        | floor(least(1.0, target_tokens * 1.0 / src_tokens) * 1000000 + 0.5)
+        |   / 1000000 AS keep_rate,
+        | least(target_tokens, src_tokens) AS expected_tokens
+        |FROM w ORDER BY source""".stripMargin),
+      pipelineMixturePlan),
+
     QueryDef("pipeline_pack_sequences", Some(
       """WITH t AS (
         |  SELECT doc_id,
