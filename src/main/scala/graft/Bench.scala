@@ -22,7 +22,8 @@ object Bench {
     "sql_q21_waiting_suppliers", "text_tfidf", "events_dau_wau", "scale_runtime_filter",
     "pipeline_pack_sequences", "sample_per_group", "profile_key_skew",
     "dedup_fuzzy_names", "events_rfm", "pipeline_spec_join",
-    "sample_train_split", "pipeline_mixture_plan")
+    "sample_train_split", "pipeline_mixture_plan",
+    "sql_q9_product_profit", "graph_pagerank", "fn_regex")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -19,4 +19,5 @@ object Parity {
   def r3(c: Column): Column = r(c, 1000L)
   def r4(c: Column): Column = r(c, 10000L)
   def r6(c: Column): Column = r(c, 1000000L)
+  def r8(c: Column): Column = r(c, 100000000L)
 }

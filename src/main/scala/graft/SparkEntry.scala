@@ -18,6 +18,8 @@ object SparkEntry {
       operators.EventTime.defs ++
       operators.ScalePatterns.defs ++
       operators.Statistics.defs ++
+      operators.TpchExtra.defs ++
+      operators.Graph.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

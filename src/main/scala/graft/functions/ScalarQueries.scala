@@ -229,6 +229,34 @@ object ScalarQueries {
         | CASE WHEN c_acctbal < 0 THEN 'neg'
         |      WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
         | CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS sign
-        |FROM customer ORDER BY c_custkey""".stripMargin), fnConditional)
+        |FROM customer ORDER BY c_custkey""".stripMargin), fnConditional),
+
+    QueryDef("fn_regex", Some(
+      """SELECT doc_id,
+        | regexp_extract(text, '[a-z]+') AS first_word,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        | regexp_matches(text, 'data') AS has_data,
+        | regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+        | array_to_string(string_split_regex(text, '[^a-zA-Z0-9]+')[1:4], ',') AS first4_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin), fnRegex)
   )
+
+  /** Regex family — extraction, global match count, boolean match,
+    * global replace, and regex split. Patterns are kept inside the
+    * RE2 ∩ java.util.regex common dialect (char classes, +), so both
+    * engines compile them identically; Spark's regexp_replace is
+    * global by default where DuckDB needs the 'g' flag. All codegen'd
+    * built-ins — stays in WholeStageCodegen. */
+  private def fnRegex(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[a-z]+", 0).as("first_word"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast(LongType).as("n_words"),
+        col("text").rlike("data").as("has_data"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+        concat_ws(",", slice(split(col("text"), "[^a-zA-Z0-9]+"), 1, 4))
+          .as("first4_tokens"))
+      .orderBy(col("doc_id"))
 }

@@ -256,4 +256,15 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("median_qty") < col("lo") || col("median_qty") > col("hi"))
     assert(bad.count() == 0)
   }
+
+  test("pagerank: ranks positive, top-50 mass below 1, supplier hubs outrank parts") {
+    val pr = q("graph_pagerank").collect()
+    assert(pr.length == 50)
+    val ranks = pr.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sum < 1.0 + 1e-6) // total mass over ALL nodes is 1
+    // suppliers see ~20x more in-edges than parts in this bipartite
+    // graph — the head of the ranking must be supplier nodes
+    assert(pr.take(10).forall(_.getString(0).startsWith("s")))
+  }
 }

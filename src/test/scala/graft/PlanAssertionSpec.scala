@@ -184,4 +184,44 @@ class PlanAssertionSpec extends AnyFunSuite {
     // and the corpus-scale twin plans bucket-local, never cartesian
     assert(!plan("dedup_embedding_lsh").contains("CartesianProduct"))
   }
+
+  test("sql_q6: all three predicates reach the scan, schema pruned to 4 cols") {
+    val p = plan("sql_q6_forecast_revenue")
+    // PushedFilters renders truncated in plan text; assert via the
+    // filter node + the pruned ReadSchema instead
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains(">= 0.04") && p.contains("< 24.0"))
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+    assert(!p.contains("l_orderkey")) // unreferenced columns pruned
+  }
+
+  test("sql_q4: EXISTS with outer-date inequality decorrelates to a semi join") {
+    val p = plan("sql_q4_priority_late")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_q17: correlated scalar avg decorrelates to agg + equi-join") {
+    val p = plan("sql_q17_small_qty_revenue")
+    assert(p.contains("partial_avg") || p.contains("avg("))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_q16: NOT IN plans as a null-aware anti join, count-distinct is two-phase") {
+    val p = plan("sql_q16_supplier_cnt")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_pagerank: contribution aggregation shuffles on dst, never cartesian") {
+    // probe one un-checkpointed iteration (the registered query's final
+    // plan sits above already-materialized localCheckpoint RDDs)
+    val (edgesDeg, nodes) = operators.Graph.pagerankParts(spark, TestSpark.sf)
+    val ranks = nodes.withColumn("pr", org.apache.spark.sql.functions.lit(1e-3))
+    val p = operators.Graph.pagerankStep(nodes, edgesDeg, ranks, 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum")) // map-side combine on the contribution agg
+  }
 }
