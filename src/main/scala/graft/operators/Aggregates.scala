@@ -243,6 +243,30 @@ object Aggregates {
     QueryDef("dedup_exact", Some(
       """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
         |FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin), dedupExact)
+        |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin), dedupExact),
+
+    QueryDef("agg_decimal_sum", Some(
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggDecimalSum)
   )
+
+  /** Exact decimal aggregation — the order-independent alternative to
+    * double sums: casting to DECIMAL before summing makes the total
+    * bit-identical regardless of partitioning or merge order (integer
+    * arithmetic underneath), so NO Parity rounding formula is needed —
+    * the oracle matches to the last digit. This is the pattern for
+    * money columns at 100 TB, where a double sum's ulp drift is both
+    * nondeterministic across runs and audit-hostile. */
+  private def aggDecimalSum(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("total_price"),
+        sum(col("l_discount").cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 4)).as("total_disc"))
+      .orderBy(col("l_returnflag"))
 }

@@ -295,6 +295,74 @@ object Curation {
         |UNION ALL SELECT 'o_orderpriority', CAST(op_n AS BIGINT),
         |  CAST(op_d AS BIGINT) FROM a
         |ORDER BY column_name""".stripMargin),
-      profileNulls)
+      profileNulls),
+
+    QueryDef("corpus_budget_select", Some(
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS tokens,
+        |    CAST(least(9, n_chars // 200) AS BIGINT) AS bin,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS BIGINT) AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS md5key
+        |  FROM documents),
+        |cum AS (SELECT *, sum(tokens) OVER (
+        |   ORDER BY bin DESC, bucket, md5key, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS cumtok FROM scored)
+        |SELECT doc_id, tokens, bin FROM cum WHERE cumtok <= 10000
+        |ORDER BY doc_id""".stripMargin),
+      corpusBudgetSelect)
   )
+
+  /** Selection under a token budget: keep the best documents (highest
+    * quality bin first, then a deterministic md5 shuffle within the
+    * bin) until the cumulative token count hits the budget — the
+    * "fill the training run" step after mixture planning.
+    *
+    * The oracle states the semantics as ONE global running sum over
+    * the canonical order (bin DESC, bucket, md5key, doc_id); executing
+    * that literally is a single-partition window — a 100 TB straggler.
+    * Instead: (1) aggregate per-(bin, md5-bucket) token totals — at
+    * most bins×256 rows of metadata — and prefix-sum THOSE on one
+    * tiny partition; (2) groups that fit entirely take all their
+    * documents via a broadcast semi-join; (3) the single group
+    * straddling the budget resolves exactly with an in-group cumsum
+    * window partitioned by (bin, bucket) — bounded by one bucket's
+    * rows (corpus/2560; recurse on a longer hash prefix if a bucket
+    * still overflows an executor). Produces the byte-identical set to
+    * the oracle's flat window at any partitioning. */
+  private def corpusBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val docs = documents(spark, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast(LongType).as("tokens"),
+      least(lit(9L), floor(col("n_chars") / 200)).cast(LongType).as("bin"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast(LongType).as("bucket"),
+      md5(col("doc_id").cast("string")).as("md5key"))
+    val groupTotals = docs.groupBy(col("bin"), col("bucket"))
+      .agg(sum(col("tokens")).as("gtok"))
+    // ≤ bins×256 metadata rows: the one place a single-partition
+    // window is correct by construction
+    val wOrd = Window.orderBy(col("bin").desc, col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = groupTotals.withColumn("cum_before",
+      coalesce(sum(col("gtok")).over(wOrd), lit(0L)))
+    val full = prefix.filter(col("cum_before") + col("gtok") <= budget)
+      .select(col("bin"), col("bucket"))
+    val boundary = prefix
+      .filter(col("cum_before") <= budget && col("cum_before") + col("gtok") > budget)
+      .select(col("bin"), col("bucket"), (lit(budget) - col("cum_before")).as("remaining"))
+    val fullDocs = docs.join(broadcast(full), Seq("bin", "bucket"), "left_semi")
+    val wIn = Window.partitionBy(col("bin"), col("bucket"))
+      .orderBy(col("md5key"), col("doc_id"))
+    val boundaryDocs = docs.join(broadcast(boundary), Seq("bin", "bucket"))
+      .withColumn("cum_in", sum(col("tokens")).over(wIn))
+      .filter(col("cum_in") <= col("remaining"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    fullDocs.unionByName(boundaryDocs)
+      .select(col("doc_id"), col("tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -656,6 +656,44 @@ object Dedup {
          | floor(list_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000 + 0.5)
          |   / 1000000 AS cs
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbeddingLsh)
+         |ORDER BY cs DESC, vec_a, vec_b LIMIT 20""".stripMargin), dedupEmbeddingLsh),
+
+    QueryDef("dedup_span_ngrams", Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |wins AS (SELECT DISTINCT doc_id,
+        |   md5(array_to_string(ts[i+1:i+16], ' ')) AS span_hash
+        |  FROM toks, unnest(range(0, greatest(len(ts)-15, 0), 8)) AS u(i))
+        |SELECT span_hash, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM wins GROUP BY span_hash HAVING count(*) > 1
+        |ORDER BY n_docs DESC, span_hash LIMIT 200""".stripMargin),
+      dedupSpanNgrams)
   )
+
+  /** Cross-document repeated-span detection (the span-level
+    * complement to whole-doc MinHash): hash every 16-token window at
+    * stride 8 and report hashes seen in >1 document — the
+    * "deduplicate repeated substrings in training data" primitive
+    * (boilerplate headers, license blocks, templated text).
+    *
+    * Scale: explode emits tokens/stride rows per doc (linear in corpus
+    * tokens, same asymptotics as the MinHash shingle explode), then
+    * one hash-keyed shuffle with map-side DISTINCT; no all-pairs
+    * anywhere. A 32-bit span space at 100 T tokens would saturate —
+    * md5 (128-bit) keeps collisions below 1e-18. */
+  private def dedupSpanNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 16)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - 16, lit(8))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ts"), col("i") + 1, lit(16)))).as("span_hash"))
+      .distinct()
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("span_hash"))
+      .limit(200)
+  }
 }

@@ -548,6 +548,31 @@ object EventTime {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM y GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
-      eventsSessionize)
+      eventsSessionize),
+
+    QueryDef("events_transitions", Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin),
+      eventsTransitions)
   )
+
+  /** First-order Markov transition counts over each user's event
+    * stream — the event-sequence model behind next-action prediction
+    * and anomalous-flow detection. One user-partitioned window (ties
+    * broken by event_id for cross-engine determinism) + one grouped
+    * count; state per user is a single lookahead row. */
+  private def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
 }

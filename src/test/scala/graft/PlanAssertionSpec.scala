@@ -214,6 +214,25 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("corpus_budget_select: global cumsum happens only on the metadata relation") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("corpus_budget_select")(spark, TestSpark.sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    // every unpartitioned window is the ≤ bins×256-row group-total
+    // prefix sum — fed by the (bin, bucket) hash aggregate, never by
+    // document rows (the prefix relation plans twice: full + boundary)
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty)
+    assert(unpart.forall(_.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.map(_.name).toSet == Set("bin", "bucket") => a
+    }.isDefined), "an unpartitioned window runs over document rows")
+    // the in-group boundary resolution stays keyed by (bin, bucket)
+    assert(windows.count(_.partitionSpec.nonEmpty) == 1)
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin")) // full/boundary sets broadcast
+  }
+
   test("graph_pagerank: contribution aggregation shuffles on dst, never cartesian") {
     // probe one un-checkpointed iteration (the registered query's final
     // plan sits above already-materialized localCheckpoint RDDs)
