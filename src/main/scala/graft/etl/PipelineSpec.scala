@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.StructType
 import org.json4s._
@@ -143,6 +143,18 @@ object PipelineSpec {
     case other => fail(s"unknown source format '$other'", v)
   }
 
+  /** Parse a sort item with an optional trailing ASC/DESC. Passing the
+    * raw string to `expr` is a silent-wrong-answer trap: the SQL
+    * expression parser reads "price DESC" as `price AS DESC` — an
+    * ALIAS — and the sort comes out ascending. */
+  private def sortItem(s: String): Column = {
+    val t = s.trim
+    val l = t.toLowerCase(java.util.Locale.ROOT)
+    if (l.endsWith(" desc")) expr(t.dropRight(5).trim).desc
+    else if (l.endsWith(" asc")) expr(t.dropRight(4).trim).asc
+    else expr(t)
+  }
+
   private def transforms(v: JValue): Seq[DataFrame => DataFrame] = v match {
     case JArray(ts) => ts.map(transform)
     case JNothing => Seq.empty
@@ -162,7 +174,7 @@ object PipelineSpec {
       val cs = strSeq(v, "columns")
       df => if (cs.isEmpty) df.dropDuplicates() else df.dropDuplicates(cs)
     case "sort" =>
-      val cs = strSeq(v, "columns"); df => df.orderBy(cs.map(expr): _*)
+      val cs = strSeq(v, "columns"); df => df.orderBy(cs.map(sortItem): _*)
     case "limit" =>
       val n = intOpt(v, "n").getOrElse(fail("limit needs 'n'", v)); df => df.limit(n)
     case "repartition" =>
@@ -212,6 +224,25 @@ object PipelineSpec {
         val aggCols = aggs.map(expr)
         if (gs.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(gs.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    case "window" =>
+      // declarative window functions — the last transform class the
+      // grammar lacked (rank/lag/rolling metrics without SQL text).
+      // "partitionBy" is REQUIRED non-empty: a config-driven global
+      // window is exactly the single-partition straggler the engine
+      // bans everywhere else; express a global rank via sort+limit or
+      // the sql op, deliberately.
+      val parts = strSeq(v, "partitionBy")
+      val order = strSeq(v, "orderBy")
+      val wexpr = str(v, "expr")
+      val as = str(v, "as")
+      if (parts.isEmpty)
+        fail("window needs a nonempty 'partitionBy' (global windows are a scale hazard)", v)
+      df => {
+        import org.apache.spark.sql.expressions.Window
+        val w0 = Window.partitionBy(parts.map(col): _*)
+        val w = if (order.isEmpty) w0 else w0.orderBy(order.map(sortItem): _*)
+        df.withColumn(as, expr(wexpr).over(w))
       }
     case "sql" =>
       // whole-query escape hatch: the running frame is exposed to the

@@ -46,6 +46,22 @@ object SpecQueries {
          |   {"op": "sort", "columns": ["c_mktsegment"]}
          | ]}""".stripMargin)
 
+  /** Config-declared WINDOW FUNCTION: top-2 orders per priority by
+    * price, rank computed by a declarative partitioned window (the
+    * grammar rejects unpartitioned windows — a config document must
+    * not be able to declare a single-partition straggler). */
+  private def pipelineSpecWindow(spark: SparkSession, dir: String): DataFrame =
+    PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$dir/orders.parquet"},
+         | "transforms": [
+         |   {"op": "window", "partitionBy": ["o_orderpriority"],
+         |    "orderBy": ["o_totalprice DESC", "o_orderkey"],
+         |    "expr": "row_number()", "as": "rk"},
+         |   {"op": "filter", "expr": "rk <= 2"},
+         |   {"op": "select", "columns": ["o_orderpriority", "rk", "o_orderkey", "o_totalprice"]},
+         |   {"op": "sort", "columns": ["o_orderpriority", "rk"]}
+         | ]}""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_spec", Some(
       """SELECT l_orderkey, l_linenumber,
@@ -60,6 +76,14 @@ object SpecQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), pipelineSpecJoin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), pipelineSpecJoin),
+
+    QueryDef("pipeline_spec_window", Some(
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin), pipelineSpecWindow)
   )
 }

@@ -94,6 +94,38 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(df.collect()(0).getLong(0) == 5L)
   }
 
+  test("pipeline spec: window op ranks within partitions and honors DESC") {
+    val df = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/orders.parquet"},
+         | "transforms": [
+         |   {"op": "window", "partitionBy": ["o_orderstatus"],
+         |    "orderBy": ["o_totalprice DESC", "o_orderkey"],
+         |    "expr": "row_number()", "as": "rk"},
+         |   {"op": "filter", "expr": "rk = 1"}
+         | ]}""".stripMargin)
+    val top = df.collect()
+    // rank 1 must be each status's MAX total price — if "DESC" were
+    // parsed as an alias (the expr() trap), this would be the min
+    val maxes = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_orderstatus").max("o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Double]("o_totalprice") ==
+        maxes(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("pipeline spec: window op rejects an unpartitioned window") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineSpec.frame(spark,
+        s"""{"source": {"format": "parquet", "path": "${TestSpark.sf}/orders.parquet"},
+           | "transforms": [{"op": "window", "partitionBy": [],
+           |   "orderBy": ["o_totalprice"], "expr": "row_number()", "as": "rk"}]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("partitionBy"))
+  }
+
   test("pipeline spec: the same spec grammar runs as a stream (batch/stream parity)") {
     // stage a bounded file; stream it through the spec'd transforms
     val src = tmp("spec_stream_src")
