@@ -245,6 +245,13 @@ object Aggregates {
         |FROM lineitem
         |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin), dedupExact),
 
+    QueryDef("agg_bitmap_intersect", Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
+        |  SELECT user_id FROM events
+        |  WHERE event_type IN ('purchase', 'error')
+        |  GROUP BY user_id HAVING count(DISTINCT event_type) = 2)""".stripMargin),
+      aggBitmapIntersect),
+
     QueryDef("agg_decimal_sum", Some(
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
@@ -252,6 +259,27 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       aggDecimalSum)
   )
+
+  /** Exact distinct-INTERSECTION from bitmap partials — the AND half
+    * of the pre-aggregable-distinct story (agg_bitmap_distinct is the
+    * OR half): per-(event_type, bucket) bitmaps are built once (the
+    * same partials a metrics store would persist), then "users who did
+    * BOTH" is a bucket equi-join + the codegen'd
+    * [[graft.functions.BitmapAnd]] + bitmap_count — no re-scan of raw
+    * rows, no count-distinct shuffle of user ids. Spark ships
+    * bitmap_or_agg but no AND; the custom expression fills the gap. */
+  private def aggBitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BitmapAnd.register(spark)
+    val ev = Tables.events(spark, dir)
+    def bm(t: String) = ev.filter(col("event_type") === t)
+      .select(bitmap_bucket_number(col("user_id")).as("bkt"),
+        bitmap_bit_position(col("user_id")).as("pos"))
+      .groupBy(col("bkt"))
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+    bm("purchase").join(bm("error").withColumnRenamed("bm", "bm2"), "bkt")
+      .select(expr("bitmap_count(bitmap_and(bm, bm2))").as("c"))
+      .agg(sum(col("c")).as("n_both"))
+  }
 
   /** Exact decimal aggregation — the order-independent alternative to
     * double sums: casting to DECIMAL before summing makes the total

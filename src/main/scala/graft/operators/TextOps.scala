@@ -562,6 +562,52 @@ object TextOps {
         |      WHEN score_fr > score_en THEN 'fr'
         |      ELSE 'en' END AS predicted_lang,
         | greatest(score_en, score_fr, score_es, score_de, score_zh) AS score
-        |FROM s ORDER BY doc_id""".stripMargin), textLangId)
+        |FROM s ORDER BY doc_id""".stripMargin), textLangId),
+
+    QueryDef("text_line_dedup", Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |blocks AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ts[i*10+1 : least((i+1)*10, len(ts))], ' ') AS blk
+        |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/10.0) AS BIGINT))) AS u(i)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY md5(blk)
+        |    ORDER BY doc_id, pos) AS rk FROM blocks),
+        |kept AS (SELECT doc_id, pos, blk FROM ranked WHERE rk = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        | string_agg(blk, ' ' ORDER BY pos) AS kept_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin), textLineDedup)
   )
+
+  /** C4-style global line deduplication: split each document into
+    * fixed 10-token lines, keep only the FIRST occurrence of every
+    * distinct line corpus-wide (first = lowest (doc_id, position)),
+    * and reassemble surviving documents in original line order — the
+    * boilerplate/header/license-block removal pass that whole-doc
+    * dedup cannot do.
+    *
+    * Scale: explode is linear in corpus tokens; the keep-first winner
+    * is a row_number window PARTITIONED BY line hash — each partition
+    * is one line's duplicate set, so parallelism is #distinct lines
+    * and no partition exceeds a line's duplication count; reassembly
+    * shuffles once on doc_id with an in-group sort (array_sort on
+    * (pos, line) structs, spillable via the preceding hash agg). */
+  private def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nblk = ceil(size(col("ts")) / lit(10.0)).cast("int")
+    val firstWin = Window.partitionBy(md5(col("blk")))
+      .orderBy(col("doc_id"), col("pos"))
+    documents(spark, dir)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), nblk - 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("ts"), col("pos") * 10 + 1, lit(10))).as("blk"))
+      .withColumn("rk", row_number().over(firstWin))
+      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            s => s.getField("blk"))).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -42,6 +42,29 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(out == 30.0)
   }
 
+  test("bitmap_and: byte-wise AND, min-length truncation, null propagation") {
+    graft.functions.BitmapAnd.register(spark)
+    val df = Seq(
+      (Array[Byte](0x0F, 0x33, 0x70), Array[Byte](0x05, 0x0F.toByte)),
+      (Array[Byte](), Array[Byte](1, 2, 3))).toDF("a", "b")
+    val out = df.select(expr("bitmap_and(a, b)").as("r")).collect()
+    assert(out(0).getAs[Array[Byte]]("r").toSeq == Seq[Byte](0x05, 0x03))
+    assert(out(1).getAs[Array[Byte]]("r").isEmpty)
+    val withNull = df.withColumn("c", lit(null).cast("binary"))
+      .select(expr("bitmap_and(a, c)")).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("bitmap_and intersection count equals the two-semi-join answer") {
+    graft.functions.BitmapAnd.register(spark)
+    val bmBoth = SparkEntry.queries("agg_bitmap_intersect")(spark, TestSpark.sf)
+      .collect()(0).getLong(0)
+    val ev = Tables.events(spark, TestSpark.sf)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val e = ev.filter(col("event_type") === "error").select("user_id").distinct()
+    assert(bmBoth == p.join(e, "user_id").count())
+  }
+
   test("simhash_agg: identical token multisets give identical fingerprints") {
     SimHashAgg.register(spark)
     val df = Seq(
