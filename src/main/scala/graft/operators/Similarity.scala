@@ -84,6 +84,44 @@ object Similarity {
   /** ANN via random-hyperplane LSH: 12-bit sign signature → bucket;
     * candidates meet queries only within their bucket (join on bucket
     * id — no all-pairs). Approximate ⇒ no oracle. */
+  /** Multi-probe LSH + exact rerank — the production recall lever:
+    * each query probes its own 12-bit hyperplane bucket AND all 12
+    * Hamming-distance-1 neighbors (13 probes), candidates from any
+    * probe get EXACT cosine scores, global top-3 per query. Widens
+    * recall over single-bucket LSH (a near-neighbor differing on one
+    * hyperplane side is no longer lost) at 13× the bucket fan-out —
+    * still bucket-local equi-joins, never all-pairs. The probe list
+    * lives on the bounded query side (|Q|×13 rows, broadcast); each
+    * candidate has exactly one bucket, so probe buckets being distinct
+    * means no (qid, cid) pair can duplicate. */
+  private def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val ps = planes(12, 64)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dotLambda(col("e"), planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val v = normed(spark, dir).withColumn("bucket", bucket)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val probeCols = (0 to 12).map { i =>
+      if (i == 0) col("qbucket")
+      else col("qbucket").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val probes = q.select(col("qid"), col("qe"), col("qnrm"),
+      explode(array(probeCols: _*)).as("pbucket"))
+    val c = v.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cnrm"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    c.join(broadcast(probes), col("bucket") === col("pbucket") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val ps = planes(12, 64)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
@@ -297,6 +335,34 @@ object Similarity {
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnLsh),
     QueryDef("sim_ann_ivf", None, simAnnIvf),
+
+    QueryDef("sim_ann_multiprobe", Some {
+      val bucketSql = planes(12, 64).zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_inner_product(e, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (
+         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm,
+         |   $bucketSql AS bucket
+         |  FROM v),
+         | probes AS (
+         |  SELECT vec_id AS qid, e AS qe, nrm AS qnrm,
+         |   CASE WHEN i = 0 THEN bucket
+         |        ELSE xor(bucket, (1::BIGINT << (i - 1))) END AS pbucket
+         |  FROM n, unnest(range(0, 13)) AS u(i) WHERE vec_id < 10),
+         | scored AS (
+         |  SELECT p.qid, c.vec_id AS cid,
+         |   floor(list_inner_product(p.qe, c.e) / (p.qnrm * c.nrm) * 1000000 + 0.5)
+         |     / 1000000 AS cs
+         |  FROM probes p JOIN n c ON c.bucket = p.pbucket AND c.vec_id <> p.qid),
+         | ranked AS (
+         |  SELECT qid, cid, cs,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, cs
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }, simAnnMultiprobe),
 
     QueryDef("fn_vector", Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -257,6 +257,17 @@ class InvariantSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("multi-probe LSH dominates single-bucket LSH (recall can only widen)") {
+    val lsh = q("sim_ann_lsh").collect()
+    val mp = q("sim_ann_multiprobe").collect()
+    assert(mp.length >= lsh.length) // 13 probes ⊇ the 1 probe
+    // per query answered by both, the probed top-1 is at least as good
+    val top1 = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val l1 = top1(lsh); val m1 = top1(mp)
+    l1.foreach { case (qid, cs) => assert(m1(qid) >= cs) }
+  }
+
   test("pagerank: ranks positive, top-50 mass below 1, supplier hubs outrank parts") {
     val pr = q("graph_pagerank").collect()
     assert(pr.length == 50)
