@@ -77,6 +77,27 @@ object Graph {
       .orderBy(col("pagerank").desc, col("node")).limit(50)
   }
 
+  /** Bounded-depth reachability via SQL `WITH RECURSIVE` (Spark 4's
+    * UnionLoop operator): BFS frontier from one part node, two hops,
+    * min hop count per reached node. Exercises the recursive-CTE SQL
+    * surface end-to-end against DuckDB's identical construct — the
+    * declarative alternative to the hand-rolled iteration in
+    * [[graphPagerank]] when depth is small and fixed. (For unbounded
+    * diameters use the checkpointed loop instead: recursion depth is
+    * plan depth here.) */
+  private def graphReachability(spark: SparkSession, dir: String): DataFrame = {
+    bipartiteEdges(spark, dir).createOrReplaceTempView("graft_graph_edges")
+    spark.sql(
+      """WITH RECURSIVE reach(node, hops) AS (
+        |  SELECT 'p1', 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN graft_graph_edges e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY hops, node""".stripMargin)
+  }
+
   /** Degree histogram per side of the bipartite graph — the standard
     * first look at any graph's shape (and the skew estimate that
     * decides whether PageRank's contribution agg needs salting). */
@@ -129,6 +150,21 @@ object Graph {
           |SELECT node, floor(pr * 100000000 + 0.5) / 100000000 AS pagerank
           |FROM r3 ORDER BY pagerank DESC, node LIMIT 50""".stripMargin),
       graphPagerank),
+
+    QueryDef("graph_reachability", Some(
+      edgesCte +
+        """,
+          |reach AS (
+          |  WITH RECURSIVE r(node, hops) AS (
+          |    SELECT 'p1', 0
+          |    UNION ALL
+          |    SELECT e.dst, r.hops + 1
+          |    FROM r JOIN edges e ON e.src = r.node
+          |    WHERE r.hops < 2)
+          |  SELECT * FROM r)
+          |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+          |FROM reach GROUP BY node ORDER BY hops, node""".stripMargin),
+      graphReachability),
 
     QueryDef("graph_degree", Some(
       edgesCte +
