@@ -97,7 +97,11 @@ object Graph {
     * diameters use the checkpointed loop instead: recursion depth is
     * plan depth here.) */
   private def graphReachability(spark: SparkSession, dir: String): DataFrame = {
-    bipartiteEdges(spark, dir).createOrReplaceTempView("graft_graph_edges")
+    // materialize the edge list before recursing: the view is consulted
+    // on every UnionLoop iteration, and an un-checkpointed view would
+    // re-run the scan + distinct + union each time
+    bipartiteEdges(spark, dir).localCheckpoint()
+      .createOrReplaceTempView("graft_graph_edges")
     spark.sql(
       """WITH RECURSIVE reach(node, hops) AS (
         |  SELECT 'p1', 0
