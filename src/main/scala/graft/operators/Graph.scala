@@ -68,18 +68,17 @@ object Graph {
     * so the DuckDB oracle can unroll the recurrence as CTEs). Top 50
     * by rounded rank with node-id tiebreak. */
   private def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the SHARED edge list once (the scan + distinct is the
-    // expensive lineage — without this, checkpointing edgesDeg and
-    // nodes re-derives it twice), then the two derived inputs (reused
-    // 3–4× each). The 3 fixed iterations chain lazily: per-iteration
-    // checkpoints cost a materialization job each and only pay off
-    // when iteration count is unbounded (see dedup_clusters, which
+    // checkpoint ONLY the shared edge list (the scan + distinct is the
+    // expensive lineage); the derived deg-join and node-distinct are
+    // cheap enough to recompute lazily from it each iteration —
+    // checkpointing them too bought nothing (2.9 s either way, warm,
+    // sf0.1) and cost two materialization jobs. The 3 fixed iterations
+    // chain lazily: per-iteration rank checkpoints only pay off when
+    // iteration count is unbounded (see dedup_clusters, which
     // checkpoints because it must converge). Measured warm at sf0.1:
-    // 5.7 s per-iteration checkpoints → 2.9 s this form.
-    val (edgesDegRaw, nodesRaw) =
+    // 5.7 s per-iteration checkpoints → 2.8 s this form.
+    val (edgesDeg, nodes) =
       pagerankParts(bipartiteEdges(spark, dir).localCheckpoint())
-    val edgesDeg = edgesDegRaw.localCheckpoint()
-    val nodes = nodesRaw.localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to 3)
