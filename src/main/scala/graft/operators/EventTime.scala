@@ -550,6 +550,24 @@ object EventTime {
         |FROM y GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
       eventsSessionize),
 
+    QueryDef("events_survival_curve", Some(
+      """WITH life AS (
+        |  SELECT user_id,
+        |   date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS days
+        |  FROM events GROUP BY user_id),
+        |hist AS (
+        |  SELECT CAST(least(days, 30) AS BIGINT) AS t,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM life GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM life)
+        |SELECT t,
+        | CAST(sum(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS n_surviving,
+        | floor(sum(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |   / (SELECT n FROM n) * 1000000 + 0.5) / 1000000 AS survival
+        |FROM hist ORDER BY t""".stripMargin),
+      eventsSurvivalCurve),
+
     QueryDef("events_transitions", Some(
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -560,6 +578,29 @@ object EventTime {
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin),
       eventsTransitions)
   )
+
+  /** User survival curve: lifetime = calendar days between a user's
+    * first and last event (capped at 30); S(t) = fraction of users
+    * whose lifetime reaches ≥ t, evaluated at observed lifetimes. The
+    * reverse-cumulative runs over the ≤31-row capped-day histogram —
+    * a metadata-bounded single-partition window, same pattern as
+    * corpus_budget_select's prefix (the per-user reduction happened
+    * in the grouped aggregate before it). */
+  private def eventsSurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val life = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("days"))
+    val hist = life.select(least(col("days"), lit(30)).cast(LongType).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = life.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_surviving", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+      .select(col("t"), col("n_surviving"),
+        Parity.r6(col("n_surviving") / col("n")).as("survival"))
+      .orderBy(col("t"))
+  }
 
   /** First-order Markov transition counts over each user's event
     * stream — the event-sequence model behind next-action prediction

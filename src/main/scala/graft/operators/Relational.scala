@@ -217,6 +217,56 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join (either direction — sensor-alignment
+    * semantics): each purchase event pairs with the same user's click
+    * closest in time; ties prefer the earlier click, then the lowest
+    * event_id. Same union+window trick as [[joinAsOf]] run in BOTH
+    * sort directions — two windows over one shuffle-sort keyspace, no
+    * per-key pair blow-up (the oracle states the semantics as the
+    * O(purchases × clicks-per-user) join + rank, this executes as
+    * O(n log n)). Clicks pre-reduce to one row per (user, µs) with the
+    * min event_id, which is exactly the oracle's same-timestamp
+    * tiebreak. */
+  private def joinAsOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(min(col("event_id")).as("cid"))
+      .select(col("user_id"), col("us"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"), col("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast(LongType).as("cid"))
+    val u = clicks.unionByName(purchases)
+    // clicks sort before purchases at equal µs, so a same-instant
+    // click is the backward candidate (gap 0) in the ascending pass
+    // and the forward candidate in the descending pass — either way
+    // the tie resolves to it, matching the oracle's gap-0 preference
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = u
+      .withColumn("b", last(when(col("tag") === 0,
+        struct(col("us").as("cus"), col("cid").as("ccid"))), ignoreNulls = true).over(wb))
+      .withColumn("f", last(when(col("tag") === 0,
+        struct(col("us").as("cus"), col("cid").as("ccid"))), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+    val gapB = col("us") - col("b.cus")
+    val gapF = col("f.cus") - col("us")
+    // ties (gapF == gapB) go backward — the smaller click timestamp
+    val pick = when(col("b").isNull, col("f"))
+      .when(col("f").isNull, col("b"))
+      .when(gapF < gapB, col("f")).otherwise(col("b"))
+    cand.select(col("event_id"), pick.getField("ccid").as("click_id"),
+      when(pick.isNotNull, abs(pick.getField("cus") - col("us"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   private def joinCross(spark: SparkSession, dir: String): DataFrame = {
     val a = region(spark, dir).select(col("r_name").as("r1"))
     val b = region(spark, dir).select(col("r_name").as("r2"))
@@ -505,6 +555,23 @@ object Relational {
         |FROM events e LEFT JOIN orders o
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin), joinAsOf),
+
+    QueryDef("join_asof_nearest", Some(
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, min(event_id) AS cid
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |j AS (
+        |  SELECT p.event_id, c.cid, c.cus, p.us,
+        |   abs(c.cus - p.us) AS gap
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY gap, cus, cid) AS rk FROM j)
+        |SELECT event_id, cid AS click_id, CAST(gap AS BIGINT) AS gap_us
+        |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin), joinAsOfNearest),
 
     QueryDef("join_cross", Some(
       """SELECT a.r_name AS r1, b.r_name AS r2

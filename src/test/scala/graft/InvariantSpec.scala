@@ -257,6 +257,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("budget select: under budget, and maximal in the canonical order") {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val sel = q("corpus_budget_select").collect()
+    val total = sel.map(_.getLong(1)).sum
+    assert(total <= 10000L, s"selected $total tokens > budget")
+    val selIds = sel.map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("tokens"),
+        least(lit(9L), floor(col("n_chars") / 200)).cast("long").as("bin"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long").as("bucket"),
+        md5(col("doc_id").cast("string")).as("md5key"))
+      .orderBy(col("bin").desc, col("bucket"), col("md5key"), col("doc_id"))
+      .collect()
+    // the flat cumsum is strictly increasing (min tokens > 0), so the
+    // oracle's keep-set is exactly a PREFIX of the canonical order
+    var cum = 0L
+    docs.foreach { r =>
+      val id = r.getLong(0); cum += r.getLong(1)
+      assert(selIds(id) == (cum <= 10000L),
+        s"doc $id at cumulative $cum: selected=${selIds(id)}")
+    }
+  }
+
   test("multi-probe LSH dominates single-bucket LSH (recall can only widen)") {
     val lsh = q("sim_ann_lsh").collect()
     val mp = q("sim_ann_multiprobe").collect()
