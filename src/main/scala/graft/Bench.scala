@@ -23,7 +23,8 @@ object Bench {
     "pipeline_pack_sequences", "sample_per_group", "profile_key_skew",
     "dedup_fuzzy_names", "events_rfm", "pipeline_spec_join",
     "sample_train_split", "pipeline_mixture_plan",
-    "sql_q9_product_profit", "graph_pagerank", "fn_regex")
+    "sql_q9_product_profit", "graph_pagerank", "fn_regex",
+    "join_asof_nearest", "text_line_dedup", "corpus_budget_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

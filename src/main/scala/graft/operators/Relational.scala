@@ -221,12 +221,13 @@ object Relational {
     * semantics): each purchase event pairs with the same user's click
     * closest in time; ties prefer the earlier click, then the lowest
     * event_id. Same union+window trick as [[joinAsOf]] run in BOTH
-    * sort directions — two windows over one shuffle-sort keyspace, no
-    * per-key pair blow-up (the oracle states the semantics as the
-    * O(purchases × clicks-per-user) join + rank, this executes as
-    * O(n log n)). Clicks pre-reduce to one row per (user, µs) with the
-    * min event_id, which is exactly the oracle's same-timestamp
-    * tiebreak. */
+    * sort directions: two keyed shuffles total (the click
+    * pre-reduction on (user, µs), then the user-key sort feeding both
+    * window passes), no per-key pair blow-up — the oracle states the
+    * semantics as the O(purchases × clicks-per-user) join + rank,
+    * this executes as O(n log n). The pre-reduction to one row per
+    * (user, µs) with the min event_id is exactly the oracle's
+    * same-timestamp tiebreak. */
   private def joinAsOfNearest(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .filter(col("event_type").isin("purchase", "click"))

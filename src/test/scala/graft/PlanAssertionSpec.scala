@@ -214,6 +214,17 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_asof_nearest: two keyed shuffles, both window passes share one sort keyspace") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val qe = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.sf).queryExecution
+    val exchanges = qe.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    // click pre-reduction on (user, µs) + the user-key window sort —
+    // anything more means the pair-join formulation crept back in
+    assert(exchanges.size <= 3, s"expected ≤3 exchanges, got ${exchanges.size}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("corpus_budget_select: global cumsum happens only on the metadata relation") {
     import org.apache.spark.sql.execution.window.WindowExec
     val qe = SparkEntry.queries("corpus_budget_select")(spark, TestSpark.sf).queryExecution
