@@ -40,9 +40,9 @@ object Graph {
 
   /** One PageRank iteration: dst-keyed contribution aggregation
     * (map-side partial sums), then the damped update over all nodes.
-    * Exposed for plan assertions — the registered query checkpoints
-    * each iteration's state, so its final plan only shows the last
-    * projection over materialized RDDs. */
+    * Exposed for plan assertions — the registered query builds on a
+    * checkpointed edge list, so its own plan bottoms out in a
+    * materialized-RDD scan rather than the shapes worth asserting. */
   private[graft] def pagerankStep(
       nodes: DataFrame, edgesDeg: DataFrame, ranks: DataFrame, n: Double): DataFrame = {
     val contrib = edgesDeg
