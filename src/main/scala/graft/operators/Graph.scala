@@ -28,14 +28,23 @@ object Graph {
 
   /** Distinct part↔supplier pairs as a symmetric directed edge list;
     * nodes are namespaced ('p'/'s' prefix) so the two key spaces can't
-    * collide. */
+    * collide. Materialized once per source content through the
+    * write-once cache (graft.Caches): deriving an edge list from a
+    * fact table is a scan + distinct over the whole corpus, and every
+    * graph operator starts from it — at scale this IS the persisted
+    * edge table every graph pipeline keeps next to the facts. */
   private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val p = concat(lit("p"), col("l_partkey").cast("string"))
-    val s = concat(lit("s"), col("l_suppkey").cast("string"))
-    pairs.select(p.as("src"), s.as("dst"))
-      .unionByName(pairs.select(s.as("src"), p.as("dst")))
+    val base = graft.Caches.dir("graphedges", dir, Seq("lineitem"))
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      val pairs = lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = concat(lit("p"), col("l_partkey").cast("string"))
+      val s = concat(lit("s"), col("l_suppkey").cast("string"))
+      pairs.select(p.as("src"), s.as("dst"))
+        .unionByName(pairs.select(s.as("src"), p.as("dst")))
+        .write.mode("overwrite").parquet(base)
+    }
+    spark.read.parquet(base)
   }
 
   /** One PageRank iteration: dst-keyed contribution aggregation
