@@ -208,7 +208,47 @@ object ScalePatterns {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition overwrite — the in-place restatement pattern
+    * for partitioned lake tables: late-arriving corrections replace
+    * ONLY the partitions they touch (here: 1997 orders restated at a
+    * 10% discount), untouched partitions keep their original files.
+    * `partitionOverwriteMode=dynamic` is set on a child session so the
+    * static-mode default (which would truncate the whole table) never
+    * leaks to other queries. Both writes are idempotent: the base
+    * layout is content-keyed write-once (graft.Caches), and re-running
+    * the restatement rewrites the same partition with the same rows.
+    * The oracle recomputes the post-restatement state from the raw
+    * table — so the check proves the selective overwrite left every
+    * other partition intact. */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val base = graft.Caches.dir("partoverwrite", dir, Seq("orders"))
+    val withYr = orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      withYr.write.partitionBy("yr").mode("overwrite").parquet(base)
+      // restatement: only the yr=1997 directory is replaced — dynamic
+      // mode scopes the overwrite to partitions present in the write
+      withYr.filter(col("yr") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .write.partitionBy("yr").mode("overwrite").parquet(base)
+    }
+    s.read.parquet(base)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("o_totalprice"))).as("total"))
+      .orderBy(col("yr"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_partition_overwrite", Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(count(*) AS BIGINT) AS n,
+        | floor(sum(CASE WHEN year(o_orderdate) = 1997
+        |   THEN o_totalprice * 0.9 ELSE o_totalprice END) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin),
+      partitionOverwrite),
+
     QueryDef("scale_runtime_filter", Some(
       """SELECT o_orderpriority, count(*) AS n,
         | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
