@@ -86,6 +86,25 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** XML round-trip via Spark 4's BUILT-IN xml source (the spark-xml
+    * connector merged into spark-sql as of 4.0): suppliers written as
+    * `<supplier>` row elements, read back with an explicit schema.
+    * DuckDB can't read XML, so — like scan_orc — the oracle recomputes
+    * from the parquet original and equality proves the round-trip is
+    * lossless (including doubles: the writer emits full precision). */
+  private def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Caches.dir("supplier_xml", dir, Seq("supplier"))
+    if (!new java.io.File(tmp, "_SUCCESS").exists())
+      supplier(spark, dir).coalesce(1).write.mode("overwrite")
+        .option("rowTag", "supplier").xml(tmp)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "supplier").xml(tmp)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** ORC round-trip: the second columnar lake format — written once
     * (amortized, like the bucketed/partitioned layouts), read back with
     * a pushable predicate. Spark's native ORC reader gives the same
@@ -490,6 +509,10 @@ object Relational {
 
     QueryDef("scan_csv", Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"), scanCsv),
+
+    QueryDef("scan_xml", Some(
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin), scanXml),
 
     QueryDef("project_filter", Some(
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
