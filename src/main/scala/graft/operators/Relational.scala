@@ -86,6 +86,52 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Raw text-line ingestion (`spark.read.text`) — the entry point of
+    * every LLM corpus pipeline (one document per line). Corpus texts
+    * are newline-free so the round-trip is exact; line order across
+    * split files is nondeterministic, so the registered output is the
+    * order-independent corpus profile (line count, total/min/max
+    * chars) — which the oracle recomputes from the parquet original. */
+  private def scanText(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Caches.dir("documents_text", dir, Seq("documents"))
+    if (!new java.io.File(tmp, "_SUCCESS").exists())
+      documents(spark, dir).select(col("text")).write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast(LongType).as("total_chars"),
+        min(length(col("value"))).cast(LongType).as("min_chars"),
+        max(length(col("value"))).cast(LongType).as("max_chars"))
+  }
+
+  /** Raw binary-asset ingestion (`binaryFile` source) — how image /
+    * audio dirs enter a multimodal pipeline before any decode: one
+    * row per file with content bytes + metadata. Five fixture files
+    * (region names as bytes) round-trip through the cache; output is
+    * (file name, byte length, md5 of content), which the oracle
+    * recomputes from the region table — proving content-exact
+    * ingestion. Scale: the source lists files on the driver but reads
+    * contents in executors; partition count follows
+    * maxPartitionBytes like any file scan. */
+  private def scanBinaryFile(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(graft.Caches.dir("region_bin", dir, Seq("region")))
+    if (!new java.io.File(tmp, "_DONE").exists()) {
+      tmp.mkdirs()
+      region(spark, dir).select(col("r_regionkey"), col("r_name")).collect()
+        .foreach { r => // 5 bounded dim rows — fixture setup, not a data path
+          val f = new java.io.FileOutputStream(new java.io.File(tmp, s"r${r.getInt(0)}.bin"))
+          try f.write(r.getString(1).getBytes("UTF-8")) finally f.close()
+        }
+      new java.io.FileOutputStream(new java.io.File(tmp, "_DONE")).close()
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(tmp.getAbsolutePath)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("file"))
+  }
+
   /** XML round-trip via Spark 4's BUILT-IN xml source (the spark-xml
     * connector merged into spark-sql as of 4.0): suppliers written as
     * `<supplier>` row elements, read back with an explicit schema.
@@ -513,6 +559,19 @@ object Relational {
     QueryDef("scan_xml", Some(
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin), scanXml),
+
+    QueryDef("scan_text", Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(min(length(text)) AS BIGINT) AS min_chars,
+        | CAST(max(length(text)) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin), scanText),
+
+    QueryDef("scan_binaryfile", Some(
+      """SELECT 'r' || CAST(r_regionkey AS VARCHAR) || '.bin' AS file,
+        | CAST(length(r_name) AS BIGINT) AS length,
+        | md5(r_name) AS content_md5
+        |FROM region ORDER BY file""".stripMargin), scanBinaryFile),
 
     QueryDef("project_filter", Some(
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
