@@ -240,7 +240,120 @@ object ScalePatterns {
       .orderBy(col("yr"))
   }
 
+  /** SCD Type-2 dimension maintenance — the warehouse pattern CDC-apply
+    * (above) deliberately discards: instead of overwriting, every change
+    * CLOSES the current row (valid_to = change time) and INSERTS a new
+    * version, so the dimension keeps queryable history ("balance as of
+    * any date"). Change feed = latest event per key (same latest-wins
+    * rule as `scale_cdc_apply`); 'error' events close without a
+    * successor (logical delete), unknown keys insert at version 1.
+    *
+    * Scale shape: ONE full-outer shuffle join (dim ⋈ latest-change) and
+    * ONE projection — each joined row emits its ≤2 output versions via
+    * `array_compact` + `explode`, so history expansion never re-joins or
+    * re-scans (the naive UNION-of-selects form would plan the join once
+    * per branch). At 100 TB the dim join key is the natural bucketing
+    * column. */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("key"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("new_val"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("change_ts"),
+        lit(true).as("in_chg"))
+    val dim = customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal"), lit(true).as("in_dim"))
+    val opened = lit("1990-01-01 00:00:00")
+    val changed = coalesce(col("in_chg"), lit(false)) &&
+      (col("op") === "D" || !col("new_val").eqNullSafe(col("c_acctbal")))
+    val existing = when(col("in_dim").isNotNull, struct(
+      Parity.r2(col("c_acctbal")).as("balance"),
+      opened.as("valid_from"),
+      when(changed, col("change_ts")).as("valid_to"),
+      lit(1L).as("version"),
+      (!changed).as("is_current")))
+    val successor = when(col("op") === "U" && (col("in_dim").isNull || changed), struct(
+      Parity.r2(col("new_val")).as("balance"),
+      col("change_ts").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      when(col("in_dim").isNotNull, lit(2L)).otherwise(lit(1L)).as("version"),
+      lit(true).as("is_current")))
+    dim.join(latest, Seq("key"), "full_outer")
+      .select(col("key"), explode(array_compact(array(existing, successor))).as("r"))
+      .select(col("key"), col("r.balance"), col("r.valid_from"),
+        col("r.valid_to"), col("r.version"), col("r.is_current"))
+  }
+
+  /** Small-file compaction — the lake-maintenance pattern that keeps a
+    * 100 TB table scannable: streaming/CDC writers leave thousands of
+    * KB-sized files whose per-file open/footer cost dominates scans, so
+    * a periodic job rewrites each fragmented directory into
+    * target-sized files. The fragmented layout (64 shards) is
+    * materialized write-once; compaction sizes its output from the
+    * observed bytes (ceil(total/target), file METADATA only — no data
+    * to the driver) and rewrites in one pass. The returned aggregate is
+    * computed from the COMPACTED files and must equal the oracle's scan
+    * of the raw table — proving the rewrite lost nothing — while the
+    * test suite asserts the file count actually collapsed. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.dir("compact", dir, Seq("orders"))
+    val frag = s"$base/fragmented"
+    val packed = s"$base/compacted"
+    if (!new java.io.File(packed, "_SUCCESS").exists()) {
+      orders(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val bytes = new java.io.File(frag).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+      val target = 32L * 1024 * 1024 // local-mode stand-in for the 128 MB lake default
+      val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+      spark.read.parquet(frag).repartition(nOut)
+        .write.mode("overwrite").parquet(packed)
+    }
+    spark.read.parquet(packed)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_scd2_apply", Some(
+      """WITH latest AS (
+        |  SELECT user_id AS key,
+        |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |   value AS new_val,
+        |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        | c AS (SELECT key, op, new_val, change_ts FROM latest WHERE rn = 1),
+        | d AS (SELECT c_custkey AS key, c_acctbal FROM customer),
+        | j AS (SELECT coalesce(d.key, c.key) AS key,
+        |        d.key IS NOT NULL AS in_dim, c.key IS NOT NULL AS in_chg,
+        |        c_acctbal, op, new_val, change_ts
+        |       FROM d FULL OUTER JOIN c ON d.key = c.key),
+        | f AS (SELECT *, in_chg AND (op = 'D' OR new_val IS DISTINCT FROM c_acctbal)
+        |         AS changed FROM j)
+        |SELECT key, floor(c_acctbal * 100 + 0.5) / 100 AS balance,
+        | '1990-01-01 00:00:00' AS valid_from,
+        | CASE WHEN changed THEN change_ts END AS valid_to,
+        | CAST(1 AS BIGINT) AS version, NOT changed AS is_current
+        |FROM f WHERE in_dim
+        |UNION ALL
+        |SELECT key, floor(new_val * 100 + 0.5) / 100,
+        | change_ts, NULL, CASE WHEN in_dim THEN 2 ELSE 1 END, true
+        |FROM f WHERE op = 'U' AND (NOT in_dim OR changed)""".stripMargin),
+      scd2Apply),
+
+    QueryDef("scale_compaction", Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      compaction),
+
     QueryDef("scale_partition_overwrite", Some(
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         | CAST(count(*) AS BIGINT) AS n,

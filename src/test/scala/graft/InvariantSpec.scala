@@ -304,4 +304,38 @@ class InvariantSpec extends AnyFunSuite {
     // graph — the head of the ranking must be supplier nodes
     assert(pr.take(10).forall(_.getString(0).startsWith("s")))
   }
+
+  test("compaction collapses the fragmented layout's file count") {
+    q("scale_compaction").collect() // materializes both layouts
+    def parquetFiles(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.isDirectory) 0 else f.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val base = Caches.dir("compact", sf, Seq("orders"))
+    val frag = parquetFiles(s"$base/fragmented")
+    val packed = parquetFiles(s"$base/compacted")
+    assert(frag == 64, s"fragmented layout should have 64 shards, got $frag")
+    // sf0.001 orders is far below one 32 MB target file
+    assert(packed == 1, s"compacted layout should be one file, got $packed")
+  }
+
+  test("scd2: versions per key are contiguous, exactly one current, history closed") {
+    val df = q("scale_scd2_apply").cache()
+    try {
+      // every key has exactly one open (is_current) row…
+      val open = df.filter(col("is_current")).groupBy("key").count()
+      assert(open.filter(col("count") =!= 1).count() == 0)
+      // …except keys whose latest change was a delete: zero open rows
+      val keys = df.select("key").distinct().count()
+      val openKeys = open.count()
+      assert(openKeys <= keys)
+      // closed rows carry a valid_to; open rows never do
+      assert(df.filter(col("is_current") && col("valid_to").isNotNull).count() == 0)
+      assert(df.filter(!col("is_current") && col("valid_to").isNull).count() == 0)
+      // version numbering starts at 1 and is dense per key
+      val vs = df.groupBy("key").agg(min("version").as("lo"),
+        max("version").as("hi"), count(lit(1)).as("n"))
+      assert(vs.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    } finally df.unpersist()
+  }
 }

@@ -254,4 +254,17 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_sum")) // map-side combine on the contribution agg
   }
+
+  test("scale_scd2_apply: one join feeds the version fan-out, no per-branch re-join") {
+    val qe = SparkEntry.queries("scale_scd2_apply")(spark, TestSpark.sf).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // a UNION-of-selects formulation would plan the dim ⋈ changes join
+    // once per output branch; the array_compact+explode form joins once
+    assert(joins.size == 1, s"expected exactly 1 join, got ${joins.size}")
+    val p = qe.executedPlan.toString
+    assert(p.contains("Generate explode")) // single-pass ≤2-row fan-out
+    assert(!p.contains("CartesianProduct"))
+  }
 }
