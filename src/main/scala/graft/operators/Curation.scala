@@ -178,7 +178,127 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Pre-flight join-cardinality estimate — the planner's row-count
+    * arithmetic made explicit, run BEFORE paying for a 100 TB join:
+    * per-key histograms of both sides (map-side-combined hash aggs)
+    * full-outer-joined on the key, then Σ lc·rc = the EXACT inner-join
+    * output cardinality, max lc·rc = the skew hotspot a salting
+    * decision keys off, and key containment = the referential health
+    * signal. Cost is two scans + one histogram-sized shuffle — never
+    * the fact⋈fact join itself. */
+  private def profileJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def est(left: DataFrame, lk: String, right: DataFrame, rk: String,
+        label: String): DataFrame = {
+      val la = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("lc"))
+      val ra = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("rc"))
+      la.join(ra, Seq("k"), "full_outer").agg(
+        count(when(col("lc").isNotNull && col("rc").isNotNull, 1)).as("matching_keys"),
+        coalesce(sum(col("lc") * col("rc")), lit(0L)).as("est_output_rows"),
+        coalesce(max(col("lc") * col("rc")), lit(0L)).as("max_key_output"),
+        Parity.r6(count(when(col("lc").isNotNull && col("rc").isNotNull, 1))
+          / count(when(col("lc").isNotNull, 1))).as("left_containment"))
+        .select(lit(label).as("join_key"), col("matching_keys"),
+          col("est_output_rows"), col("max_key_output"), col("left_containment"))
+    }
+    est(lineitem(spark, dir), "l_orderkey", orders(spark, dir), "o_orderkey",
+        "lineitem-orders")
+      .unionByName(est(lineitem(spark, dir), "l_partkey", part(spark, dir),
+        "p_partkey", "lineitem-part"))
+      .orderBy(col("join_key"))
+  }
+
+  /** Data-contract expectation suite — the assert-before-train gate:
+    * six rules (not-null, uniqueness, numeric range, value domain,
+    * referential containment, date window) evaluated in ONE pass over
+    * orders (the referential rule rides a key-preserving left join to
+    * the customer dim), emitted long-form as (rule, violations, total,
+    * pass). A 100 TB read that skips this gate trains on whatever the
+    * upstream writer left behind. */
+  private def profileExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val dim = customer(spark, dir).select(col("c_custkey"))
+    val joined = orders(spark, dir)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+    val one = joined.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_unique"),
+      sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 1000000, 1L)
+        .otherwise(0L)).as("v_range"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("v_domain"),
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_ref"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("date") ||
+        col("o_orderdate") > lit("1998-12-31").cast("date"), 1L).otherwise(0L))
+        .as("v_dates"))
+    val rules = Seq(
+      "orderkey_not_null" -> "v_notnull", "orderkey_unique" -> "v_unique",
+      "totalprice_in_range" -> "v_range", "orderstatus_in_domain" -> "v_domain",
+      "custkey_in_customer" -> "v_ref", "orderdate_in_window" -> "v_dates")
+    val stacked = rules.map { case (name, c) =>
+      struct(lit(name).as("rule"), col(c).as("violations"), col("total"),
+        (col(c) === 0L).as("pass"))
+    }
+    one.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.rule"), col("s.violations"), col("s.total"), col("s.pass"))
+      .orderBy(col("rule"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("profile_join_cardinality", Some(
+      """WITH la1 AS (SELECT l_orderkey AS k, count(*) AS lc FROM lineitem GROUP BY 1),
+        | ra1 AS (SELECT o_orderkey AS k, count(*) AS rc FROM orders GROUP BY 1),
+        | j1 AS (SELECT lc, rc FROM la1 FULL OUTER JOIN ra1 USING (k)),
+        | la2 AS (SELECT l_partkey AS k, count(*) AS lc FROM lineitem GROUP BY 1),
+        | ra2 AS (SELECT p_partkey AS k, count(*) AS rc FROM part GROUP BY 1),
+        | j2 AS (SELECT lc, rc FROM la2 FULL OUTER JOIN ra2 USING (k))
+        |SELECT * FROM (
+        | SELECT 'lineitem-orders' AS join_key,
+        |  count(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END) AS matching_keys,
+        |  CAST(coalesce(sum(lc * rc), 0) AS BIGINT) AS est_output_rows,
+        |  CAST(coalesce(max(lc * rc), 0) AS BIGINT) AS max_key_output,
+        |  floor(count(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END) * 1.0
+        |    / count(CASE WHEN lc IS NOT NULL THEN 1 END) * 1000000 + 0.5) / 1000000
+        |    AS left_containment
+        | FROM j1
+        | UNION ALL
+        | SELECT 'lineitem-part',
+        |  count(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END),
+        |  CAST(coalesce(sum(lc * rc), 0) AS BIGINT),
+        |  CAST(coalesce(max(lc * rc), 0) AS BIGINT),
+        |  floor(count(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END) * 1.0
+        |    / count(CASE WHEN lc IS NOT NULL THEN 1 END) * 1000000 + 0.5) / 1000000
+        | FROM j2)
+        |ORDER BY join_key""".stripMargin),
+      profileJoinCardinality),
+
+    QueryDef("profile_expectations", Some(
+      """WITH j AS (
+        |  SELECT o.*, c.c_custkey AS ref_key
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        | a AS (
+        |  SELECT count(*) AS total,
+        |   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+        |   count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        |   sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+        |     THEN 1 ELSE 0 END) AS v_range,
+        |   sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |     THEN 1 ELSE 0 END) AS v_domain,
+        |   sum(CASE WHEN ref_key IS NULL THEN 1 ELSE 0 END) AS v_ref,
+        |   sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |     OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS v_dates
+        |  FROM j)
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        | CAST(total AS BIGINT) AS total, violations = 0 AS pass
+        |FROM (
+        | SELECT 'orderkey_not_null' AS rule, v_notnull AS violations, total FROM a
+        | UNION ALL SELECT 'orderkey_unique', v_unique, total FROM a
+        | UNION ALL SELECT 'totalprice_in_range', v_range, total FROM a
+        | UNION ALL SELECT 'orderstatus_in_domain', v_domain, total FROM a
+        | UNION ALL SELECT 'custkey_in_customer', v_ref, total FROM a
+        | UNION ALL SELECT 'orderdate_in_window', v_dates, total FROM a)
+        |ORDER BY rule""".stripMargin),
+      profileExpectations),
+
     QueryDef("sample_train_split", Some(
       """WITH d AS (
         |  SELECT CASE
