@@ -74,6 +74,36 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min sketch frequency estimation — the FREQUENCY member of
+    * the sketch family (HLL = distinct, MG = top-k, CMS = point
+    * frequency): a fixed d×w counter grid whose partials merge by
+    * addition, so one pass + one tiny shuffle summarizes per-value
+    * counts at any scale; the stored sketch then answers "how often
+    * does X occur" without revisiting rows. Build is Spark's
+    * `count_min_sketch` (mergeable agg, fixed seed ⇒ deterministic);
+    * the ONE ~d×w-int sketch row to the driver is bounded metadata
+    * (the cross-job handoff, like the bloom sketch above), probed for
+    * the bounded event-type domain. Output pairs estimate with exact
+    * count; CMS guarantees est ≥ exact and est ≤ exact + ε·N w.p. 1−δ
+    * (invariant-tested). Approximate ⇒ no oracle. */
+  private def aggCountminFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.events
+    val skBytes = events(spark, dir)
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val exact = events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+    val types = exact.select("event_type").collect().map(_.getString(0)) // ≤10 values
+    val est = types.toSeq.map(t => (t, sk.estimateCount(t)))
+    exact.join(
+        exact.sparkSession.createDataFrame(est).toDF("event_type", "est_count"),
+        Seq("event_type"))
+      .select(col("event_type"), col("est_count"), col("exact_count"))
+      .orderBy(col("event_type"))
+  }
+
   /** EXACT distinct counting via bitmap partials — the precise
     * counterpart of agg_hll_reaggregate. Monthly (l_returnflag, month,
     * bucket) partials store a ≤4 KB bitmap each (bit = one key in a
@@ -190,6 +220,7 @@ object Aggregates {
 
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
     QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
+    QueryDef("agg_countmin_freq", None, aggCountminFreq),
 
     QueryDef("agg_bitmap_distinct", Some(
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts

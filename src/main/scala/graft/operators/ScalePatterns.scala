@@ -240,6 +240,37 @@ object ScalePatterns {
       .orderBy(col("yr"))
   }
 
+  /** Explicit bloom pre-filter join — the hand-placed twin of
+    * `scale_runtime_filter`: the optimizer's runtime filter only fires
+    * inside one query's plan, but an ETL pipeline often builds the
+    * selective side in ONE job and scans the 100 TB fact in ANOTHER.
+    * Registering Spark's own bloom pair (`functions.Bloom`) lets the
+    * pipeline build the sketch explicitly (mergeable agg, one tiny
+    * binary row), broadcast it, and gate fact rows BEFORE the join
+    * shuffle. No false negatives + the exact join downstream ⇒ the
+    * result is provably identical to the plain join the oracle runs;
+    * false positives only cost shuffle bytes. */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Bloom.register(spark)
+    val dim = part(spark, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"))
+    // Build job: mergeable agg → ONE ~100 KB sketch row to the driver
+    // (bounded metadata, the cross-job handoff — a real pipeline writes
+    // these bytes next to the dim and later jobs load them). Probe
+    // requires a CONSTANT sketch, which the literal also satisfies.
+    val sketch = dim
+      .agg(expr("bloom_agg(xxhash64(p_partkey), 100000L, 800000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val gated = lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .filter(call_function("bloom_might_contain",
+        lit(sketch), xxhash64(col("l_partkey"))))
+    gated.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), Parity.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** SCD Type-2 dimension maintenance — the warehouse pattern CDC-apply
     * (above) deliberately discards: instead of overwriting, every change
     * CLOSES the current row (valid_to = change time) and INSERTS a new
@@ -321,6 +352,14 @@ object ScalePatterns {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("join_bloom_prefilter", Some(
+      """SELECT p_brand, count(*) AS n,
+        | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      bloomPrefilterJoin),
+
     QueryDef("scale_scd2_apply", Some(
       """WITH latest AS (
         |  SELECT user_id AS key,

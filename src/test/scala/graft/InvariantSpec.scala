@@ -305,6 +305,18 @@ class InvariantSpec extends AnyFunSuite {
     assert(pr.take(10).forall(_.getString(0).startsWith("s")))
   }
 
+  test("count-min estimates dominate exact counts within the ε·N guarantee") {
+    val rows = q("agg_countmin_freq").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(2)).sum // total stream length
+    val slack = math.ceil(0.001 * n).toLong
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS can never undercount")
+      assert(est <= exact + slack, s"${r.getString(0)}: est $est exceeds ε·N bound")
+    }
+  }
+
   test("compaction collapses the fragmented layout's file count") {
     q("scale_compaction").collect() // materializes both layouts
     def parquetFiles(d: String): Int = {

@@ -255,6 +255,19 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(p.contains("partial_sum")) // map-side combine on the contribution agg
   }
 
+  test("join_bloom_prefilter: the membership gate runs below the join, fact side filtered at scan stage") {
+    val qe = SparkEntry.queries("join_bloom_prefilter")(spark, TestSpark.sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    // the probe must sit UNDER the join (gate before shuffle), not above it
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1)
+    assert(joins.head.toString.contains("might_contain"),
+      "probe filter is not inside the join's subtree")
+  }
+
   test("scale_scd2_apply: one join feeds the version fan-out, no per-branch re-join") {
     val qe = SparkEntry.queries("scale_scd2_apply")(spark, TestSpark.sf).queryExecution
     val joins = qe.sparkPlan.collect {
