@@ -200,9 +200,10 @@ object Similarity {
     * one. Publish is write-temp-then-rename so a racing reader never
     * sees a half-written file. */
   private[operators] def trainedCentroids(
-      v: DataFrame, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val base = new java.io.File(graft.Caches.dir("ivfcent", dir, Seq("embeddings")))
-    val f = new java.io.File(base, s"centroids_k${k}_i$iters.csv")
+      v: DataFrame, dir: String, k: Int, iters: Int,
+      kind: String = "ivfcent", tag: String = ""): Seq[(Int, Seq[Double])] = {
+    val base = new java.io.File(graft.Caches.dir(kind, dir, Seq("embeddings")))
+    val f = new java.io.File(base, s"centroids${tag}_k${k}_i$iters.csv")
     if (f.exists()) {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().toIndexedSeq.map { line =>
@@ -256,6 +257,60 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("cid"), col("cs"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Product quantization — the memory side of the ANN toolbox (IVF
+    * shrinks the SEARCH, PQ shrinks the VECTORS): the 64-dim embedding
+    * splits into 4 × 16-dim subvectors, each encoded as its nearest
+    * code in a per-subspace 16-entry codebook → 4 bytes per vector
+    * (128× under float32), the layout that lets a billion-vector index
+    * sit in executor memory for asymmetric-distance search. Codebooks
+    * are Lloyd-trained per subspace on the same deterministic hash
+    * sample as IVF and persisted write-once (training is a LAYOUT cost,
+    * not a query cost). Encoding is one pass: explode the 4×16 code
+    * candidates per vector, partial-agg `min(struct)` argmin per
+    * (vector, subspace) — the winning struct carries its codeword so
+    * per-subspace distortion needs no second lookup — then one pivot to
+    * wide form. Output: the code manifest + rounded reconstruction MSE.
+    * k-means is data-dependent ⇒ no oracle; the compression contract
+    * (codes in range, PQ beats the one-centroid baseline) lives in
+    * InvariantSpec. */
+  private def simPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4        // subspaces
+    val subDim = 16  // dims per subspace (4 × 16 = 64)
+    val k = 16       // codes per subspace → 4 bits each
+    val v = normed(spark, dir)
+    val books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until m).map { j =>
+      val sub = v.select(col("vec_id"), slice(col("e"), j * subDim + 1, subDim).as("e"))
+      j -> trainedCentroids(sub, dir, k, iters = 2, kind = "pqcode", tag = s"_m$j")
+    }
+    val cands = books.flatMap { case (j, cents) =>
+      cents.map { case (id, ce) =>
+        struct(lit(j).as("sub"), lit(id).as("code"),
+          array(ce.map(lit): _*).as("ce"))
+      }
+    }
+    val assigned = v
+      .select(col("vec_id"), col("e"), explode(array(cands: _*)).as("c"))
+      .select(col("vec_id"), col("c.sub").as("sub"),
+        slice(col("e"), col("c.sub") * subDim + 1, lit(subDim)).as("se"),
+        col("c.code").as("code"), col("c.ce").as("ce"))
+      .select(col("vec_id"), col("sub"), struct(
+        (expr("dot_product(se, se)") - lit(2.0) * expr("dot_product(se, ce)")
+          + expr("dot_product(ce, ce)")).as("dist2"),
+        col("code")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"),
+        col("m.dist2").as("dist2"))
+    assigned.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("sub") === 0, col("code"))).as("code0"),
+        max(when(col("sub") === 1, col("code"))).as("code1"),
+        max(when(col("sub") === 2, col("code"))).as("code2"),
+        max(when(col("sub") === 3, col("code"))).as("code3"),
+        Parity.r6(sum(col("dist2")) / lit(64.0)).as("recon_mse"))
+      .orderBy(col("vec_id"))
   }
 
   /** Vector scalar family over the embedding column: L2 norm,
@@ -335,6 +390,7 @@ object Similarity {
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnLsh),
     QueryDef("sim_ann_ivf", None, simAnnIvf),
+    QueryDef("sim_pq_encode", None, simPqEncode),
 
     QueryDef("sim_ann_multiprobe", Some {
       val bucketSql = planes(12, 64).zipWithIndex.map { case (p, i) =>

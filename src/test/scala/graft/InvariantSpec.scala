@@ -305,6 +305,26 @@ class InvariantSpec extends AnyFunSuite {
     assert(pr.take(10).forall(_.getString(0).startsWith("s")))
   }
 
+  test("PQ encoding: codes in range, distortion beats the one-centroid baseline") {
+    val rows = q("sim_pq_encode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getInt(i); assert(c >= 0 && c < 16, s"code $c out of [0,16)")
+      }
+    }
+    val avgMse = rows.map(_.getDouble(5)).sum / rows.length
+    // baseline: per-dim population variance = the distortion of a
+    // single-centroid (corpus mean) codebook; 16 codes/subspace must
+    // beat it decisively or the quantizer learned nothing
+    val baseline = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(var_pop(col("x")).as("v"))
+      .agg(avg(col("v"))).collect()(0).getDouble(0)
+    assert(avgMse > 0.0)
+    assert(avgMse < baseline, s"PQ mse $avgMse not below one-centroid baseline $baseline")
+  }
+
   test("count-min estimates dominate exact counts within the ε·N guarantee") {
     val rows = q("agg_countmin_freq").collect()
     assert(rows.nonEmpty)
