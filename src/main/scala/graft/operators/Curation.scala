@@ -243,7 +243,57 @@ object Curation {
       .orderBy(col("rule"))
   }
 
+  /** Weighted sample without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each document draws a deterministic
+    * uniform u from md5, gets priority q = u / w (weight = token
+    * count), and the k smallest priorities win — inclusion probability
+    * ∝ weight, the classic size-biased pick for "sample the corpus but
+    * prefer substantial documents".
+    *
+    * Cross-engine exactness with NO rounding: u is a 48-bit md5 prefix
+    * (exactly representable in a double), u/2^48 divides by a power of
+    * two (exponent shift — exact), and q = u_frac / w is ONE IEEE
+    * division, correctly rounded identically on every engine. Compare
+    * with A-ES (u^(1/w) keys), which needs transcendental pow — the
+    * priority form is the arithmetic-exact member of that family.
+    *
+    * Scale: one scan → TakeOrderedAndProject(k) — per-partition top-k
+    * then a k-row gather; no shuffle of the corpus. The rank window
+    * runs AFTER the limit, over exactly k rows. */
+  private def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val w = Window.orderBy(col("q"), col("doc_id"))
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q",
+        (conv(substring(md5(concat(lit("w42:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast(LongType).cast("double") / lit(281474976710656.0))
+          / col("n_tokens").cast("double"))
+      .orderBy(col("q"), col("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("rnk"), col("doc_id"), col("n_tokens"), col("q"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sample_weighted", Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |     AS n_tokens
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, n_tokens,
+        |   (CAST(('0x' || substr(md5('w42:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0) / CAST(n_tokens AS DOUBLE) AS q
+        |  FROM t WHERE n_tokens > 0),
+        | r AS (
+        |  SELECT doc_id, n_tokens, q FROM p ORDER BY q, doc_id LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rnk,
+        | doc_id, n_tokens, q
+        |FROM r ORDER BY rnk""".stripMargin),
+      sampleWeighted),
+
     QueryDef("profile_join_cardinality", Some(
       """WITH la1 AS (SELECT l_orderkey AS k, count(*) AS lc FROM lineitem GROUP BY 1),
         | ra1 AS (SELECT o_orderkey AS k, count(*) AS rc FROM orders GROUP BY 1),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -465,7 +466,86 @@ object Dedup {
       .orderBy(col("noun"))
   }
 
+  /** Prefix-filtered set-similarity self-join — the PPJoin-family
+    * optimization over the plain inverted index ([[dedupNgramJaccard]]
+    * indexes EVERY shingle): order each document's distinct shingles
+    * by ascending global frequency (rarest first) and index only the
+    * first n − ⌈t·n⌉ + 1 of them. Two sets with Jaccard ≥ t must
+    * share at least one PREFIX element (pigeonhole on the overlap
+    * bound ⌈t/(1+t)·(na+nb)⌉), so the candidate join touches a small
+    * rare-shingle slice of the index — the frequent shingles that
+    * make inverted-index buckets quadratic never enter the join.
+    *
+    * Three keyed shuffles (shingle frequency, per-doc prefix window,
+    * candidate verify), Σ bucket² only over RARE-shingle buckets.
+    * Verification counts common shingles with two keyed equi-joins
+    * and one division ⇒ bitwise cross-engine, oracle-checked. */
+  private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val tok = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tk"))
+    val pref = tok.join(freq, "tk").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+      .select(col("doc_id"), col("tk"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val common = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tk")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("tk")), Seq("doc_b", "tk"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_size"))
+    val jac = col("inter_size").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter_size")).cast(DoubleType)
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= t)
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), jac.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_jaccard_prefix", Some(
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        | tok AS (
+        |  SELECT DISTINCT doc_id, tk FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tk
+        |   FROM t0 WHERE len(t) >= 3)),
+        | freq AS (SELECT tk, count(*) AS f FROM tok GROUP BY tk),
+        | sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        | pref AS (
+        |  SELECT doc_id, tk FROM (
+        |    SELECT tok.doc_id, tok.tk, sz.n,
+        |     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.f, tok.tk) AS rn
+        |    FROM tok JOIN freq f ON f.tk = tok.tk JOIN sz ON sz.doc_id = tok.doc_id)
+        |  WHERE rn <= n - ceil(0.5 * n) + 1),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.tk = b.tk AND a.doc_id < b.doc_id),
+        | common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+        |  FROM cand c
+        |   JOIN tok ta ON ta.doc_id = c.doc_a
+        |   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tk = ta.tk
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
+        | CAST(inter_size AS DOUBLE) / (sa.n + sb.n - inter_size) AS jaccard
+        |FROM common
+        | JOIN sz sa ON sa.doc_id = doc_a
+        | JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter_size AS DOUBLE) / (sa.n + sb.n - inter_size) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      dedupJaccardPrefix),
+
     QueryDef("dedup_fuzzy_names", Some(
       """WITH p AS (
         |  SELECT p_partkey, p_name,

@@ -133,6 +133,64 @@ object Graph {
       .orderBy(col("side"), col("degree"))
   }
 
+  /** Triangle counting + local clustering coefficient on the part
+    * CO-PURCHASE graph (parts sharing an order — the bipartite graph
+    * above is triangle-free by construction, so this derives the
+    * classic one-mode projection market-basket graph instead). A
+    * deterministic md5 order-sample (keep 1/4) bounds the projection
+    * the way a real pipeline bounds a dense co-occurrence graph.
+    *
+    * Algorithm: DEGREE-ORIENTED wedge join (Chiba–Nishizeki / the
+    * standard distributed formulation): orient every undirected edge
+    * from its lower (degree, id) endpoint to the higher; wedges are the
+    * self-join of oriented edges on their source with canonically
+    * ordered tips; a wedge closes iff its tip pair is itself an
+    * oriented edge. Orientation caps out-degree at O(√m) on ANY graph,
+    * so wedge count is Σ outdeg² ≤ m^1.5 — never the Σ deg² of the
+    * naive form where one hub explodes the join. All three hops are
+    * keyed equi-joins (shuffle on node / tip pair); no windows, no
+    * cartesian. Per-node counts credit each triangle to its 3 corners
+    * via a 3-way union + hash-agg. Everything is exact integer work +
+    * one rounded division ⇒ oracle-checked. */
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uLower, col("u")).otherwise(col("v")).as("src"),
+      when(uLower, col("v")).otherwise(col("u")).as("dst"),
+      when(uLower, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddst") < col("y.ddst") ||
+            (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    perNode.join(deg, "node")
+      .select(col("node").cast("long").as("part"), col("deg").as("degree"),
+        col("triangles"),
+        Parity.r6(lit(2.0) * col("triangles")
+          / (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
+      .orderBy(col("triangles").desc, col("part")).limit(20)
+  }
+
   private val edgesCte =
     """WITH edges AS (
       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
@@ -145,6 +203,49 @@ object Graph {
       |)""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_triangles", Some(
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE CAST(('0x' || substr(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 4 = 0),
+        | pairs AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        | deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY node),
+        | oriented AS (
+        |  SELECT
+        |   CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |        THEN u ELSE v END AS src,
+        |   CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |        THEN v ELSE u END AS dst,
+        |   CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |        THEN d2.deg ELSE d1.deg END AS ddst
+        |  FROM pairs
+        |   JOIN deg d1 ON d1.node = pairs.u
+        |   JOIN deg d2 ON d2.node = pairs.v),
+        | wedges AS (
+        |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+        |  FROM oriented x JOIN oriented y ON x.src = y.src
+        |   AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))),
+        | tri AS (
+        |  SELECT w.a, w.b, w.c FROM wedges w
+        |  JOIN oriented e ON e.src = w.b AND e.dst = w.c),
+        | per_node AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT CAST(p.node AS BIGINT) AS part, d.deg AS degree, p.triangles,
+        | floor(2.0 * p.triangles / (d.deg * (d.deg - 1)) * 1000000 + 0.5) / 1000000
+        |   AS clustering
+        |FROM per_node p JOIN deg d ON d.node = p.node
+        |ORDER BY p.triangles DESC, part LIMIT 20""".stripMargin),
+      graphTriangles),
+
     QueryDef("graph_pagerank", Some(
       edgesCte +
         """,

@@ -313,6 +313,108 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-PQ with asymmetric-distance (ADC) search — the composition
+    * that makes billion-vector ANN fit a cluster: the coarse quantizer
+    * (SAME train-once store as [[simAnnIvf]]) routes each vector to a
+    * cell, the cell RESIDUAL v − c is product-quantized to 4 codes
+    * (per-subspace codebooks on residuals — tighter than raw-vector PQ
+    * because residual energy ≪ vector energy), and a query scores
+    * candidates WITHOUT touching float vectors: dot(q,v) ≈ dot(q,c) +
+    * Σⱼ dot(qⱼ, codewordⱼ[codeⱼ]) — the per-query lookup table (ADC)
+    * of |Q|·m·k partial dots, broadcast. The top-10 ADC shortlist per
+    * query is then reranked EXACTLY against the float vectors (only
+    * |Q|·10 rows move), standard Jégou et al. IVFADC.
+    *
+    * Scale: candidates meet queries only inside their cell (keyed
+    * equi-join on cell + code keys); the scored relation is codes, not
+    * vectors — 4 small ints per candidate instead of 64 floats, the
+    * 128× bandwidth cut that is the point of PQ. Both quantizers come
+    * from write-once stores: query cost is encode + probe, never
+    * training. Approximate ⇒ no oracle; the recall contract vs the
+    * exact top-k lives in InvariantSpec. */
+  private def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = 16 // 4 × 16 = 64 dims
+    val v = normed(spark, dir)
+    val coarse = trainedCentroids(v, dir, k = 10, iters = 2)
+    val centLits = coarse.map { case (id, ce) =>
+      struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
+    val centMap = map(coarse.flatMap { case (id, ce) =>
+      Seq(lit(id), array(ce.map(lit): _*)) }: _*)
+    val withCell = v
+      .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
+      .select(col("vec_id"), col("e"), col("nrm"), struct(
+        (lit(0.5) * expr("dot_product(c.ce, c.ce)") - expr("dot_product(e, c.ce)")).as("negscore"),
+        col("c.cent_id").as("cent_id")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("m.cent_id").as("cell"))
+      .withColumn("resid", zip_with(col("e"), element_at(centMap, col("cell")),
+        (x, y) => x - y))
+    val books = (0 until 4).map { j =>
+      val sub = withCell.select(col("vec_id"),
+        slice(col("resid"), j * subDim + 1, subDim).as("e"))
+      j -> trainedCentroids(sub, dir, k = 16, iters = 2,
+        kind = "ivfpqcode", tag = s"_m$j")
+    }
+    val cands = books.flatMap { case (j, cs) =>
+      cs.map { case (id, ce) =>
+        struct(lit(j).as("sub"), lit(id).as("code"), array(ce.map(lit): _*).as("ce")) }
+    }
+    // encode: nearest residual codeword per (vector, subspace) — the
+    // same partial-agg argmin as PQ encoding, carrying cell + norm
+    val codes = withCell
+      .select(col("vec_id"), col("cell"), col("nrm"), col("resid"),
+        explode(array(cands: _*)).as("c"))
+      .select(col("vec_id"), col("cell"), col("nrm"), col("c.sub").as("sub"),
+        slice(col("resid"), col("c.sub") * subDim + 1, lit(subDim)).as("se"),
+        col("c.code").as("code"), col("c.ce").as("ce"))
+      .select(col("vec_id"), col("cell"), col("nrm"), col("sub"), struct(
+        (expr("dot_product(se, se)") - lit(2.0) * expr("dot_product(se, ce)")
+          + expr("dot_product(ce, ce)")).as("dist2"),
+        col("code")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("mn"), first(col("cell")).as("cell"),
+        first(col("nrm")).as("cnrm"))
+      .select(col("vec_id").as("cid"), col("cell"), col("cnrm"),
+        col("sub"), col("mn.code").as("code"))
+    // per-query ADC lookup table: |Q| × 4 × 16 partial dots + the
+    // cell-centroid term — bounded, broadcast
+    val lut = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("cell").as("qcell"))
+      .withColumn("qcent", element_at(centMap, col("qcell")))
+      .withColumn("cterm", expr("dot_product(qe, qcent)"))
+      .select(col("qid"), col("qe"), col("qnrm"), col("qcell"), col("cterm"),
+        explode(array(cands: _*)).as("c"))
+      .select(col("qid"), col("qnrm"), col("qcell"), col("cterm"),
+        col("c.sub").as("psub"), col("c.code").as("pcode"),
+        expr(s"dot_product(slice(qe, c.sub * $subDim + 1, $subDim), c.ce)")
+          .as("partial"))
+    val adc = codes.join(broadcast(lut),
+        col("cell") === col("qcell") && col("sub") === col("psub") &&
+          col("code") === col("pcode") && col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg((first(col("cterm")) + sum(col("partial"))).as("adot"),
+        first(col("cnrm")).as("cnrm2"), first(col("qnrm")).as("qnrm2"))
+      .withColumn("ascore", col("adot") / (col("qnrm2") * col("cnrm2")))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+    val shortlist = adc.withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= 20).select(col("qid"), col("cid"))
+    // exact rerank: only |Q| × 20 shortlist rows touch float vectors
+    val cside = v.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cnrm"))
+    val qside = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    shortlist.join(cside, "cid").join(broadcast(qside), "qid")
+      .select(col("qid"), col("cid"),
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Vector scalar family over the embedding column: L2 norm,
     * normalization, element-wise ops — per-element IEEE arithmetic plus
     * a sequential-sum norm, all bitwise cross-engine ⇒ oracle-checked.
@@ -390,6 +492,7 @@ object Similarity {
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnLsh),
     QueryDef("sim_ann_ivf", None, simAnnIvf),
+    QueryDef("sim_ann_ivfpq", None, simAnnIvfPq),
     QueryDef("sim_pq_encode", None, simPqEncode),
 
     QueryDef("sim_ann_multiprobe", Some {

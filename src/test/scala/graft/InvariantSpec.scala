@@ -164,6 +164,64 @@ class InvariantSpec extends AnyFunSuite {
     assert(ivf.forall { case (q0, c) => q0 != c })
   }
 
+  test("IVF-PQ ADC + exact rerank holds recall and never beats the exact scores") {
+    val exact = q("sim_cosine_topk")
+      .select("qid", "cid", "cs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = q("sim_ann_ivfpq")
+      .select("qid", "cid", "cs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same cells as IVF, further compressed by PQ — the floor is the
+    // sanity bar for random 64-dim embeddings (hardest case)
+    val recall = (exact.keySet & ivfpq.keySet).size.toDouble / exact.size
+    assert(recall >= 0.15, s"IVF-PQ recall collapsed: $recall")
+    assert(ivfpq.keys.forall { case (q0, c) => q0 != c })
+    // the rerank stage scores with EXACT cosine: any pair both sides
+    // report must carry the identical rounded score
+    (exact.keySet & ivfpq.keySet).foreach { k =>
+      assert(exact(k) == ivfpq(k), s"rerank score drifted for $k")
+    }
+  }
+
+  test("prefix-filtered jaccard join finds every MinHash-verified pair") {
+    // both operators bound the same truth: pairs with shingle-set
+    // Jaccard >= 0.5. MinHash banding can MISS a true pair (probabilistic
+    // candidates); the prefix filter provably cannot — so the verified
+    // pair set must be a subset of the prefix join's result.
+    val prefix = q("dedup_jaccard_prefix")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = q("dedup_minhash_verified")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(prefix),
+      s"prefix join lost verified pairs: ${banded -- prefix}")
+  }
+
+  test("priority sample is weight-biased: sampled docs are longer on average") {
+    val sampled = q("sample_weighted")
+    assert(sampled.count() == 100)
+    val sampledMean = sampled.agg(avg(col("n_tokens"))).collect()(0).getDouble(0)
+    val corpusMean = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " +")).cast("double").as("n"))
+      .agg(avg(col("n"))).collect()(0).getDouble(0)
+    // inclusion probability ∝ token count ⇒ the sample must skew long
+    assert(sampledMean > corpusMean,
+      s"weighted sample not size-biased: $sampledMean <= $corpusMean")
+  }
+
+  test("triangle counts: clustering in (0,1], degree supports the count") {
+    val rows = q("graph_triangles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getLong(1); val tri = r.getLong(2); val cc = r.getDouble(3)
+      assert(tri >= 1 && deg >= 2)
+      // a node in t triangles needs t distinct neighbor pairs
+      assert(tri <= deg * (deg - 1) / 2, s"impossible count: $r")
+      assert(cc > 0 && cc <= 1.0)
+    }
+  }
+
   test("IVF centroids train once: a second invocation reuses the stored layout") {
     q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
     val f = new java.io.File(
