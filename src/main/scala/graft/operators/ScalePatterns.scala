@@ -351,7 +351,74 @@ object ScalePatterns {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ANALYZE-style column-statistics manifest for the optimizer: per
+    * column — exact NDV, min/max (as canonical strings), null count,
+    * row count. These are the stats a cost-based planner feeds on
+    * (join reordering, broadcast decisions, skew detection); at scale
+    * the exact count_distinct swaps for the HLL sketch
+    * (agg_approx_distinct) per partition and this same manifest shape
+    * re-aggregates incrementally. ONE scan: all per-column aggregates
+    * evaluate in a single agg (partial-merge-able), then `stack`
+    * unpivots to the long (column, …) catalog form. */
+  private def scaleStatsCollect(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackArgs = cols.map { c =>
+      s"'$c', ndv_$c, min_$c, max_$c, nulls_$c"
+    }.mkString(", ")
+    orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs)" +
+        " AS (column_name, ndv, min_value, max_value, null_count)"),
+        col("n_rows"))
+      .orderBy(col("column_name"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("scale_stats_collect", Some(
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |   count(DISTINCT o_custkey) AS ndv1,
+        |     CAST(min(o_custkey) AS VARCHAR) AS mn1,
+        |     CAST(max(o_custkey) AS VARCHAR) AS mx1,
+        |     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+        |   count(DISTINCT o_orderstatus) AS ndv2,
+        |     CAST(min(o_orderstatus) AS VARCHAR) AS mn2,
+        |     CAST(max(o_orderstatus) AS VARCHAR) AS mx2,
+        |     sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu2,
+        |   count(DISTINCT o_totalprice) AS ndv3,
+        |     CAST(min(o_totalprice) AS VARCHAR) AS mn3,
+        |     CAST(max(o_totalprice) AS VARCHAR) AS mx3,
+        |     sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu3,
+        |   count(DISTINCT o_orderdate) AS ndv4,
+        |     CAST(min(o_orderdate) AS VARCHAR) AS mn4,
+        |     CAST(max(o_orderdate) AS VARCHAR) AS mx4,
+        |     sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu4,
+        |   count(DISTINCT o_orderpriority) AS ndv5,
+        |     CAST(min(o_orderpriority) AS VARCHAR) AS mn5,
+        |     CAST(max(o_orderpriority) AS VARCHAR) AS mx5,
+        |     sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu5
+        |  FROM orders)
+        |SELECT column_name, ndv, min_value, max_value, null_count, n_rows FROM (
+        |  SELECT 'o_custkey' AS column_name, ndv1 AS ndv, mn1 AS min_value,
+        |    mx1 AS max_value, CAST(nu1 AS BIGINT) AS null_count, n_rows FROM s
+        |  UNION ALL SELECT 'o_orderstatus', ndv2, mn2, mx2, CAST(nu2 AS BIGINT),
+        |    n_rows FROM s
+        |  UNION ALL SELECT 'o_totalprice', ndv3, mn3, mx3, CAST(nu3 AS BIGINT),
+        |    n_rows FROM s
+        |  UNION ALL SELECT 'o_orderdate', ndv4, mn4, mx4, CAST(nu4 AS BIGINT),
+        |    n_rows FROM s
+        |  UNION ALL SELECT 'o_orderpriority', ndv5, mn5, mx5, CAST(nu5 AS BIGINT),
+        |    n_rows FROM s)
+        |ORDER BY column_name""".stripMargin),
+      scaleStatsCollect),
+
     QueryDef("join_bloom_prefilter", Some(
       """SELECT p_brand, count(*) AS n,
         | floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue

@@ -435,7 +435,47 @@ object Statistics {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** Pairwise Pearson correlation + population covariance over the
+    * lineitem measure columns — the feature-correlation matrix a
+    * training pipeline computes before feature selection. ONE pass:
+    * all 6 pairs' moment aggregates evaluate in a single hash-agg scan
+    * (partial-merge-able co-moments — the same scale shape as
+    * [[aggRegression]]), then `stack` unpivots the 1-row wide result
+    * into the (col_x, col_y) long form. Rounded like agg_stats: merge
+    * formulas differ across engines in ulps, never in rounded digits. */
+  private def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (x, y) =>
+      Seq(Parity.r6(corr(col(x), col(y))).as(s"c_${x}_$y"),
+        Parity.r2(covar_pop(col(x), col(y))).as(s"v_${x}_$y"))
+    }
+    val stackArgs = pairs.map { case (x, y) =>
+      s"'$x', '$y', c_${x}_$y, v_${x}_$y"
+    }.mkString(", ")
+    lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, corr, covar)"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_corr_matrix", Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val arms = pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS col_x, '$y' AS col_y,
+           | floor(corr($x, $y) * 1000000 + 0.5) / 1000000 AS corr,
+           | floor(covar_pop($x, $y) * 100 + 0.5) / 100 AS covar
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    }, aggCorrMatrix),
+
     QueryDef("sql_q21_waiting_suppliers", Some(
       """SELECT s_name, count(*) AS numwait
         |FROM supplier
