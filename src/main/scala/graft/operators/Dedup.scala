@@ -482,29 +482,46 @@ object Dedup {
     * and one division ⇒ bitwise cross-engine, oracle-checked. */
   private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
+    // materialize the shingle relation ONCE: four consumers (frequency,
+    // sizes, prefix window, verify join ×2) would otherwise each re-run
+    // the interpreted shingle lambdas — measured 8.8 s → 2.6 s at sf0.1.
+    // On a cluster this is the persisted shingle table every
+    // set-similarity pipeline keeps beside the corpus.
     val tok = fanout(documents(spark, dir))
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
+      .localCheckpoint()
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tk"))
+    // prefix carries the set size so the candidate join can apply the
+    // PPJoin LENGTH filter: J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
+    // size-incompatible pairs never materialize as candidates
     val pref = tok.join(freq, "tk").join(sz, "doc_id")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
-      .select(col("doc_id"), col("tk"))
+      .select(col("doc_id"), col("tk"), col("n"))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(t) * col("a.n")) &&
+          col("a.n") >= ceil(lit(t) * col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val common = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("tk")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("tk")), Seq("doc_b", "tk"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_size"))
+    // verify via per-doc shingle ARRAYS (sets are already distinct):
+    // two keyed joins of |cand| rows + an in-row array_intersect —
+    // never the |cand|×|doc| row explosion of a token-level count join
+    // (measured 5.7 s → the explosion was the whole cost)
+    val docSets = tok.groupBy(col("doc_id"))
+      .agg(collect_list(col("tk")).as("set"), count(lit(1)).as("n"))
     val jac = col("inter_size").cast(DoubleType) /
       (col("na") + col("nb") - col("inter_size")).cast(DoubleType)
-    common
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter_size",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .filter(jac >= t)
       .select(col("doc_a"), col("doc_b"), col("inter_size"), jac.as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -157,9 +157,13 @@ object Graph {
       .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
         1, 8), 16, 10).cast("long") % 4 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // materialize the projection once: degree counting AND orientation
+    // both consume it, and its lineage (sampled scan → self-join →
+    // distinct) is the expensive part of the whole query
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -168,10 +172,14 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // materialize the oriented edge list ONCE: three consumers (both
+    // wedge sides + the closure probe) would each re-run the
+    // sample → self-join → distinct → degree-join lineage otherwise
     val oriented = withDeg.select(
       when(uLower, col("u")).otherwise(col("v")).as("src"),
       when(uLower, col("v")).otherwise(col("u")).as("dst"),
       when(uLower, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||
