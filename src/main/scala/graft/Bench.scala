@@ -24,7 +24,9 @@ object Bench {
     "dedup_fuzzy_names", "events_rfm", "pipeline_spec_join",
     "sample_train_split", "pipeline_mixture_plan",
     "sql_q9_product_profit", "graph_pagerank", "fn_regex",
-    "join_asof_nearest", "text_line_dedup", "corpus_budget_select")
+    "join_asof_nearest", "text_line_dedup", "corpus_budget_select",
+    "graph_triangles", "dedup_jaccard_prefix", "sim_ann_ivfpq",
+    "sample_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

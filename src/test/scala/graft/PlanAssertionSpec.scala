@@ -280,4 +280,39 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(p.contains("Generate explode")) // single-pass ≤2-row fan-out
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sample_weighted: global k-smallest plans as TakeOrderedAndProject") {
+    val p = plan("sample_weighted")
+    // the corpus is never globally sorted: per-partition top-k, k-row gather
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup_jaccard_prefix: candidate and verify joins are keyed, no cartesian") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
+  test("graph_triangles: every hop is a keyed join, no cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
+  test("sim_ann_ivfpq: ADC scoring joins on cell+code keys, LUT broadcasts") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(p.contains("BroadcastHashJoin")) // the |Q|·m·k LUT side
+  }
+
+  test("agg_corr_matrix: all six pairs aggregate in one scan, one partial agg") {
+    val qe = SparkEntry.queries("agg_corr_matrix")(spark, TestSpark.sf).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected 1 lineitem scan, got ${scans.size}")
+    val p = qe.sparkPlan.toString
+    assert(p.contains("partial_corr"), "map-side partial co-moments missing")
+  }
 }
