@@ -344,7 +344,51 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** EWMA (α = ½) over per-type daily event counts — trend smoothing
+    * with a BIT-EXACT cross-engine guarantee and no rounding formula:
+    * with the α = ½ decay every weight is a power of two, so the
+    * rewrite s_t = (Σ_{i≤t} xᵢ·2^{idxᵢ}) / 2^{idx_t+1} stays in exact
+    * binary arithmetic end-to-end — xᵢ·2^{idx} is an exact integer
+    * double (counts ≤ 2¹³, span ≤ 2⁵ days ⇒ < 2⁵³), the frame sum of
+    * exact integers is exact in ANY order, and the final scale divides
+    * by a power of two (exponent shift). Day gaps decay correctly for
+    * free: weights depend on the day INDEX, which is equivalent to
+    * zero-filling missing days.
+    *
+    * Scale: one shuffle on event_type; both windows (min-day, running
+    * sum) share that partitioning; series state is one row per
+    * (type, day). */
+  private def timeseriesEwma(spark: SparkSession, dir: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("idx",
+        datediff(to_date(col("d")), to_date(min(col("d")).over(wType))))
+      .withColumn("acc", sum(col("n") * pow(lit(2.0), col("idx"))).over(wCum))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), (col("acc") / pow(lit(2.0), col("idx") + 1)).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("timeseries_ewma", Some(
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | i AS (
+        |  SELECT event_type, d, n,
+        |   datediff('day', min(d) OVER (PARTITION BY event_type), d) AS idx
+        |  FROM daily)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        | sum(n * pow(2.0, idx)) OVER (PARTITION BY event_type ORDER BY idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   / pow(2.0, idx + 1) AS ewma
+        |FROM i ORDER BY event_type, day""".stripMargin),
+      timeseriesEwma),
+
     QueryDef("events_dau_wau", Some(
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

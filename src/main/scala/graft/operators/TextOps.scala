@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -341,7 +341,53 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Per-source token-distribution Shannon entropy + perplexity — the
+    * mixture-drift monitor for a training corpus: a source whose
+    * entropy collapses went template-y or duplicated; one that spikes
+    * went noisy. Identity: H = ln N − (Σ c·ln c)/N over per-token
+    * counts, so the whole computation is two map-side-combinable
+    * hash-aggs (token counts, then per-source moments) — no sort, no
+    * window. ln is transcendental ⇒ rounded r6 before the compare
+    * (same posture as every transcendental-bearing oracle op);
+    * perplexity exponentiates the ALREADY-ROUNDED entropy so drift
+    * cannot compound. */
+  private def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = fanout(documents(spark, dir))
+      .select(col("source"), explode(toks).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val ent = Parity.r6(
+      log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        ent.as("entropy"), Parity.r2(exp(ent)).as("perplexity"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_entropy", Some(
+      """WITH cnt AS (
+        |  SELECT source, t, count(*) AS c FROM (
+        |    SELECT source,
+        |     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)
+        |  GROUP BY source, t),
+        | agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |   count(*) AS vocab,
+        |   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |  FROM cnt GROUP BY source),
+        | e AS (
+        |  SELECT source, n_tokens, vocab,
+        |   floor((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) * 1000000 + 0.5)
+        |     / 1000000 AS entropy
+        |  FROM agg)
+        |SELECT source, n_tokens, vocab, entropy,
+        | floor(exp(entropy) * 100 + 0.5) / 100 AS perplexity
+        |FROM e ORDER BY source""".stripMargin),
+      textEntropy),
+
     QueryDef("pipeline_curate_corpus", Some(
       """WITH norm AS (
         |  SELECT doc_id, lang,

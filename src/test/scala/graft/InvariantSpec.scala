@@ -222,6 +222,35 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma satisfies its recursion s_t = x_t/2 + s_{t-1}/2 BIT-FOR-BIT") {
+    // the α=½ power-of-two rewrite claims exact binary arithmetic —
+    // so the recursive identity must hold with ==, not a tolerance.
+    // Day gaps decay by the index difference: s_t = x_t/2 + s_prev/2^(Δidx)
+    val rows = q("timeseries_ewma").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { series =>
+      val s = series.sortBy(_._2)
+      val day0 = java.time.LocalDate.parse(s.head._2)
+      def idx(d: String) = java.time.temporal.ChronoUnit.DAYS
+        .between(day0, java.time.LocalDate.parse(d))
+      s.zipWithIndex.foreach { case ((_, d, n, ewma), i) =>
+        val prev = if (i == 0) 0.0
+          else s(i - 1)._4 / math.pow(2.0, (idx(d) - idx(s(i - 1)._2) - 1).toDouble)
+        assert(ewma == n / 2.0 + prev / 2.0, s"recursion broke at $d")
+      }
+    }
+  }
+
+  test("entropy is bounded by ln(vocab) and perplexity matches exp(entropy)") {
+    q("text_entropy").collect().foreach { r =>
+      val vocab = r.getLong(2); val h = r.getDouble(3); val ppl = r.getDouble(4)
+      assert(h > 0 && h <= math.log(vocab.toDouble) + 1e-9)
+      assert(math.abs(ppl - math.exp(h)) <= 0.005 + 1e-9)
+    }
+  }
+
   test("IVF centroids train once: a second invocation reuses the stored layout") {
     q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
     val f = new java.io.File(
