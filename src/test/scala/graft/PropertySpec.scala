@@ -70,4 +70,31 @@ class PropertySpec extends AnyFunSuite {
       assert(math.floor(r * 100 + 0.5) / 100 == r)
     }
   }
+
+  test("property: frequency-ordered prefix filtering never loses a pair with J >= t") {
+    // pure model of dedup_jaccard_prefix's candidate bound (Bayardo /
+    // Xiao PPJoin prefix): keeping the n − ceil(t·n) + 1 rarest-first
+    // elements of each set must leave a shared element for EVERY pair
+    // whose true Jaccard reaches t — over random universes, with the
+    // same ceil arithmetic as the operator. Catches any off-by-one in
+    // the bound that the oracle (which mirrors the same filter both
+    // sides) could never see.
+    val t = 0.5
+    val gen = Gen.listOfN(8,
+      Gen.containerOf[Set, Int](Gen.choose(0, 25)).suchThat(_.nonEmpty))
+    cases(gen, n = 24).foreach { docs =>
+      val freq = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[Int]): Set[Int] = {
+        val keep = s.size - math.ceil(t * s.size).toInt + 1
+        s.toSeq.sortBy(tok => (freq(tok), tok)).take(keep).toSet
+      }
+      for (i <- docs.indices; j <- docs.indices if i < j) {
+        val (a, b) = (docs(i), docs(j))
+        val jac = (a & b).size.toDouble / (a | b).size
+        if (jac >= t)
+          assert(prefix(a).intersect(prefix(b)).nonEmpty,
+            s"prefix filter lost a true pair: $a vs $b (J=$jac)")
+      }
+    }
+  }
 }
