@@ -88,12 +88,26 @@ class PropertySpec extends AnyFunSuite {
         val keep = s.size - math.ceil(t * s.size).toInt + 1
         s.toSeq.sortBy(tok => (freq(tok), tok)).take(keep).toSet
       }
+      def rank(s: Set[Int]): Map[Int, Int] =
+        s.toSeq.sortBy(tok => (freq(tok), tok)).zipWithIndex
+          .map { case (tok, i) => tok -> (i + 1) }.toMap
       for (i <- docs.indices; j <- docs.indices if i < j) {
         val (a, b) = (docs(i), docs(j))
         val jac = (a & b).size.toDouble / (a | b).size
-        if (jac >= t)
+        if (jac >= t) {
           assert(prefix(a).intersect(prefix(b)).nonEmpty,
             s"prefix filter lost a true pair: $a vs $b (J=$jac)")
+          // the operator's FULL candidate condition (prefix match +
+          // length filter + positional filter) must also keep the pair
+          val (ra, rb) = (rank(a), rank(b))
+          val survives = prefix(a).intersect(prefix(b)).exists { w =>
+            b.size >= math.ceil(t * a.size) &&
+              a.size >= math.ceil(t * b.size) &&
+              1 + math.min(a.size - ra(w), b.size - rb(w)) >=
+                math.ceil(t / (1.0 + t) * (a.size + b.size))
+          }
+          assert(survives, s"positional/length filter lost: $a vs $b (J=$jac)")
+        }
       }
     }
   }
