@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the part↔supplier bipartite graph derived from
@@ -199,6 +200,37 @@ object Graph {
       .orderBy(col("triangles").desc, col("part")).limit(20)
   }
 
+  /** Community detection via synchronous label propagation, 2 fixed
+    * iterations (fixed ⇒ the oracle unrolls them as CTEs, exactly like
+    * [[graphPagerank]]): every node starts as its own label; each step
+    * takes the MODE of its neighbors' labels (ties → lexicographically
+    * smallest). A different iterative-aggregation shape than PageRank:
+    * the combiner is arg-max-count (hash-agg on (node, label) with
+    * map-side combine, then a node-partitioned row_number), not a sum
+    * — the pattern for any vote-based propagation (community, error
+    * correction, majority gossip).
+    *
+    * Scale: per iteration one shuffle on the (node, label) count agg +
+    * one node-partitioned window; label state is one row per node.
+    * Deterministic throughout ⇒ oracle-checked. */
+  private def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = bipartiteEdges(spark, dir).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 2) {
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+      labels = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community")).limit(20)
+  }
+
   private val edgesCte =
     """WITH edges AS (
       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
@@ -253,6 +285,32 @@ object Graph {
         |FROM per_node p JOIN deg d ON d.node = p.node
         |ORDER BY p.triangles DESC, part LIMIT 20""".stripMargin),
       graphTriangles),
+
+    QueryDef("graph_communities", Some(
+      edgesCte +
+        """,
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |l0 AS (SELECT node, node AS lbl FROM nodes),
+          |c1 AS (
+          |  SELECT e.dst AS node, l0.lbl, count(*) AS c
+          |  FROM edges e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+          |l1 AS (
+          |  SELECT node, lbl FROM (
+          |    SELECT node, lbl,
+          |     row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+          |    FROM c1) WHERE rn = 1),
+          |c2 AS (
+          |  SELECT e.dst AS node, l1.lbl, count(*) AS c
+          |  FROM edges e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+          |l2 AS (
+          |  SELECT node, lbl FROM (
+          |    SELECT node, lbl,
+          |     row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+          |    FROM c2) WHERE rn = 1)
+          |SELECT lbl AS community, count(*) AS n_nodes
+          |FROM l2 GROUP BY lbl
+          |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin),
+      graphCommunities),
 
     QueryDef("graph_pagerank", Some(
       edgesCte +

@@ -299,6 +299,13 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"))
   }
 
+  test("scale_stats_collect: no Expand — NDVs must not replicate the scan rows") {
+    // five count_distincts in one agg would plan Expand (5× row
+    // replication through one shuffle); the split form must never
+    val p = plan("scale_stats_collect")
+    assert(!p.contains("Expand"), "multi-distinct Expand crept back in")
+  }
+
   test("sim_ann_ivfpq: ADC scoring joins on cell+code keys, LUT broadcasts") {
     val p = plan("sim_ann_ivfpq")
     assert(!p.contains("CartesianProduct"))
