@@ -66,6 +66,65 @@ object Statistics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact percentile via TWO-PHASE BIN SELECTION — the scale-safe
+    * exact path where [[aggPercentile]]'s per-group cumulative window
+    * (reducer parallelism = #groups) and the GK sketch (approximate)
+    * both fall short. Phase 1: fixed-width value-bin counts per group
+    * (ONE map-side-combinable hash-agg over the corpus), cumulative
+    * counts over the ~#bins METADATA rows locate the bin holding each
+    * target rank. Phase 2: only the located bins' rows (≈ n/#bins per
+    * group, broadcast-pruned semi-join) are exactly ranked with a
+    * (group, bin)-partitioned window — the full-group sort never
+    * happens, parallelism is groups × bins throughout. Same bracketing
+    * ranks + `lo + (hi−lo)·frac` interpolation as [[aggPercentile]]
+    * ⇒ bitwise-identical to DuckDB quantile_cont, same oracle. */
+  private def aggPercentileSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binW = 1000.0
+    val b = lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_extendedprice").as("v"),
+      floor(col("l_extendedprice") / binW).cast("long").as("bin"))
+    val wBin = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = b.groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        wBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(wFlag))
+    // the four 0-based bracketing ranks per group: floor/ceil of
+    // pos = p·(n−1) for p ∈ {0.5, 0.9}
+    val targets = cum.select(col("l_returnflag"), col("n")).distinct()
+      .select(col("l_returnflag"), explode(array(lit(0.5), lit(0.9))).as("p"),
+        col("n"))
+      .withColumn("pos", col("p") * (col("n") - 1))
+      .select(col("l_returnflag"), col("p"), col("pos"),
+        explode(array(floor(col("pos")).cast("long"),
+          ceil(col("pos")).cast("long"))).as("rk"))
+    val located = targets.join(cum, Seq("l_returnflag"))
+      .filter(col("rk") >= col("cum_prev") && col("rk") < col("cum"))
+      .select(col("l_returnflag"), col("p"), col("pos"), col("rk"),
+        col("bin"), col("cum_prev"))
+    // phase 2: open ONLY the located bins; global rank = bin offset +
+    // exact local rank inside the (group, bin) partition
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("bin")).orderBy(col("v"))
+    val vals = b.join(
+        broadcast(located.select(col("l_returnflag"), col("bin")).distinct()),
+        Seq("l_returnflag", "bin"))
+      .withColumn("lrk", row_number().over(wLocal).cast("long") - 1)
+      .join(broadcast(located), Seq("l_returnflag", "bin"))
+      .filter(col("lrk") === col("rk") - col("cum_prev"))
+      .select(col("l_returnflag"), col("p"), col("pos"), col("rk"), col("v"))
+    vals.groupBy(col("l_returnflag"), col("p"), col("pos"))
+      .agg(min(when(col("rk") === floor(col("pos")).cast("long"), col("v"))).as("vlo"),
+        min(when(col("rk") === ceil(col("pos")).cast("long"), col("v"))).as("vhi"))
+      .withColumn("q",
+        col("vlo") + (col("vhi") - col("vlo")) * (col("pos") - floor(col("pos"))))
+      .groupBy(col("l_returnflag"))
+      .agg(Parity.r4(max(when(col("p") === 0.5, col("q")))).as("p50"),
+        Parity.r4(max(when(col("p") === 0.9, col("q")))).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Sketch-based percentile (GK) — constant memory per group at any
     * scale, returns a member value not an interpolation ⇒ no oracle. */
   private def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
@@ -660,6 +719,15 @@ object Statistics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggPercentile),
 
     QueryDef("agg_approx_percentile", None, aggApproxPercentile),
+
+    // identical oracle as agg_percentile by design: two-phase bin
+    // selection must reproduce the flat sort's answer exactly
+    QueryDef("agg_percentile_select", Some(
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggPercentileSelect),
 
     QueryDef("agg_unpivot", Some(
       """SELECT p_partkey, measure, value FROM (

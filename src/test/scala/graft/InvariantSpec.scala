@@ -261,6 +261,14 @@ class InvariantSpec extends AnyFunSuite {
     assert(f.lastModified() == published, "second invocation must not retrain")
   }
 
+  test("two-phase bin selection reproduces the flat percentile exactly") {
+    // same answer, different plan: the scale path must equal the
+    // reference histogram-window path row for row
+    val flat = q("agg_percentile").collect().toSeq
+    val selected = q("agg_percentile_select").collect().toSeq
+    assert(flat == selected)
+  }
+
   test("GK-sketch percentiles bracket the exact interpolated values") {
     val approx = q("agg_approx_percentile")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
