@@ -542,6 +542,68 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shared DuckDB CTE chain: banding candidates → exact-Jaccard
+    * verified pairs → symmetric edges → recursive transitive closure →
+    * min-label clusters. Consumed by both `dedup_clusters` (the labels)
+    * and `dedup_apply` (the deduplicated-corpus manifest). */
+  private val clusterCte: String =
+    """, bands AS (
+      |  SELECT doc_id,
+      |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+      |   unnest([0, 1, 2, 3]) AS bi
+      |  FROM sig),
+      | cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id),
+      | shs AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+      |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |   FROM tk WHERE len(t) >= 3)),
+      | sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+      | common AS (
+      |  SELECT doc_a, doc_b, count(*) AS c
+      |  FROM cand
+      |   JOIN shs sa ON sa.doc_id = doc_a
+      |   JOIN shs sb ON sb.doc_id = doc_b AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      | vp AS (
+      |  SELECT doc_a, doc_b FROM common
+      |   JOIN sizes sa ON sa.doc_id = doc_a
+      |   JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      | ed AS (SELECT doc_a AS a, doc_b AS b FROM vp
+      |        UNION SELECT doc_b, doc_a FROM vp),
+      | reach AS (
+      |  SELECT a AS src, b AS dst FROM ed
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst),
+      | cl AS (
+      |  SELECT src AS doc, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)""".stripMargin
+
+  /** APPLY the near-dup clustering: drop every clustered document
+    * except its cluster representative (the min-id label), keep all
+    * unclustered documents, and emit the per-source manifest
+    * (docs before/after, tokens removed) a curation run reports. The
+    * corpus-sized work is one left join against the (small) drop list;
+    * everything upstream reuses [[dedupClusters]]'s converged labels. */
+  private def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = dedupClusters(spark, dir)
+      .filter(col("doc") =!= col("cluster"))
+      .select(col("doc").as("doc_id"), lit(1L).as("dropped"))
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens"))
+      .join(drop, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("docs_after"),
+        sum(when(col("dropped").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_removed"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_jaccard_prefix", Some(
       """WITH t0 AS (
@@ -659,44 +721,27 @@ object Dedup {
         |ORDER BY corpus_doc, bench_doc""".stripMargin), textDecontaminate),
 
     QueryDef("dedup_clusters", Some(
-      minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, bands AS (
-        |  SELECT doc_id,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
-        |   unnest([0, 1, 2, 3]) AS bi
-        |  FROM sig),
-        | cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id),
-        | shs AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
-        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-        |   FROM tk WHERE len(t) >= 3)),
-        | sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
-        | common AS (
-        |  SELECT doc_a, doc_b, count(*) AS c
-        |  FROM cand
-        |   JOIN shs sa ON sa.doc_id = doc_a
-        |   JOIN shs sb ON sb.doc_id = doc_b AND sb.s = sa.s
-        |  GROUP BY 1, 2),
-        | vp AS (
-        |  SELECT doc_a, doc_b FROM common
-        |   JOIN sizes sa ON sa.doc_id = doc_a
-        |   JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        | ed AS (SELECT doc_a AS a, doc_b AS b FROM vp
-        |        UNION SELECT doc_b, doc_a FROM vp),
-        | reach AS (
-        |  SELECT a AS src, b AS dst FROM ed
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst),
-        | cl AS (
-        |  SELECT src AS doc, least(src, min(dst)) AS cluster
-        |  FROM reach GROUP BY src)
+      minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + clusterCte +
+      """
         |SELECT doc, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM cl ORDER BY doc""".stripMargin), dedupClusters),
+
+    QueryDef("dedup_apply", Some(
+      minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + clusterCte +
+      """,
+        | drops AS (SELECT doc FROM cl WHERE doc <> cluster),
+        | d AS (
+        |  SELECT doc_id, source,
+        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |     AS n_tokens
+        |  FROM documents)
+        |SELECT d.source, count(*) AS docs_before,
+        | CAST(sum(CASE WHEN dr.doc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_after,
+        | CAST(sum(CASE WHEN dr.doc IS NOT NULL THEN d.n_tokens ELSE 0 END)
+        |   AS BIGINT) AS tokens_removed
+        |FROM d LEFT JOIN drops dr ON dr.doc = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin), dedupApply),
 
     QueryDef("dedup_minhash_verified", Some(minhashSigCte +
       """, bands AS (
