@@ -26,7 +26,8 @@ object Bench {
     "sql_q9_product_profit", "graph_pagerank", "fn_regex",
     "join_asof_nearest", "text_line_dedup", "corpus_budget_select",
     "graph_triangles", "dedup_jaccard_prefix", "sim_ann_ivfpq",
-    "sample_weighted")
+    "sample_weighted", "graph_communities", "agg_percentile_select",
+    "dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -120,7 +120,78 @@ object Multimodal {
       .orderBy(col("lang"), col("batch_id"))
   }
 
+  /** Int8 embedding quantization — the serving-side storage cut (4×
+    * under float32, 32× if the floats were doubles): per-DIMENSION
+    * min/max ranges (64 metadata rows, one posexplode hash-agg with
+    * map-side combine) broadcast back over the corpus, each element
+    * snapped to its 0–255 code with the floor(+0.5) parity formula.
+    * Output is the code manifest (first 4 codes + an md5 fingerprint of
+    * the full code vector) plus the per-vector reconstruction MSE,
+    * computed through the SAME sequential dot-product primitive as the
+    * similarity family ⇒ bitwise cross-engine, oracle-checked.
+    *
+    * Scale: stats are per-dimension (constant rows at any corpus size);
+    * the quantize pass is one broadcast join + per-row arithmetic; the
+    * per-vector regroup shuffles (vec_id, dim) pairs once. */
+  private def mmEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val v = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val dims = v.select(posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5)
+      .cast(LongType)
+    v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .join(broadcast(dims), "pos")
+      .withColumn("code", code)
+      .withColumn("deq", col("mn") + col("code") * (col("mx") - col("mn")) / 255)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("x"), col("code"), col("deq")))).as("s"))
+      .select(col("vec_id"),
+        element_at(col("s"), 1).getField("code").as("code0"),
+        element_at(col("s"), 2).getField("code").as("code1"),
+        element_at(col("s"), 3).getField("code").as("code2"),
+        element_at(col("s"), 4).getField("code").as("code3"),
+        md5(concat_ws(",",
+          transform(col("s"), t => t.getField("code").cast(StringType))))
+          .as("codes_md5"),
+        transform(col("s"), t => t.getField("x") - t.getField("deq")).as("err"))
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+        col("codes_md5"),
+        Parity.r6(expr("dot_product(err, err)") / 64).as("recon_mse"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_embed_quantize", Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | x AS (
+        |  SELECT vec_id, i AS pos, e[i] AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS t(i)),
+        | dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        | qx AS (
+        |  SELECT vec_id, pos, x,
+        |   floor((x - mn) / (mx - mn) * 255 + 0.5) AS code,
+        |   mn + floor((x - mn) / (mx - mn) * 255 + 0.5) * (mx - mn) / 255 AS deq
+        |  FROM x JOIN dims USING (pos)),
+        | agg AS (
+        |  SELECT vec_id,
+        |   list(code ORDER BY pos) AS codes,
+        |   list(x - deq ORDER BY pos) AS err
+        |  FROM qx GROUP BY vec_id)
+        |SELECT vec_id,
+        | CAST(codes[1] AS BIGINT) AS code0, CAST(codes[2] AS BIGINT) AS code1,
+        | CAST(codes[3] AS BIGINT) AS code2, CAST(codes[4] AS BIGINT) AS code3,
+        | md5(array_to_string(
+        |   list_transform(codes, c -> CAST(CAST(c AS BIGINT) AS VARCHAR)), ','))
+        |   AS codes_md5,
+        | floor(list_inner_product(err, err) / 64 * 1000000 + 0.5) / 1000000
+        |   AS recon_mse
+        |FROM agg ORDER BY vec_id""".stripMargin),
+      mmEmbedQuantize),
+
     QueryDef("mm_text_embed_join", Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT doc_id, lang, source,
