@@ -373,7 +373,50 @@ object EventTime {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting pipeline must beat, and the drift alarm for event
+    * volumes: forecast(type, d) = count(type, d−7), scored over every
+    * day whose week-ago partner exists (an equi-join on the shifted
+    * date — correct under day gaps, where a blind `lag(7)` over row
+    * offsets silently mis-aligns). MAE and bias are integer sums over
+    * the bounded per-(type, day) relation divided once at the end —
+    * exact IEEE divisions, no rounding formula needed.
+    *
+    * Scale: daily counts are one map-side-combinable hash-agg; the
+    * self-join keys on (type, date) — metadata-sized at any corpus
+    * (rows = types × days, not events). */
+  private def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.as("cur")
+      .join(daily.as("prev"),
+        col("cur.event_type") === col("prev.event_type") &&
+          col("cur.d") === date_add(col("prev.d"), 7))
+      .groupBy(col("cur.event_type").as("event_type"))
+      .agg(count(lit(1)).as("days_scored"),
+        sum(abs(col("cur.n") - col("prev.n"))).as("total_abs_err"),
+        (sum(abs(col("cur.n") - col("prev.n"))).cast("double") /
+          count(lit(1)).cast("double")).as("mae"),
+        (sum(col("cur.n") - col("prev.n")).cast("double") /
+          count(lit(1)).cast("double")).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_forecast_backtest", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT cur.event_type, count(*) AS days_scored,
+        | CAST(sum(abs(cur.n - prev.n)) AS BIGINT) AS total_abs_err,
+        | CAST(sum(abs(cur.n - prev.n)) AS DOUBLE) / count(*) AS mae,
+        | CAST(sum(cur.n - prev.n) AS DOUBLE) / count(*) AS bias
+        |FROM daily cur JOIN daily prev
+        |  ON cur.event_type = prev.event_type AND cur.d = prev.d + 7
+        |GROUP BY cur.event_type ORDER BY cur.event_type""".stripMargin),
+      eventsForecastBacktest),
+
     QueryDef("timeseries_ewma", Some(
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n

@@ -391,6 +391,60 @@ object ScalePatterns {
       .orderBy(col("column_name"))
   }
 
+  /** Shared DuckDB statement for the SCD2 history build — consumed
+    * verbatim by `scale_scd2_apply` and, wrapped as a CTE, by the PIT
+    * lookup `join_scd2_pit`. */
+  private val scd2Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id AS key,
+      |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |   value AS new_val,
+      |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts,
+      |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      | c AS (SELECT key, op, new_val, change_ts FROM latest WHERE rn = 1),
+      | d AS (SELECT c_custkey AS key, c_acctbal FROM customer),
+      | j AS (SELECT coalesce(d.key, c.key) AS key,
+      |        d.key IS NOT NULL AS in_dim, c.key IS NOT NULL AS in_chg,
+      |        c_acctbal, op, new_val, change_ts
+      |       FROM d FULL OUTER JOIN c ON d.key = c.key),
+      | f AS (SELECT *, in_chg AND (op = 'D' OR new_val IS DISTINCT FROM c_acctbal)
+      |         AS changed FROM j)
+      |SELECT key, floor(c_acctbal * 100 + 0.5) / 100 AS balance,
+      | '1990-01-01 00:00:00' AS valid_from,
+      | CASE WHEN changed THEN change_ts END AS valid_to,
+      | CAST(1 AS BIGINT) AS version, NOT changed AS is_current
+      |FROM f WHERE in_dim
+      |UNION ALL
+      |SELECT key, floor(new_val * 100 + 0.5) / 100,
+      | change_ts, NULL, CASE WHEN in_dim THEN 2 ELSE 1 END, true
+      |FROM f WHERE op = 'U' AND (NOT in_dim OR changed)""".stripMargin
+
+  /** Point-in-time (AS OF) lookup against the SCD2 history — the
+    * feature-store correctness pattern: each order reads the dimension
+    * VERSION that was valid at its own date, never the current one
+    * (no feature leakage from the future). The join keys on the
+    * dimension key with a residual validity-range predicate — an
+    * equi-join shuffle, never a range-join blowup, because versions
+    * per key are bounded (≤2 here, small everywhere). Validity bounds
+    * are canonical timestamp STRINGS, which compare lexicographically
+    * identically on both engines. The balance total sums exact CENTS
+    * (bigint) and divides once — no float-accumulation drift. */
+  private def joinScd2Pit(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2Apply(spark, dir)
+    val o = orders(spark, dir).select(col("o_custkey").as("key"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_ts"))
+    o.join(hist, Seq("key"))
+      .filter(col("valid_from") <= col("o_ts") &&
+        (col("valid_to").isNull || col("o_ts") < col("valid_to")))
+      .groupBy(col("version"), col("is_current"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("key")).as("n_keys"),
+        (sum(floor(col("balance") * 100 + 0.5).cast("long")).cast("double") / 100)
+          .as("total_balance"))
+      .orderBy(col("version"), col("is_current"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("scale_stats_collect", Some(
       """WITH s AS (
@@ -438,32 +492,26 @@ object ScalePatterns {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bloomPrefilterJoin),
 
-    QueryDef("scale_scd2_apply", Some(
-      """WITH latest AS (
-        |  SELECT user_id AS key,
-        |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |   value AS new_val,
-        |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts,
-        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
-        | c AS (SELECT key, op, new_val, change_ts FROM latest WHERE rn = 1),
-        | d AS (SELECT c_custkey AS key, c_acctbal FROM customer),
-        | j AS (SELECT coalesce(d.key, c.key) AS key,
-        |        d.key IS NOT NULL AS in_dim, c.key IS NOT NULL AS in_chg,
-        |        c_acctbal, op, new_val, change_ts
-        |       FROM d FULL OUTER JOIN c ON d.key = c.key),
-        | f AS (SELECT *, in_chg AND (op = 'D' OR new_val IS DISTINCT FROM c_acctbal)
-        |         AS changed FROM j)
-        |SELECT key, floor(c_acctbal * 100 + 0.5) / 100 AS balance,
-        | '1990-01-01 00:00:00' AS valid_from,
-        | CASE WHEN changed THEN change_ts END AS valid_to,
-        | CAST(1 AS BIGINT) AS version, NOT changed AS is_current
-        |FROM f WHERE in_dim
-        |UNION ALL
-        |SELECT key, floor(new_val * 100 + 0.5) / 100,
-        | change_ts, NULL, CASE WHEN in_dim THEN 2 ELSE 1 END, true
-        |FROM f WHERE op = 'U' AND (NOT in_dim OR changed)""".stripMargin),
-      scd2Apply),
+    QueryDef("scale_scd2_apply", Some(scd2Sql), scd2Apply),
+
+    // PIT lookup over the same history the apply op builds: nested
+    // WITH keeps the two statements textually identical up to the
+    // consumer query
+    QueryDef("join_scd2_pit", Some(
+      s"""WITH hist AS ($scd2Sql),
+         | o AS (
+         |  SELECT o_custkey AS key,
+         |   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_ts
+         |  FROM orders)
+         |SELECT version, is_current, count(*) AS n_orders,
+         | count(DISTINCT o.key) AS n_keys,
+         | CAST(sum(CAST(floor(balance * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         |   AS total_balance
+         |FROM o JOIN hist ON hist.key = o.key
+         |WHERE valid_from <= o_ts AND (valid_to IS NULL OR o_ts < valid_to)
+         |GROUP BY version, is_current
+         |ORDER BY version, is_current""".stripMargin),
+      joinScd2Pit),
 
     QueryDef("scale_compaction", Some(
       """SELECT o_orderstatus, count(*) AS n,
