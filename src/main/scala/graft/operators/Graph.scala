@@ -231,6 +231,40 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("community")).limit(20)
   }
 
+  /** Market-basket association over the same co-purchase projection as
+    * [[graphTriangles]]: per part-pair co-occurrence count, support,
+    * and LIFT = P(a,b) / (P(a)·P(b)) — the "frequently bought
+    * together" primitive. All counts are integers; lift is rewritten
+    * as (c·N) / (n_a·n_b) so the numerator and denominator are exact
+    * integer products (< 2⁵³) and ONE rounded division crosses
+    * engines. Top 20 pairs by count with id tie-break.
+    *
+    * Scale: the order self-join keys on the order id (pairs per order
+    * are bounded by basket size); pair counting is a
+    * map-side-combinable hash-agg; item counts broadcast back onto the
+    * bounded top-pair list — the corpus never moves twice. */
+  private def graphCopurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_ord"))
+    val pairCnt = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("part_a"), col("part_b")).limit(20)
+    pairCnt
+      .join(itemCnt.select(col("pk").as("part_a"), col("n_ord").as("na")), "part_a")
+      .join(itemCnt.select(col("pk").as("part_b"), col("n_ord").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("c"),
+        Parity.r6(col("c").cast("double") / nOrders).as("support"),
+        Parity.r6((col("c") * nOrders).cast("double")
+          / (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("c").desc, col("part_a"), col("part_b"))
+  }
+
   private val edgesCte =
     """WITH edges AS (
       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
@@ -311,6 +345,29 @@ object Graph {
           |FROM l2 GROUP BY lbl
           |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin),
       graphCommunities),
+
+    QueryDef("graph_copurchase_lift", Some(
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE CAST(('0x' || substr(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 4 = 0),
+        | n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        | item AS (SELECT pk, count(*) AS n_ord FROM li GROUP BY pk),
+        | pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS c
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |  ORDER BY c DESC, part_a, part_b LIMIT 20)
+        |SELECT part_a, part_b, c,
+        | floor(CAST(c AS DOUBLE) / (SELECT n_orders FROM n) * 1000000 + 0.5)
+        |   / 1000000 AS support,
+        | floor(CAST(c * (SELECT n_orders FROM n) AS DOUBLE)
+        |   / CAST(ia.n_ord * ib.n_ord AS DOUBLE) * 1000000 + 0.5) / 1000000 AS lift
+        |FROM pairs
+        | JOIN item ia ON ia.pk = part_a
+        | JOIN item ib ON ib.pk = part_b
+        |ORDER BY c DESC, part_a, part_b""".stripMargin),
+      graphCopurchaseLift),
 
     QueryDef("graph_pagerank", Some(
       edgesCte +
