@@ -281,6 +281,20 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_scd2_pit: validity range stays a residual on the equi-join") {
+    // the PIT predicate must never degrade the keyed join to a
+    // nested-loop range join
+    val p = plan("join_scd2_pit")
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_copurchase_lift: basket self-join keys on the order id") {
+    val p = plan("graph_copurchase_lift")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
   test("sample_weighted: global k-smallest plans as TakeOrderedAndProject") {
     val p = plan("sample_weighted")
     // the corpus is never globally sorted: per-partition top-k, k-row gather
