@@ -403,7 +403,59 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Daily click→purchase conversion with a WILSON 95% score interval
+    * — the uncertainty-aware conversion metric (a day with 3/5
+    * conversions must not outrank one with 300/500). Everything is
+    * +,−,×,÷,√ — and IEEE-754 requires sqrt to be CORRECTLY ROUNDED,
+    * so with the formula written in the identical order on both
+    * engines the entire interval is bit-exact cross-engine with no
+    * rounding formula at all (same family of guarantees as
+    * [[timeseriesEwma]]). One hash-agg over (day) — conditional
+    * counts, map-side combinable; no windows, no joins. */
+  private def eventsConversionCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    val z2 = z * z
+    val n = col("clicks").cast("double")
+    val p = col("purchases").cast("double") / n
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    events(spark, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+      .filter(col("clicks") > 0)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("clicks"), col("purchases"), p.as("rate"),
+        ((center - margin) / denom).as("ci_lo"),
+        ((center + margin) / denom).as("ci_hi"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_conversion_ci", Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+        |  FROM events GROUP BY 1),
+        | w AS (
+        |  SELECT d, clicks, purchases,
+        |   CAST(purchases AS DOUBLE) / CAST(clicks AS DOUBLE) AS p,
+        |   CAST(clicks AS DOUBLE) AS n
+        |  FROM daily WHERE clicks > 0)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        | CAST(clicks AS BIGINT) AS clicks, CAST(purchases AS BIGINT) AS purchases,
+        | p AS rate,
+        | ((p + (1.96 * 1.96) / (2.0 * n))
+        |   - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+        |   / (1.0 + (1.96 * 1.96) / n) AS ci_lo,
+        | ((p + (1.96 * 1.96) / (2.0 * n))
+        |   + 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+        |   / (1.0 + (1.96 * 1.96) / n) AS ci_hi
+        |FROM w ORDER BY day""".stripMargin),
+      eventsConversionCi),
+
     QueryDef("events_forecast_backtest", Some(
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n

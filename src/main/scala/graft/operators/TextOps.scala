@@ -365,7 +365,56 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Flesch-style readability scoring — the classic quality-filter
+    * signal (too-hard and too-easy documents both correlate with
+    * boilerplate/noise): words per sentence (sentence = a [.!?]+ run)
+    * and a vowel-group syllable proxy, combined with the Flesch
+    * reading-ease constants. The whole score is ×,÷,−, each exactly
+    * rounded and written in the identical order on both engines ⇒
+    * bit-exact with NO rounding formula. Pure per-row projection — no
+    * shuffle at all beyond the deterministic output sort. */
+  private def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = greatest(lit(1), size(toks)).cast("double")
+    val sentences = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+      .cast("double")
+    val syllables = greatest(lit(1),
+      regexp_count(lower(col("text")), lit("[aeiou]+"))).cast("double")
+    val wps = words / sentences
+    val spw = syllables / words
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), words.cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_readability", Some(
+      """SELECT doc_id,
+        | CAST(greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |   AS BIGINT) AS n_words,
+        | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |   AS n_sentences,
+        | CAST(greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |     AS DOUBLE)
+        |   / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE)
+        |   AS words_per_sentence,
+        | CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiou]+')))
+        |     AS DOUBLE)
+        |   / CAST(greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |     AS DOUBLE) AS syllables_per_word,
+        | 206.835
+        |   - 1.015 * (CAST(greatest(1, len(list_filter(string_split(text, ' '),
+        |       x -> x <> ''))) AS DOUBLE)
+        |     / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+        |   - 84.6 * (CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiou]+')))
+        |       AS DOUBLE)
+        |     / CAST(greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |       AS DOUBLE)) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      textReadability),
+
     QueryDef("text_entropy", Some(
       """WITH cnt AS (
         |  SELECT source, t, count(*) AS c FROM (
