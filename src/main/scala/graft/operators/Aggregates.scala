@@ -285,8 +285,8 @@ object Aggregates {
 
     QueryDef("agg_decimal_sum", Some(
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_disc
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price_cents,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_disc_x10k
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       aggDecimalSum)
   )
@@ -318,14 +318,20 @@ object Aggregates {
     * arithmetic underneath), so NO Parity rounding formula is needed —
     * the oracle matches to the last digit. This is the pattern for
     * money columns at 100 TB, where a double sum's ulp drift is both
-    * nondeterministic across runs and audit-hostile. */
+    * nondeterministic across runs and audit-hostile. The EXACT decimal
+    * aggregation stays internal; the emitted columns are scaled BIGINT
+    * (cents / discount×10⁴) per the "BIGINT-cast derived ints" parity
+    * rule ([[graft.Parity]]) — DECIMAL output canonicalizes differently
+    * across engines (trailing-zero / width rendering) even when every
+    * value is equal, so fixed-point integers are the only hash-stable
+    * wire format for money. */
   private def aggDecimalSum(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("total_price"),
-        sum(col("l_discount").cast(DecimalType(18, 4)))
-          .cast(DecimalType(38, 4)).as("total_disc"))
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * lit(100))
+          .cast("long").as("total_price_cents"),
+        (sum(col("l_discount").cast(DecimalType(18, 4))) * lit(10000))
+          .cast("long").as("total_disc_x10k"))
       .orderBy(col("l_returnflag"))
 }

@@ -405,28 +405,46 @@ object EventTime {
 
   /** Daily click→purchase conversion with a WILSON 95% score interval
     * — the uncertainty-aware conversion metric (a day with 3/5
-    * conversions must not outrank one with 300/500). Everything is
-    * +,−,×,÷,√ — and IEEE-754 requires sqrt to be CORRECTLY ROUNDED,
-    * so with the formula written in the identical order on both
-    * engines the entire interval is bit-exact cross-engine with no
-    * rounding formula at all (same family of guarantees as
-    * [[timeseriesEwma]]). One hash-agg over (day) — conditional
-    * counts, map-side combinable; no windows, no joins. */
+    * conversions must not outrank one with 300/500). A TRUE funnel
+    * rate: the denominator is distinct users who clicked that day, the
+    * numerator the subset of those users with a purchase at-or-after
+    * their first click of the day — converters ⊆ clickers by
+    * construction, so p ≤ 1 structurally and the sqrt operand
+    * p(1−p)/n + z²/4n² is non-negative on every row (counting the two
+    * event types independently, as a naive formulation would, yields
+    * p > 1 on purchase-heavy days and a NaN/√-of-negative interval).
+    * Everything is +,−,×,÷,√ — and IEEE-754 requires sqrt to be
+    * CORRECTLY ROUNDED, so with the formula written in the identical
+    * order on both engines the entire interval is bit-exact
+    * cross-engine with no rounding formula at all (same family of
+    * guarantees as [[timeseriesEwma]]).
+    *
+    * Scale: two map-side-combinable hash-aggs (per-(day,user) first
+    * click; per-user last purchase) and one equi-join keyed on
+    * user_id — no range-join fanout, per-user state only. */
   private def eventsConversionCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .agg(min(col("ts")).as("first_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_purchase"))
+    val daily = clicks.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("clickers"),
+        sum(when(col("last_purchase") >= col("first_click"), 1L).otherwise(0L))
+          .as("converters"))
     val z = lit(1.96)
     val z2 = z * z
-    val n = col("clicks").cast("double")
-    val p = col("purchases").cast("double") / n
+    val n = col("clickers").cast("double")
+    val p = col("converters").cast("double") / n
     val denom = lit(1.0) + z2 / n
     val center = p + z2 / (lit(2.0) * n)
     val margin = z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
-    events(spark, dir)
-      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
-      .filter(col("clicks") > 0)
+    daily
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("clicks"), col("purchases"), p.as("rate"),
+        col("clickers"), col("converters"), p.as("rate"),
         ((center - margin) / denom).as("ci_lo"),
         ((center + margin) / denom).as("ci_hi"))
       .orderBy(col("day"))
@@ -434,25 +452,35 @@ object EventTime {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("events_conversion_ci", Some(
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
-        |  FROM events GROUP BY 1),
+      """WITH clicks AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+        |   min(ts) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        | purch AS (
+        |  SELECT user_id, max(ts) AS last_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | daily AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS clickers,
+        |   CAST(sum(CASE WHEN p.last_purchase >= c.first_click
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS converters
+        |  FROM clicks c LEFT JOIN purch p USING (user_id) GROUP BY d),
         | w AS (
-        |  SELECT d, clicks, purchases,
-        |   CAST(purchases AS DOUBLE) / CAST(clicks AS DOUBLE) AS p,
-        |   CAST(clicks AS DOUBLE) AS n
-        |  FROM daily WHERE clicks > 0)
+        |  SELECT d, clickers, converters,
+        |   CAST(converters AS DOUBLE) / CAST(clickers AS DOUBLE) AS p,
+        |   CAST(clickers AS DOUBLE) AS n,
+        |   -- z*z must multiply as DOUBLEs: DuckDB's DECIMAL(3,2) 1.96
+        |   -- would square EXACTLY to 3.8416, one ulp off Spark's double
+        |   CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+        |  FROM daily)
         |SELECT strftime(d, '%Y-%m-%d') AS day,
-        | CAST(clicks AS BIGINT) AS clicks, CAST(purchases AS BIGINT) AS purchases,
+        | clickers, converters,
         | p AS rate,
-        | ((p + (1.96 * 1.96) / (2.0 * n))
-        |   - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
-        |   / (1.0 + (1.96 * 1.96) / n) AS ci_lo,
-        | ((p + (1.96 * 1.96) / (2.0 * n))
-        |   + 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
-        |   / (1.0 + (1.96 * 1.96) / n) AS ci_hi
+        | ((p + z2 / (2.0 * n))
+        |   - 1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+        |   / (1.0 + z2 / n) AS ci_lo,
+        | ((p + z2 / (2.0 * n))
+        |   + 1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+        |   / (1.0 + z2 / n) AS ci_hi
         |FROM w ORDER BY day""".stripMargin),
       eventsConversionCi),
 
