@@ -9,9 +9,17 @@ columns by name + rows by all columns, and compares values exactly
 (with a float near-miss report to distinguish rounding ulps from real
 bugs).
 """
-import json, math, sys
+import hashlib, json, math, os, sys
 
 import duckdb
+
+# Registration gate: every PASS is recorded here keyed by query name
+# with a sha256 of the exact oracle SQL; OracleGateSpec fails `sbt
+# test` for any registered oracle whose current SQL has no recorded
+# pass (new query never gate-checked, edited SQL not re-checked, or a
+# FAIL that evicted the entry).
+GATE_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "gate_log.json")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -42,41 +50,59 @@ def cell_eq(a, b):
         return a == b
     return a == b
 
+gate = {}
+if os.path.exists(GATE_LOG):
+    gate = json.load(open(GATE_LOG))
+
 npass = nfail = 0
 for name, sql in sorted(oracle.items()):
+    ok, nrows = False, 0
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         want = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
         nfail += 1
+        gate.pop(name, None)
         continue
     g, w = canon(got), canon(want)
     if list(g.columns) != list(w.columns):
         print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(w.columns)}")
         nfail += 1
-        continue
-    if len(g) != len(w):
+    elif len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
         nfail += 1
-        continue
-    bad = []
-    for c in g.columns:
-        gv, wv = g[c].tolist(), w[c].tolist()
-        for i, (x, y) in enumerate(zip(gv, wv)):
-            if not cell_eq(x, y):
-                bad.append((c, i, x, y))
-                if len(bad) > 4:
-                    break
-        if len(bad) > 4:
-            break
-    if bad:
-        print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
-        nfail += 1
     else:
-        print(f"PASS {name} ({len(g)} rows)")
-        npass += 1
+        bad = []
+        for c in g.columns:
+            gv, wv = g[c].tolist(), w[c].tolist()
+            for i, (x, y) in enumerate(zip(gv, wv)):
+                if not cell_eq(x, y):
+                    bad.append((c, i, x, y))
+                    if len(bad) > 4:
+                        break
+            if len(bad) > 4:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            npass += 1
+            ok, nrows = True, len(g)
+    if ok:
+        gate[name] = {
+            "oracle_sha256": hashlib.sha256(sql.encode("utf-8")).hexdigest(),
+            "sf": os.path.basename(SF.rstrip("/")),
+            "rows": nrows,
+        }
+    else:
+        gate.pop(name, None)
 
-missing = [q for q in oracle if q not in oracle]  # placeholder symmetry
-print(f"\n{npass} pass, {nfail} fail, {len(oracle)} oracle-checked")
+with open(GATE_LOG, "w") as f:
+    json.dump(gate, f, indent=1, sort_keys=True)
+    f.write("\n")
+
+print(f"\n{npass} pass, {nfail} fail, {len(oracle)} oracle-checked "
+      f"(gate log: {len(gate)} recorded passes)")
 sys.exit(1 if nfail else 0)
