@@ -62,6 +62,35 @@ object SpecQueries {
          |   {"op": "sort", "columns": ["o_orderpriority", "rk"]}
          | ]}""".stripMargin)
 
+  /** The FULL declarative composition in one document — filter → star
+    * join → grouped aggregate → partitioned window → filter → sort,
+    * i.e. every major op the grammar offers, chained (the complete
+    * analogue of the reference macro design's composed pipelines,
+    * `/root/reference/skopje-macros/src/lib.rs:12-75`): top-3 customers
+    * by returned-revenue within each order priority. The aggregate
+    * keys on (o_custkey, o_orderpriority) — corpus-scale cardinality,
+    * map-side combinable — and the window partitions by priority over
+    * the already-aggregated (small) relation, so the spec cannot
+    * declare a single-partition straggler over raw rows. */
+  private def pipelineSpecFull(spark: SparkSession, dir: String): DataFrame =
+    PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$dir/lineitem.parquet"},
+         | "transforms": [
+         |   {"op": "filter", "expr": "l_returnflag = 'A'"},
+         |   {"op": "join", "how": "inner", "condition": "l_orderkey = o_orderkey",
+         |    "right": {"source": {"format": "parquet", "path": "$dir/orders.parquet"},
+         |              "transforms": [{"op": "select", "columns": ["o_orderkey", "o_custkey", "o_orderpriority"]}]}},
+         |   {"op": "aggregate", "groupBy": ["o_custkey", "o_orderpriority"],
+         |    "aggs": ["floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue",
+         |             "count(*) AS n_items"]},
+         |   {"op": "window", "partitionBy": ["o_orderpriority"],
+         |    "orderBy": ["revenue DESC", "o_custkey"],
+         |    "expr": "row_number()", "as": "rk"},
+         |   {"op": "filter", "expr": "rk <= 3"},
+         |   {"op": "select", "columns": ["o_orderpriority", "rk", "o_custkey", "revenue", "n_items"]},
+         |   {"op": "sort", "columns": ["o_orderpriority", "rk"]}
+         | ]}""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_spec", Some(
       """SELECT l_orderkey, l_linenumber,
@@ -84,6 +113,21 @@ object SpecQueries {
         |   CAST(row_number() OVER (PARTITION BY o_orderpriority
         |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders)
-        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin), pipelineSpecWindow)
+        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin), pipelineSpecWindow),
+
+    QueryDef("pipeline_spec_full", Some(
+      """WITH agg AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |   count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'A'
+        |  GROUP BY o_custkey, o_orderpriority)
+        |SELECT o_orderpriority, rk, o_custkey, revenue, n_items FROM (
+        |  SELECT o_custkey, o_orderpriority, revenue, n_items,
+        |   CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY revenue DESC, o_custkey) AS INT) AS rk
+        |  FROM agg)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin), pipelineSpecFull)
   )
 }
