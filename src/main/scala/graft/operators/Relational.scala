@@ -333,6 +333,47 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** TOLERANCE-bounded as-of join (feature-store "max staleness"):
+    * each purchase pairs with the same user's most recent
+    * at-or-before click ONLY if that click is at most 48 h old —
+    * older features are stale and must resolve to NULL, never served
+    * (the correctness rule behind every online feature store; plain
+    * [[joinAsOf]] has unbounded lookback). Same union+window trick —
+    * one user-keyed shuffle + sort, O(n log n), no per-key pair
+    * blow-up — with the staleness test applied as a post-window
+    * projection, so the bound costs nothing extra. Same-µs click/
+    * purchase counts as fresh (lag 0); clicks pre-reduce to one row
+    * per (user, µs) with the min event_id, the oracle's tiebreak. */
+  private def joinAsOfTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 48L * 3600L * 1000000L
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(min(col("event_id")).as("cid"))
+      .select(col("user_id"), col("us"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(col("us").as("cus"), col("cid")).as("click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("struct<cus:bigint,cid:bigint>").as("click"))
+    // clicks (tag 0) sort before purchases at equal µs → a same-instant
+    // click is already visible to the running `last` (lag 0, fresh)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = col("lastc").isNotNull &&
+      (col("us") - col("lastc.cus") <= tolUs)
+    clicks.unionByName(purchases)
+      .withColumn("lastc", last(col("click"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"),
+        when(fresh, col("lastc.cid")).as("click_event_id"),
+        when(fresh, col("us") - col("lastc.cus")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
   private def joinCross(spark: SparkSession, dir: String): DataFrame = {
     val a = region(spark, dir).select(col("r_name").as("r1"))
     val b = region(spark, dir).select(col("r_name").as("r2"))
@@ -655,6 +696,24 @@ object Relational {
         |    ORDER BY gap, cus, cid) AS rk FROM j)
         |SELECT event_id, cid AS click_id, CAST(gap AS BIGINT) AS gap_us
         |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin), joinAsOfNearest),
+
+    QueryDef("join_asof_tolerance", Some(
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, min(event_id) AS cid
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |j AS (
+        |  SELECT p.event_id, c.cid, p.us - c.cus AS lag_us,
+        |   row_number() OVER (PARTITION BY p.event_id
+        |     ORDER BY c.cus DESC) AS rk
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.cus <= p.us
+        |    AND p.us - c.cus <= 172800000000)
+        |SELECT p.event_id, j.cid AS click_event_id, j.lag_us
+        |FROM p LEFT JOIN (SELECT event_id, cid, lag_us FROM j WHERE rk = 1) j
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin), joinAsOfTolerance),
 
     QueryDef("join_cross", Some(
       """SELECT a.r_name AS r1, b.r_name AS r2

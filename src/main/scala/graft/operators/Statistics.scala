@@ -135,6 +135,31 @@ object Statistics {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** T-DIGEST percentiles via the custom mergeable
+    * [[graft.functions.TDigestAgg]] sketch — the constant-size
+    * (O(δ) centroids), arbitrarily-mergeable alternative to both the
+    * exact sort and Spark's GK `approx_percentile`, with rank error
+    * ∝ q(1−q) (sharpest exactly at the p95/p99 tails operations care
+    * about). Partial digests combine map-side in any order, so at
+    * 100 TB the shuffle carries ~2δ centroids per group instead of
+    * data rows, and the SAME digests could be persisted per partition
+    * and re-merged across days (the pre-aggregable story
+    * agg_hll_reaggregate tells for distincts, here for quantiles).
+    * Estimates are arrival-order dependent like every t-digest ⇒
+    * no-oracle by design; InvariantSpec bounds the RANK error vs the
+    * exactly-sorted fixture and asserts merge-stability across
+    * repartitionings. */
+  private def aggTdigestPercentile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TDigestAgg.register(spark)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("tdigest_quantile(l_extendedprice, 200, 0.5)").as("p50_td"),
+        expr("tdigest_quantile(l_extendedprice, 200, 0.95)").as("p95_td"),
+        expr("tdigest_quantile(l_extendedprice, 200, 0.99)").as("p99_td"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Fixed-width histogram over a measure column: one hash-agg on the
     * bin id (map-side combinable — shuffle volume is #bins, not rows),
     * the distribution-profiling primitive. Bin id from floor-division:
@@ -719,6 +744,8 @@ object Statistics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin), aggPercentile),
 
     QueryDef("agg_approx_percentile", None, aggApproxPercentile),
+
+    QueryDef("agg_tdigest_percentile", None, aggTdigestPercentile),
 
     // identical oracle as agg_percentile by design: two-phase bin
     // selection must reproduce the flat sort's answer exactly

@@ -669,8 +669,57 @@ object TextOps {
         |kept AS (SELECT doc_id, pos, blk FROM ranked WHERE rk = 1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         | string_agg(blk, ' ' ORDER BY pos) AS kept_text
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin), textLineDedup)
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin), textLineDedup),
+
+    QueryDef("text_sentence_dedup", Some(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS ps FROM documents),
+        | s AS (
+        |  SELECT doc_id, i AS pos, trim(lower(ps[i+1])) AS ns
+        |  FROM t, unnest(range(0, len(ps))) AS u(i)),
+        | f AS (SELECT * FROM s WHERE ns <> ''),
+        | r AS (
+        |  SELECT doc_id, pos, ns,
+        |   row_number() OVER (PARTITION BY md5(ns) ORDER BY doc_id, pos) AS rk
+        |  FROM f)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_sentences,
+        | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | floor(CAST(count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS removed_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin), textSentenceDedup)
   )
+
+  /** CCNet-style SENTENCE-level dedup signal: split each document on
+    * sentence boundaries ([.!?]+ runs), normalize (lower + trim), and
+    * keep-first corpus-wide per distinct normalized sentence (first =
+    * lowest (doc_id, position)). Emits per-doc retention stats and the
+    * REMOVED FRACTION — the duplicated-boilerplate quality feature
+    * CCNet thresholds on (a doc that is mostly corpus-duplicated
+    * sentences is boilerplate even when no whole-doc copy exists).
+    * Complements [[textLineDedup]]: variable-length normalized units
+    * for the quality signal vs fixed token blocks for reassembly.
+    *
+    * Scale: explode is linear in corpus sentences; keep-first is a
+    * row_number window partitioned by the sentence md5 (parallelism =
+    * #distinct sentences, partition size = one sentence's duplicate
+    * count); the per-doc rollup is one map-side-combinable hash-agg. */
+  private def textSentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val firstWin = Window.partitionBy(md5(col("ns")))
+      .orderBy(col("doc_id"), col("pos"))
+    documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "[.!?]+")))
+      .select(col("doc_id"), col("pos"), trim(lower(col("col"))).as("ns"))
+      .filter(col("ns") =!= "")
+      .withColumn("rk", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+        Parity.r6((col("n_sentences") - col("n_kept")).cast("double") /
+          col("n_sentences").cast("double")).as("removed_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** C4-style global line deduplication: split each document into
     * fixed 10-token lines, keep only the FIRST occurrence of every

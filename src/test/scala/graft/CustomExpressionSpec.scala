@@ -151,4 +151,64 @@ class CustomExpressionSpec extends AnyFunSuite {
     val expect = Map("a" -> 7L, "b" -> 3L, "c" -> 5L)
     assert(run(1) == expect && run(6) == expect)
   }
+
+  test("tdigest_quantile: bounded rank error on a known distribution") {
+    import spark.implicits._
+    graft.functions.TDigestAgg.register(spark)
+    // 1..10000 shuffled deterministically: every quantile's true value
+    // is known exactly; rank error = |estimate − q·n| / n
+    val n = 10000
+    val xs = (1 to n).map(i => ((i * 2654435761L) % n).toInt -> i.toDouble)
+      .sortBy(_._1).map(_._2)
+    val df = xs.toDF("x").repartition(8)
+    for (q <- Seq(0.01, 0.5, 0.95, 0.99)) {
+      val est = df.agg(expr(s"tdigest_quantile(x, 200, $q)")).collect()(0).getDouble(0)
+      val rankErr = math.abs(est - q * n) / n
+      assert(rankErr <= 0.01, s"q=$q est=$est rank error $rankErr > 1%")
+    }
+  }
+
+  test("tdigest_quantile: merge-stable across partitionings, exact at extremes") {
+    import spark.implicits._
+    graft.functions.TDigestAgg.register(spark)
+    val xs = (1 to 5000).map(i => math.pow(1.002, i)) // skewed tail
+    def run(parts: Int, q: Double): Double =
+      xs.toDF("x").repartition(parts)
+        .agg(expr(s"tdigest_quantile(x, 200, $q)")).collect()(0).getDouble(0)
+    for (q <- Seq(0.5, 0.99)) {
+      val a = run(1, q); val b = run(16, q)
+      // different merge orders may shift centroids; both answers must
+      // stay inside the same ±1% rank band around the true quantile
+      val trueV = xs((q * 5000).toInt - 1)
+      val band = (xs(math.max(0, (q * 5000).toInt - 51)), xs(math.min(4999, (q * 5000).toInt + 49)))
+      for (v <- Seq(a, b))
+        assert(v >= band._1 && v <= band._2, s"q=$q v=$v outside ±1% rank band $band")
+    }
+    // q=0 / q=1 clamp to the tracked exact extrema — never extrapolated
+    assert(run(4, 0.0) >= xs.head - 1e-9)
+    assert(run(4, 1.0) == xs.last)
+  }
+
+  test("tdigest_quantile rejects bad arguments at analysis time") {
+    import spark.implicits._
+    graft.functions.TDigestAgg.register(spark)
+    val df = Seq(1.0, 2.0).toDF("x")
+    for (bad <- Seq("tdigest_quantile(x, 5, 0.5)", "tdigest_quantile(x, 200, 1.5)",
+        "tdigest_quantile(x, x, 0.5)")) {
+      val e = intercept[Exception] { df.agg(expr(bad)).collect() }
+      assert(e.getMessage.toLowerCase.contains("tdigest"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("tdigest buffer: centroid count stays O(delta) under heavy load") {
+    val buf = new graft.functions.TDigestBuffer(100.0)
+    (1 to 100000).foreach(i => buf.add(((i * 48271L) % 100000).toDouble))
+    assert(buf.centroidCount <= 250,
+      s"centroids ${buf.centroidCount} exceed ~2*delta bound")
+    // serde round-trip preserves the quantile function
+    val bytes = buf.toBytes
+    val back = graft.functions.TDigestBuffer.fromBytes(bytes, 100.0)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(buf.quantile(q) - back.quantile(q)) < 1e-9)
+  }
 }

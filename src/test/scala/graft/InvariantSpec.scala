@@ -418,6 +418,21 @@ class InvariantSpec extends AnyFunSuite {
     assert(found >= 7, s"multi-probe missed planted near-dups: only $found/10 recovered")
   }
 
+  test("tdigest percentiles stay within 1% rank error of the exact sort per group") {
+    val est = q("agg_tdigest_percentile").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((flag, ests) <- est; (qq, e) <- Seq(0.5, 0.95, 0.99).zip(ests)) {
+      val xs = byFlag(flag)
+      // rank of the estimate in the exactly-sorted group
+      val rank = xs.count(_ <= e).toDouble / xs.length
+      assert(math.abs(rank - qq) <= 0.01,
+        s"$flag q=$qq est=$e lands at rank $rank (n=${xs.length})")
+    }
+  }
+
   test("pagerank: ranks positive, top-50 mass below 1, supplier hubs outrank parts") {
     val pr = q("graph_pagerank").collect()
     assert(pr.length == 50)
