@@ -243,10 +243,130 @@ object TDigestBuffer {
 }
 
 object TDigestAgg {
-  /** Register as `tdigest_quantile(x, delta, q)` (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `tdigest_quantile(x, delta, q)`, `tdigest_sketch(x,
+    * delta)` and `tdigest_merge_quantile(sketch, delta, q)`
+    * (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_quantile",
       exprs => TDigestAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tdigest_sketch",
+      exprs => TDigestSketchAgg(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tdigest_merge_quantile",
+      exprs => TDigestMergeAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+  }
+}
+
+/** `tdigest_sketch(x, delta)` — the PERSISTABLE half of the two-phase
+  * quantile story: aggregates a numeric column into a serialized
+  * digest (BinaryType) that a metrics store keeps per partition/day
+  * and [[TDigestMergeAgg]] later re-merges — quantiles over any time
+  * range without revisiting rows (the exact pattern
+  * `agg_hll_reaggregate` demonstrates for distinct counts). */
+case class TDigestSketchAgg(
+    child: Expression,
+    deltaExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] {
+
+  private def toD(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  private lazy val delta: Double = toD(deltaExpr.eval(InternalRow.empty))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a numeric column")
+    else if (!deltaExpr.foldable || deltaExpr.eval(InternalRow.empty) == null ||
+        toD(deltaExpr.eval(InternalRow.empty)) < 10)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires literal delta >= 10")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child, deltaExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tdigest_sketch"
+
+  override def createAggregationBuffer(): TDigestBuffer = new TDigestBuffer(delta)
+  override def update(buf: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(toD(v))
+    buf
+  }
+  override def merge(a: TDigestBuffer, b: TDigestBuffer): TDigestBuffer = {
+    a.mergeWith(b); a
+  }
+  override def eval(buf: TDigestBuffer): Any = buf.toBytes
+  override def serialize(buf: TDigestBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestBuffer.fromBytes(bytes, delta)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestSketchAgg =
+    copy(child = newChildren(0), deltaExpr = newChildren(1))
+}
+
+/** `tdigest_merge_quantile(sketch, delta, q)` — re-aggregates stored
+  * [[TDigestSketchAgg]] binaries and evaluates a quantile: the read
+  * side of the two-phase pattern. */
+case class TDigestMergeAgg(
+    child: Expression,
+    deltaExpr: Expression,
+    qExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] {
+
+  private def toD(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  private lazy val delta: Double = toD(deltaExpr.eval(InternalRow.empty))
+  private lazy val q: Double = toD(qExpr.eval(InternalRow.empty))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a tdigest_sketch binary column")
+    else if (!deltaExpr.foldable || !qExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires literal delta and q")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child, deltaExpr, qExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "tdigest_merge_quantile"
+
+  override def createAggregationBuffer(): TDigestBuffer = new TDigestBuffer(delta)
+  override def update(buf: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeWith(TDigestBuffer.fromBytes(v.asInstanceOf[Array[Byte]], delta))
+    buf
+  }
+  override def merge(a: TDigestBuffer, b: TDigestBuffer): TDigestBuffer = {
+    a.mergeWith(b); a
+  }
+  override def eval(buf: TDigestBuffer): Any =
+    if (buf.isEmpty) null else buf.quantile(q)
+  override def serialize(buf: TDigestBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestBuffer.fromBytes(bytes, delta)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestMergeAgg =
+    copy(child = newChildren(0), deltaExpr = newChildren(1), qExpr = newChildren(2))
 }

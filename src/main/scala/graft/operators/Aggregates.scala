@@ -74,6 +74,31 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Two-phase t-digest re-aggregation — the QUANTILE member of the
+    * pre-aggregable-summary family (HLL = distinct, CMS = frequency,
+    * MG = top-k, t-digest = quantiles): daily per-type digests of the
+    * event value (the binaries a metrics store would persist) are
+    * re-merged per type and answer p50/p95 over the whole range
+    * without revisiting rows. Both phases are mergeable custom
+    * aggregates ([[graft.functions.TDigestSketchAgg]] /
+    * [[graft.functions.TDigestMergeAgg]]) — at 100 TB the daily
+    * digests are ~2δ centroids each, so the re-merge is metadata-
+    * sized. Sketch ⇒ no oracle; accuracy invariant-tested against the
+    * exact per-type distribution. */
+  private def aggTdigestReaggregate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TDigestAgg.register(spark)
+    import graft.Tables.events
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(expr("tdigest_sketch(value, 200)").as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("tdigest_merge_quantile(sk, 200, 0.5)").as("p50_merged"),
+        expr("tdigest_merge_quantile(sk, 200, 0.95)").as("p95_merged"))
+      .orderBy(col("event_type"))
+  }
+
   /** Count-min sketch frequency estimation — the FREQUENCY member of
     * the sketch family (HLL = distinct, MG = top-k, CMS = point
     * frequency): a fixed d×w counter grid whose partials merge by
@@ -220,6 +245,7 @@ object Aggregates {
 
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
     QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
+    QueryDef("agg_tdigest_reaggregate", None, aggTdigestReaggregate),
     QueryDef("agg_countmin_freq", None, aggCountminFreq),
 
     QueryDef("agg_bitmap_distinct", Some(

@@ -418,6 +418,22 @@ class InvariantSpec extends AnyFunSuite {
     assert(found >= 7, s"multi-probe missed planted near-dups: only $found/10 recovered")
   }
 
+  test("two-phase tdigest re-aggregation stays within 2% rank error per event type") {
+    val est = q("agg_tdigest_reaggregate").collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3))).toMap
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((t, pairs) <- est; (qq, e) <- pairs) {
+      val xs = byType(t)
+      val rank = xs.count(_ <= e).toDouble / xs.length
+      // the daily-sketch → merge path compresses twice, so the band is
+      // 2× the single-digest contract
+      assert(math.abs(rank - qq) <= 0.02,
+        s"$t q=$qq est=$e lands at rank $rank (n=${xs.length})")
+    }
+  }
+
   test("tdigest percentiles stay within 1% rank error of the exact sort per group") {
     val est = q("agg_tdigest_percentile").collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap

@@ -111,4 +111,41 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: t-digest quantiles are monotone, clamped, and rank-bounded") {
+    // pure-JVM property (no Spark job per case): arbitrary positive
+    // data, arbitrary insertion order, arbitrary split into partial
+    // digests — the quantile function must stay inside [min, max],
+    // be monotone in q, and land within 2% rank error of the exact
+    // sorted answer for mid/tail quantiles
+    val gen = for {
+      n <- Gen.choose(200, 3000)
+      scale <- Gen.choose(1.0, 1e6)
+      skew <- Gen.choose(1.0, 3.0)
+      parts <- Gen.choose(1, 7)
+    } yield (n, scale, skew, parts)
+    cases(gen, n = 12).foreach { case (n, scale, skew, parts) =>
+      val xs = (1 to n).map(i => scale * math.pow(i.toDouble / n, skew))
+      val shuffled = xs.sortBy(x => (x * 2654435761.0) % 997)
+      val chunks = shuffled.grouped(math.max(1, n / parts)).toSeq
+      val digests = chunks.map { c =>
+        val b = new graft.functions.TDigestBuffer(200.0); c.foreach(b.add); b
+      }
+      val merged = digests.reduceLeft { (a, b) => a.mergeWith(b); a }
+      val sorted = xs.sorted
+      val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+      val ests = qs.map(merged.quantile)
+      // monotone in q
+      ests.sliding(2).foreach { case Seq(a, b) => assert(a <= b + 1e-9) }
+      // clamped to the exact extrema
+      assert(merged.quantile(0.0) >= sorted.head - 1e-9)
+      assert(merged.quantile(1.0) <= sorted.last + 1e-9)
+      // rank error <= 2% for every probed quantile
+      qs.zip(ests).foreach { case (q, e) =>
+        val rank = sorted.count(_ <= e).toDouble / n
+        assert(math.abs(rank - q) <= 0.02,
+          s"n=$n scale=$scale skew=$skew parts=$parts q=$q rank=$rank")
+      }
+    }
+  }
 }
