@@ -74,6 +74,41 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    * DETERMINISTIC member of the sketch family: hash every key with
+    * md5 to a uniform [0,1) value, keep the k smallest per group, and
+    * estimate distinct = (k−1)/h_k. Because the hash is md5 (not an
+    * engine-native seed-dependent function), the sketch content — and
+    * therefore the ESTIMATE ITSELF — is bit-reproducible on any
+    * engine, so unlike HLL this sketch is oracle-checkable: DuckDB
+    * recomputes the identical bottom-k and the identical estimate.
+    * That determinism is what makes KMV summaries safe to persist and
+    * diff across engine migrations (the HLL family can't be byte-
+    * compared across implementations). k=8 fits the smallest fixture
+    * (15 distinct users/type at sf0.001) — the mechanism, not the
+    * accuracy, is the contract; exact count sits beside the estimate.
+    *
+    * Scale: one distinct-pairs shuffle, then a per-group bottom-k
+    * window (state k rows per group); the estimate never moves rows. */
+  private def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    import graft.Tables.events
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12),
+      16, 10).cast(LongType).cast("double") / lit(281474976710656.0)
+    val ev = events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", h)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
+    val stats = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("event_type"), col("h").as("hk"))
+      .join(stats, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        Parity.r2(lit(k - 1).cast("double") / col("hk")).as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Two-phase t-digest re-aggregation — the QUANTILE member of the
     * pre-aggregable-summary family (HLL = distinct, CMS = frequency,
     * MG = top-k, t-digest = quantiles): daily per-type digests of the
@@ -246,6 +281,24 @@ object Aggregates {
     QueryDef("agg_approx_distinct", None, aggApproxDistinct),
     QueryDef("agg_hll_reaggregate", None, aggHllReaggregate),
     QueryDef("agg_tdigest_reaggregate", None, aggTdigestReaggregate),
+
+    QueryDef("agg_kmv_distinct", Some(
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        | h AS (
+        |  SELECT event_type, user_id,
+        |   CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |     / 281474976710656.0 AS h
+        |  FROM u),
+        | r AS (
+        |  SELECT event_type, h,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+        |  FROM h),
+        | s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM u GROUP BY 1)
+        |SELECT s.event_type, s.n_exact,
+        | floor(CAST(7 AS DOUBLE) / r.h * 100 + 0.5) / 100 AS est_distinct
+        |FROM s JOIN r ON r.event_type = s.event_type AND r.rn = 8
+        |ORDER BY s.event_type""".stripMargin), aggKmvDistinct),
     QueryDef("agg_countmin_freq", None, aggCountminFreq),
 
     QueryDef("agg_bitmap_distinct", Some(
