@@ -480,15 +480,14 @@ object Dedup {
     * candidate verify), Σ bucket² only over RARE-shingle buckets.
     * Verification counts common shingles with two keyed equi-joins
     * and one division ⇒ bitwise cross-engine, oracle-checked. */
-  private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    // materialize the shingle relation ONCE, through the write-once
-    // content-keyed cache: four consumers (frequency, prefix window,
-    // verify doc-sets ×2) would otherwise each re-run the interpreted
-    // shingle lambdas (measured 8.8 s → 2.6 s at sf0.1 when first
-    // checkpointed; the parquet cache also amortizes ACROSS
-    // invocations). On a cluster this IS the persisted shingle table
-    // every set-similarity pipeline keeps beside the corpus.
+  /** The write-once content-keyed (doc_id, shingle) relation shared by
+    * the set-similarity joins: materialized once so the many consumers
+    * (frequency, prefix window, verify doc-sets) never re-run the
+    * interpreted shingle lambdas (measured 8.8 s → 2.6 s at sf0.1 when
+    * first checkpointed; the parquet cache also amortizes ACROSS
+    * invocations). On a cluster this IS the persisted shingle table
+    * every set-similarity pipeline keeps beside the corpus. */
+  private def shingleTok(spark: SparkSession, dir: String): DataFrame = {
     val tokBase = graft.Caches.dir("jacshingle", dir, Seq("documents"))
     if (!new java.io.File(tokBase, "_SUCCESS").exists()) {
       fanout(documents(spark, dir))
@@ -497,8 +496,13 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
         .write.mode("overwrite").parquet(tokBase)
     }
-    // checkpoint the cached scan so the four consumers share ONE read
-    val tok = spark.read.parquet(tokBase).localCheckpoint()
+    // checkpoint the cached scan so the consumers share ONE read
+    spark.read.parquet(tokBase).localCheckpoint()
+  }
+
+  private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val tok = shingleTok(spark, dir)
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
     // set size folds into the SAME window partitioning as the prefix
     // rank — one doc-keyed shuffle computes both (no separate size join)
@@ -540,6 +544,50 @@ object Dedup {
       .filter(jac >= t)
       .select(col("doc_a"), col("doc_b"), col("inter_size"), jac.as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** CONTAINMENT join — the asymmetric overlap C(A→B) = |A∩B|/|A| ≥ t
+    * that symmetric Jaccard structurally misses: a short document
+    * quoted/embedded inside a long one has tiny Jaccard but high
+    * containment, and it's containment that decontamination and
+    * quote/subset dedup actually need. Directed pairs (sub, sup).
+    *
+    * Prefix filter adapted to the asymmetric threshold: C ≥ t forces
+    * overlap ≥ ⌈t·|A|⌉, so A (the candidate SUBSET) must share a
+    * shingle from its rarest-first prefix of size |A| − ⌈t·|A|⌉ + 1
+    * with B — only ~(1−t)·|A| rare shingles of each doc enter the
+    * index probe, while the B side needs no prefix (any of its
+    * shingles can witness). One length prune survives asymmetry:
+    * |B| ≥ ⌈t·|A|⌉ (B must have room for the overlap). Verify is the
+    * same two keyed joins + in-row array_intersect as
+    * [[dedupJaccardPrefix]] — never a token-level pair explosion. */
+  private def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val tok = shingleTok(spark, dir)
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tk"))
+    val ranked = tok.join(freq, "tk")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wOrd))
+      .select(col("doc_id"), col("tk"), col("n"), col("rn"))
+    val prefSub = ranked.filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+    val cand = prefSub.as("a").join(ranked.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") >= ceil(lit(t) * col("a.n")))
+      .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup")).distinct()
+    val docSets = tok.groupBy(col("doc_id"))
+      .agg(collect_list(col("tk")).as("set"), count(lit(1)).as("n"))
+    val cont = col("inter_size").cast(DoubleType) / col("na").cast(DoubleType)
+    cand
+      .join(docSets.select(col("doc_id").as("doc_sub"), col("set").as("sa"),
+        col("n").as("na")), "doc_sub")
+      .join(docSets.select(col("doc_id").as("doc_sup"), col("set").as("sb")), "doc_sup")
+      .withColumn("inter_size",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .filter(cont >= t)
+      .select(col("doc_sub"), col("doc_sup"), col("inter_size"), cont.as("containment"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
   }
 
   /** Shared DuckDB CTE chain: banding candidates → exact-Jaccard
@@ -642,6 +690,41 @@ object Dedup {
         |WHERE CAST(inter_size AS DOUBLE) / (sa.n + sb.n - inter_size) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
       dedupJaccardPrefix),
+
+    QueryDef("dedup_containment", Some(
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        | tok AS (
+        |  SELECT DISTINCT doc_id, tk FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tk
+        |   FROM t0 WHERE len(t) >= 3)),
+        | freq AS (SELECT tk, count(*) AS f FROM tok GROUP BY tk),
+        | ranked AS (
+        |  SELECT tok.doc_id, tok.tk,
+        |   count(*) OVER (PARTITION BY tok.doc_id) AS n,
+        |   row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.f, tok.tk) AS rn
+        |  FROM tok JOIN freq f ON f.tk = tok.tk),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_sub, b.doc_id AS doc_sup
+        |  FROM ranked a JOIN ranked b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        |   AND a.rn <= a.n - ceil(0.8 * a.n) + 1
+        |   AND b.n >= ceil(0.8 * a.n)),
+        | common AS (
+        |  SELECT c.doc_sub, c.doc_sup, count(*) AS inter_size
+        |  FROM cand c
+        |   JOIN tok ta ON ta.doc_id = c.doc_sub
+        |   JOIN tok tb ON tb.doc_id = c.doc_sup AND tb.tk = ta.tk
+        |  GROUP BY c.doc_sub, c.doc_sup),
+        | sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        |SELECT doc_sub, doc_sup, CAST(inter_size AS BIGINT) AS inter_size,
+        | CAST(inter_size AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |FROM common
+        | JOIN sz sa ON sa.doc_id = doc_sub
+        |WHERE CAST(inter_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+        |ORDER BY doc_sub, doc_sup""".stripMargin),
+      dedupContainment),
 
     QueryDef("dedup_fuzzy_names", Some(
       """WITH p AS (

@@ -183,6 +183,23 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("bidirectional containment pairs are jaccard pairs (C>=0.8 both ways => J>=2/3)") {
+    // |A∩B| >= 0.8·max(|A|,|B|) in both directions forces
+    // J = I/(|A|+|B|−I) >= 0.8/1.2 — comfortably over the jaccard
+    // join's 0.5 threshold, so every mutual-containment pair MUST
+    // appear in dedup_jaccard_prefix's (lossless) output
+    val cont = q("dedup_containment")
+      .select("doc_sub", "doc_sup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = cont.filter { case (a, b) => cont.contains((b, a)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val jac = q("dedup_jaccard_prefix")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual.subsetOf(jac),
+      s"mutual-containment pairs missing from jaccard join: ${mutual -- jac}")
+  }
+
   test("prefix-filtered jaccard join finds every MinHash-verified pair") {
     // both operators bound the same truth: pairs with shingle-set
     // Jaccard >= 0.5. MinHash banding can MISS a true pair (probabilistic
