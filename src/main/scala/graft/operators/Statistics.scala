@@ -160,6 +160,33 @@ object Statistics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** WEIGHTED percentile — the mixture-planning quantile (token-
+    * weighted median doc length, quantity-weighted price bands): the
+    * smallest value v whose cumulative weight reaches q·W. Exact and
+    * deterministic: weights (quantities) are integer-valued doubles,
+    * so both the ordered cumulative sum and the partition total are
+    * EXACT in IEEE arithmetic regardless of addition order — no
+    * rounding formula, no ulp-boundary risk on the threshold compare.
+    * One window pass (ordered cumsum + partition total share a
+    * shuffle) and one hash-agg; never a per-group sort collect. */
+  private def aggWeightedPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("l_returnflag"))
+    lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cw", sum(col("l_quantity")).over(ord))
+      .withColumn("tw", sum(col("l_quantity")).over(all))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cw") >= lit(0.5) * col("tw"), col("l_extendedprice"))).as("wp50"),
+        min(when(col("cw") >= lit(0.9) * col("tw"), col("l_extendedprice"))).as("wp90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Fixed-width histogram over a measure column: one hash-agg on the
     * bin id (map-side combinable — shuffle volume is #bins, not rows),
     * the distribution-profiling primitive. Bin id from floor-division:
@@ -746,6 +773,20 @@ object Statistics {
     QueryDef("agg_approx_percentile", None, aggApproxPercentile),
 
     QueryDef("agg_tdigest_percentile", None, aggTdigestPercentile),
+
+    QueryDef("agg_weighted_percentile", Some(
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |   sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |     ROWS UNBOUNDED PRECEDING) AS cw,
+        |   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
+        | min(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      aggWeightedPercentile),
 
     // identical oracle as agg_percentile by design: two-phase bin
     // selection must reproduce the flat sort's answer exactly

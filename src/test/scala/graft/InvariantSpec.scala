@@ -435,6 +435,33 @@ class InvariantSpec extends AnyFunSuite {
     assert(found >= 7, s"multi-probe missed planted near-dups: only $found/10 recovered")
   }
 
+  test("IVF-PQ recovers planted near-duplicates through cells + ADC + rerank") {
+    // same planted fixture as the multi-probe contract (cosine ≈ 0.997
+    // partner per query): the partner must survive the whole IVF-PQ
+    // funnel — land in the query's coarse cell, rank top-20 by the
+    // quantized ADC score, and surface in the exact top-3 rerank. The
+    // pipeline is deterministic (trained centroids are content-
+    // addressed per fixture), so the floor guards every stage against
+    // regression; a modest 6/10 leaves headroom for the ~8% L2
+    // perturbation occasionally crossing a k-means cell boundary.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_emb").getAbsolutePath
+    val src = Tables.embeddings(spark, sf)
+    val dup = src.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          CAST(x + 0.08 * element_at(embedding,
+            (CAST(i + 1 AS INT) % size(embedding)) + 1) AS FLOAT))""").as("embedding"),
+        col("label"))
+    src.unionByName(dup).coalesce(1).write.mode("overwrite")
+      .parquet(s"$planted/embeddings.parquet")
+    val got = SparkEntry.queries("sim_ann_ivfpq")(spark, planted)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count(q0 => got.contains((q0.toLong, q0 + 1000L)))
+    info(s"IVF-PQ planted-pair recall: ${found / 10.0}")
+    assert(found >= 6, s"IVF-PQ missed planted near-dups: only $found/10 recovered")
+  }
+
   test("two-phase tdigest re-aggregation stays within 2% rank error per event type") {
     val est = q("agg_tdigest_reaggregate").collect()
       .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3))).toMap
