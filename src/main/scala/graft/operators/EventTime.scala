@@ -403,6 +403,34 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user FEATURE MATRIX — the feature-engineering rollup every
+    * model-training pipeline runs over an event log: per-type activity
+    * counts (wide conditional aggregation), engagement (distinct
+    * active days), recency vs the corpus clock, and r2-rounded
+    * purchase monetary. ONE map-side-combinable hash-agg over user_id
+    * + a 1-row broadcast for the corpus max day — at 100 TB this is a
+    * single shuffle of partial aggregates, no window, no self-join,
+    * and the output is exactly the feature-store row per entity. */
+  private def eventsFeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("d", to_date(col("ts")))
+    val corpusMax = ev.agg(max(col("d")).as("max_day"))
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    ev.groupBy(col("user_id"))
+      .agg(n("click").as("n_click"), n("view").as("n_view"),
+        n("purchase").as("n_purchase"), n("error").as("n_error"),
+        n("signup").as("n_signup"),
+        countDistinct(col("d")).as("days_active"),
+        max(col("d")).as("last_day"),
+        Parity.r2(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))).as("purchase_value"))
+      .crossJoin(broadcast(corpusMax))
+      .select(col("user_id"), col("n_click"), col("n_view"), col("n_purchase"),
+        col("n_error"), col("n_signup"), col("days_active"),
+        datediff(col("max_day"), col("last_day")).cast(LongType).as("recency_days"),
+        col("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Daily click→purchase conversion with a WILSON 95% score interval
     * — the uncertainty-aware conversion metric (a day with 3/5
     * conversions must not outrank one with 300/500). A TRUE funnel
@@ -451,6 +479,31 @@ object EventTime {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_feature_matrix", Some(
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |   CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        | m AS (SELECT max(d) AS max_day FROM e),
+        | u AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |   CAST(count(DISTINCT d) AS BIGINT) AS days_active,
+        |   max(d) AS last_day,
+        |   floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+        |     * 100 + 0.5) / 100 AS purchase_value
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_click, n_view, n_purchase, n_error, n_signup,
+        | days_active,
+        | CAST(m.max_day - u.last_day AS BIGINT) AS recency_days,
+        | purchase_value
+        |FROM u CROSS JOIN m ORDER BY user_id""".stripMargin),
+      eventsFeatureMatrix),
+
     QueryDef("events_conversion_ci", Some(
       """WITH clicks AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
