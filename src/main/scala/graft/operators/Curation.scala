@@ -19,6 +19,44 @@ object Curation {
 
   private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
 
+  /** Deterministic NEGATIVE SAMPLING — the contrastive-training data
+    * step (for each entity, k items it did NOT interact with): per
+    * customer, 8 hash-probe candidates `md5(cust:slot) mod |parts|`
+    * are anti-joined against that customer's purchased parts and the
+    * first 3 survivors (by slot) become the negatives. The probe set
+    * is BOUNDED (8 rows per customer, never the |customers|×|parts|
+    * cross space a naive sampler materializes), the anti-join is a
+    * keyed equi-join, and md5 probing makes the sample reproducible
+    * across engines/runs/partitionings — so unlike RNG negative
+    * samplers this one is oracle-checked. Collision dedup keeps the
+    * smallest slot per candidate, so ranks are stable. */
+  private def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val np = part(spark, dir).agg(count(lit(1)).as("np"))
+    val purchased = lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val custs = purchased.select(col("o_custkey")).distinct()
+    val probes = custs.crossJoin(broadcast(np))
+      .select(col("o_custkey"), col("np"),
+        explode(sequence(lit(0), lit(7))).as("slot"))
+      .withColumn("cand",
+        conv(substring(md5(concat(lit("neg:"), col("o_custkey").cast("string"),
+          lit(":"), col("slot").cast("string"))), 1, 12), 16, 10)
+          .cast(LongType) % col("np"))
+    val firstSlot = probes.groupBy(col("o_custkey"), col("cand"))
+      .agg(min(col("slot")).as("slot"))
+    val purch2 = purchased
+      .select(col("o_custkey").as("pc_cust"), col("l_partkey").as("pc_part"))
+    val negs = firstSlot.join(purch2,
+      col("o_custkey") === col("pc_cust") && col("cand") === col("pc_part"),
+      "left_anti")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("slot"), col("cand"))
+    negs.withColumn("neg_rank", row_number().over(w).cast(LongType))
+      .filter(col("neg_rank") <= 3)
+      .select(col("o_custkey"), col("neg_rank"), col("cand").as("p_partkey"))
+      .orderBy(col("o_custkey"), col("neg_rank"))
+  }
+
   /** Fixed-budget sequence packing (contiguous fill): documents are
     * hash-sharded, ordered deterministically within their shard, and a
     * running token total assigns each doc to training sequence
@@ -276,6 +314,30 @@ object Curation {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sample_negatives", Some(
+      """WITH np AS (SELECT count(*) AS p FROM part),
+        | purchased AS (
+        |  SELECT DISTINCT o_custkey, l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | custs AS (SELECT DISTINCT o_custkey FROM purchased),
+        | probes AS (
+        |  SELECT o_custkey, i AS slot,
+        |   CAST(('0x' || substr(md5('neg:' || CAST(o_custkey AS VARCHAR)
+        |     || ':' || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % p AS cand
+        |  FROM custs CROSS JOIN np, unnest(range(0, 8)) AS u(i)),
+        | dedup AS (
+        |  SELECT o_custkey, cand, min(slot) AS slot FROM probes GROUP BY 1, 2),
+        | negs AS (
+        |  SELECT d.o_custkey, d.cand, d.slot FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM purchased pu
+        |    WHERE pu.o_custkey = d.o_custkey AND pu.l_partkey = d.cand)),
+        | r AS (
+        |  SELECT o_custkey, cand,
+        |   CAST(row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY slot, cand) AS BIGINT) AS neg_rank
+        |  FROM negs)
+        |SELECT o_custkey, neg_rank, cand AS p_partkey FROM r WHERE neg_rank <= 3
+        |ORDER BY o_custkey, neg_rank""".stripMargin), sampleNegatives),
     QueryDef("sample_weighted", Some(
       """WITH t AS (
         |  SELECT doc_id,
