@@ -336,4 +336,48 @@ class PlanAssertionSpec extends AnyFunSuite {
     val p = qe.sparkPlan.toString
     assert(p.contains("partial_corr"), "map-side partial co-moments missing")
   }
+
+  test("dedup_containment: candidate join is keyed — no cartesian anywhere") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events_feature_matrix: all eight features fold into ONE user-keyed aggregate") {
+    val qe = SparkEntry.queries("events_feature_matrix")(spark, TestSpark.sf).queryExecution
+    // one logical aggregate = exactly one final HashAggregate keyed on
+    // user_id (plus its partial); a second grouping would double-shuffle
+    val aggs = qe.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.nonEmpty => a
+    }
+    // partial + distinct-expansion + final stages of the SAME aggregate
+    // (count-distinct legally groups on (user_id, d) mid-pipeline);
+    // every stage must still be KEYED ON user_id first — a grouping on
+    // any other leading key would mean a second, unrelated shuffle
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(a.groupingExpressions.head.references.head.name == "user_id",
+        s"unexpected grouping: ${a.groupingExpressions}")
+    }
+    // the corpus-max enrich must be a 1-row broadcast, not a shuffle join
+    assert(plan("events_feature_matrix").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("agg_weighted_percentile: both window frames share one exchange") {
+    val qe = SparkEntry.queries("agg_weighted_percentile")(spark, TestSpark.sf).queryExecution
+    val exchanges = qe.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // cumsum + partition-total windows and the final hash-agg must not
+    // introduce separate l_returnflag shuffles: 1 for the window pair
+    // (the agg reuses the partitioning), plus the output range sort
+    assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
+  }
+
+  test("sample_negatives: anti-join is keyed; probe side never explodes") {
+    val p = plan("sample_negatives")
+    assert(p.contains("LeftAnti"), "purchased-parts exclusion must be an anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
