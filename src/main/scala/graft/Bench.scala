@@ -27,7 +27,11 @@ object Bench {
     "join_asof_nearest", "text_line_dedup", "corpus_budget_select",
     "graph_triangles", "dedup_jaccard_prefix", "sim_ann_ivfpq",
     "sample_weighted", "graph_communities", "agg_percentile_select",
-    "dedup_apply")
+    "dedup_apply",
+    // round-6 additions: one representative per new family
+    "dedup_containment", "agg_weighted_percentile", "agg_kmv_distinct",
+    "text_sentence_dedup", "events_feature_matrix", "sample_negatives",
+    "agg_tdigest_reaggregate", "pipeline_spec_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
