@@ -101,6 +101,31 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(out.forall(_.getSeq[Long](0).isEmpty))
   }
 
+  test("content-defined chunks realign after a prefix shift (CDC resistance)") {
+    // THE property fixed-size chunking lacks: prepending bytes shifts
+    // every fixed block, but content-defined boundaries (h & 63 == 0)
+    // depend only on the local window, so all chunks after the first
+    // boundary are byte-identical. Dedup over CDC chunk fingerprints
+    // therefore still matches a shifted document.
+    graft.functions.RollingHash.register(spark)
+    def chunks(s: String): Seq[String] = {
+      val hs = Seq(s).toDF("s")
+        .select(expr("rolling_hash(s, 16)").as("h")).collect()(0).getSeq[Long](0)
+      val bounds = hs.zipWithIndex.collect { case (h, i) if (h & 63L) == 0L => i }
+      val cuts = (0 +: bounds.map(_ + 16)) :+ s.length
+      cuts.sliding(2).collect { case Seq(a, b) if b > a => s.substring(a, b) }.toSeq
+    }
+    val doc = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val base = chunks(doc)
+    val shifted = chunks("PREFIX INSERTED AT SYNC TIME " + doc)
+    assume(base.length >= 3, "doc too short to carry boundaries")
+    // every base chunk after the first boundary must survive the shift
+    val surviving = base.drop(1).count(shifted.contains)
+    assert(surviving >= base.length - 2,
+      s"only $surviving/${base.length - 1} post-boundary chunks realigned")
+  }
+
   test("simhash_agg merges partials consistently across partition counts") {
     SimHashAgg.register(spark)
     def run(parts: Int): Long =

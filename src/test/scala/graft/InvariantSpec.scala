@@ -183,6 +183,46 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pigeonhole finds every planted pair it promises (hamming <= 3)") {
+    // the pigeonhole guarantee is absolute, not probabilistic: hamming
+    // <= 3 over 4 disjoint 16-bit blocks forces >= 1 identical block,
+    // so every such pair MUST surface. Plant (a) exact copies
+    // (hamming 0 — all four blocks match) and (b) one-token edits
+    // (hamming data-dependent); assert every planted pair whose TRUE
+    // hamming is <= 3 appears. Zero flake: violations are
+    // implementation bugs in the banding join, never sampling noise.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_docs").getAbsolutePath
+    val src = Tables.documents(spark, sf)
+    val exact = src.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val edited = src.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("zzz "), substring_index(col("text"), " ", -10000)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    src.unionByName(exact).unionByName(edited).coalesce(1)
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, planted)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (a) exact copies: unconditionally found
+    (0 until 10).foreach { q0 =>
+      assert(pairs.contains((q0.toLong, q0 + 100000L)),
+        s"exact copy pair ($q0, ${q0 + 100000}) missed")
+    }
+    // (b) edited copies: found exactly when true hamming <= 3
+    val sh = SparkEntry.queries("dedup_simhash")(spark, planted)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { q0 =>
+      val h = java.lang.Long.bitCount(sh(q0.toLong) ^ sh(q0 + 200000L))
+      if (h <= 3)
+        assert(pairs.contains((q0.toLong, q0 + 200000L)),
+          s"edited pair ($q0, ${q0 + 200000}) at hamming $h missed — pigeonhole broken")
+    }
+  }
+
   test("bidirectional containment pairs are jaccard pairs (C>=0.8 both ways => J>=2/3)") {
     // |A∩B| >= 0.8·max(|A|,|B|) in both directions forces
     // J = I/(|A|+|B|−I) >= 0.8/1.2 — comfortably over the jaccard
