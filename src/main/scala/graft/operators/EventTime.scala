@@ -403,6 +403,49 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Two-proportion z-test between deterministically hash-split user
+    * variants — the A/B experiment-analysis primitive: users with a
+    * click are split 50/50 by md5 parity (the same reproducible
+    * assignment [[sample_train_split]] uses, so variants are stable
+    * under corpus growth), conversion is the funnel definition
+    * [[eventsConversionCi]] fixed (purchase at-or-after first click ⇒
+    * converter ⊆ clicker, rates ≤ 1), and the pooled z statistic is
+    * +,−,×,÷,√ in identical order on both engines — bit-exact, no
+    * rounding formula, no decimal-constant products. Two user-keyed
+    * hash-aggs + a 2-row pivot; nothing corpus-sized past the first
+    * aggregate. */
+  private def eventsAbtestZtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_purchase"))
+    val users = clicks.join(purch, Seq("user_id"), "left")
+      .select(
+        when(col("last_purchase") >= col("first_click"), 1L).otherwise(0L).as("cv"),
+        (conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 2),
+          16, 10).cast(LongType) % 2).as("variant"))
+    // ONE conditional global aggregate (a filter+self-join pivot lets
+    // Catalyst push the 1/n projections below the variant filter and
+    // trip ANSI divide-by-zero on non-surviving rows)
+    val g = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("cv")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("cv")).otherwise(0L)).as("c_b"))
+    val ra = col("c_a").cast("double") / col("n_a").cast("double")
+    val rb = col("c_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    // z is UNDEFINED when the pooled variance is 0 (all or none
+    // converted — degenerate at tiny fixtures): NULL, not 0/0
+    val z = when(se > lit(0.0), (ra - rb) / se)
+    g.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      ra.as("rate_a"), rb.as("rate_b"), z.as("z"))
+  }
+
   /** Per-user FEATURE MATRIX — the feature-engineering rollup every
     * model-training pipeline runs over an event log: per-type activity
     * counts (wide conditional aggregation), engagement (distinct
@@ -479,6 +522,39 @@ object EventTime {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_abtest_ztest", Some(
+      """WITH clicks AS (
+        |  SELECT user_id, min(ts) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        | purch AS (
+        |  SELECT user_id, max(ts) AS last_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | u AS (
+        |  SELECT CASE WHEN p.last_purchase >= c.first_click
+        |         THEN 1 ELSE 0 END AS cv,
+        |   CAST(('0x' || substr(md5('ab:' || CAST(c.user_id AS VARCHAR)), 1, 2))
+        |     AS BIGINT) % 2 AS variant
+        |  FROM clicks c LEFT JOIN purch p USING (user_id)),
+        | g AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN cv ELSE 0 END) AS BIGINT) AS c_a,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN cv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u),
+        | s AS (
+        |  SELECT n_a, c_a, n_b, c_b,
+        |   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |   sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+        | CASE WHEN se > 0.0 THEN (rate_a - rate_b) / se END AS z
+        |FROM s""".stripMargin),
+      eventsAbtestZtest),
+
     QueryDef("events_feature_matrix", Some(
       """WITH e AS (
         |  SELECT user_id, event_type, value,
