@@ -163,4 +163,54 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"sum mismatch for user $u session $s")
     }
   }
+
+  test("streamed KMV partials merge to EXACTLY the batch bottom-k estimate") {
+    // bottom-k is a semilattice — bottom_k(A ∪ B) =
+    // bottom_k(bottom_k(A) ∪ bottom_k(B)) — and the md5 hash is
+    // deterministic, so per-micro-batch partial sketches re-merged at
+    // read time give the BIT-IDENTICAL answer the batch operator
+    // computes: the operational pattern for maintaining distinct-count
+    // sketches over a stream without ever reprocessing history, proven
+    // exact (not approximately equal) against the oracle-checked query.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    val pairs = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("user_id")).distinct()
+      .as[(String, Long)].collect().toSeq.sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val q = ms.toDF().toDF("event_type", "user_id").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hcol = conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").cast("double") / lit(281474976710656.0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
+        val p = df.dropDuplicates("event_type", "user_id").withColumn("h", hcol)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("event_type"), col("h")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+        partials.synchronized { partials += p }
+        ()
+      }.start()
+    pairs.grouped(math.max(1, pairs.size / 3)).foreach { chunk =>
+      ms.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    assert(partials.size >= 3, s"expected >=3 micro-batches, got ${partials.size}")
+    // read-time merge: per type, the k smallest hashes across partials
+    val merged = partials.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(k)).toMap
+    val batch = SparkEntry.queries("agg_kmv_distinct")(spark, TestSpark.sf)
+      .select("event_type", "est_distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    batch.foreach { case (t, est) =>
+      val hk = merged(t)(k - 1)
+      val mergedEst = math.floor((k - 1).toDouble / hk * 100 + 0.5) / 100
+      assert(mergedEst == est,
+        s"$t: merged-partial estimate $mergedEst != batch $est")
+    }
+  }
 }
