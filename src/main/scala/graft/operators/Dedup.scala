@@ -572,9 +572,17 @@ object Dedup {
       .withColumn("rn", row_number().over(wOrd))
       .select(col("doc_id"), col("tk"), col("n"), col("rn"))
     val prefSub = ranked.filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+    // positional filter, containment form (lossless, same argument as
+    // PPJoin's): both sides order shingles canonically (global freq,
+    // tk), so a match at ranks (rn_a, rn_b) bounds the remaining
+    // overlap by 1 + min(|A|−rn_a, |B|−rn_b), which must reach the
+    // ⌈t·|A|⌉ a C ≥ t pair needs — checked INSIDE the join condition
+    // so over-long candidates never leave the probe
     val cand = prefSub.as("a").join(ranked.as("b"),
         col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") >= ceil(lit(t) * col("a.n")))
+          col("b.n") >= ceil(lit(t) * col("a.n")) &&
+          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+            ceil(lit(t) * col("a.n")))
       .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup")).distinct()
     val docSets = tok.groupBy(col("doc_id"))
       .agg(collect_list(col("tk")).as("set"), count(lit(1)).as("n"))
@@ -710,7 +718,8 @@ object Dedup {
         |  SELECT DISTINCT a.doc_id AS doc_sub, b.doc_id AS doc_sup
         |  FROM ranked a JOIN ranked b ON a.tk = b.tk AND a.doc_id <> b.doc_id
         |   AND a.rn <= a.n - ceil(0.8 * a.n) + 1
-        |   AND b.n >= ceil(0.8 * a.n)),
+        |   AND b.n >= ceil(0.8 * a.n)
+        |   AND 1 + least(a.n - a.rn, b.n - b.rn) >= ceil(0.8 * a.n)),
         | common AS (
         |  SELECT c.doc_sub, c.doc_sup, count(*) AS inter_size
         |  FROM cand c
