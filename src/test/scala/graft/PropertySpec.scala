@@ -112,6 +112,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: containment prefix + positional filters never lose a pair with C >= t") {
+    // pure model of dedup_containment's candidate bound: the SUBSET
+    // side keeps its |A| − ceil(t·|A|) + 1 rarest-first elements, the
+    // superset side is fully indexed, and the length (|B| ≥ ceil(t·|A|))
+    // and positional (1 + min(|A|−rn_a, |B|−rn_b) ≥ ceil(t·|A|))
+    // prunes apply inside the join — every DIRECTED pair with true
+    // containment |A∩B|/|A| ≥ t must survive the full condition.
+    val t = 0.8
+    val gen = Gen.listOfN(8,
+      Gen.containerOf[Set, Int](Gen.choose(0, 25)).suchThat(_.nonEmpty))
+    cases(gen, n = 24).foreach { docs =>
+      val freq = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def ordered(s: Set[Int]): Seq[Int] = s.toSeq.sortBy(tok => (freq(tok), tok))
+      def rank(s: Set[Int]): Map[Int, Int] =
+        ordered(s).zipWithIndex.map { case (tok, i) => tok -> (i + 1) }.toMap
+      for (i <- docs.indices; j <- docs.indices if i != j) {
+        val (a, b) = (docs(i), docs(j))
+        val cont = (a & b).size.toDouble / a.size
+        if (cont >= t) {
+          val keep = a.size - math.ceil(t * a.size).toInt + 1
+          val prefA = ordered(a).take(keep).toSet
+          val (ra, rb) = (rank(a), rank(b))
+          val survives = prefA.intersect(b).exists { w =>
+            b.size >= math.ceil(t * a.size) &&
+              1 + math.min(a.size - ra(w), b.size - rb(w)) >=
+                math.ceil(t * a.size)
+          }
+          assert(survives, s"containment filter lost: $a in $b (C=$cont)")
+        }
+      }
+    }
+  }
+
   test("property: t-digest quantiles are monotone, clamped, and rank-bounded") {
     // pure-JVM property (no Spark job per case): arbitrary positive
     // data, arbitrary insertion order, arbitrary split into partial
