@@ -687,8 +687,74 @@ object TextOps {
         | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | floor(CAST(count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS removed_frac
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin), textSentenceDedup)
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin), textSentenceDedup),
+
+    QueryDef("text_winnowing", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+        |  FROM t, unnest(range(0, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        | w AS (
+        |  SELECT doc_id, pos,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+        |  FROM g)
+        |SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+        | CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+        | floor(CAST(count(DISTINCT wmin) AS DOUBLE) / CAST(n_kgrams AS DOUBLE)
+        |   * 1000000 + 0.5) / 1000000 AS fp_density
+        |FROM w WHERE pos <= n_kgrams - 4
+        |GROUP BY doc_id, n_kgrams ORDER BY doc_id""".stripMargin), textWinnowing)
   )
+
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every k-gram (k=5), then keep the MINIMUM hash
+    * of each w-length window (w=4) of consecutive k-gram positions —
+    * the classic guarantee is that any shared token run of length
+    * ≥ w+k−1 between two documents shares at least one fingerprint,
+    * while storage drops to ~2/(w+1) of the k-gram count. This is the
+    * position-robust fingerprint selection plagiarism/overlap
+    * detection uses where full k-gram inventories (dedup_span_ngrams)
+    * are too big to keep. md5 hashing keeps the selection
+    * bit-reproducible, so the per-doc manifest is oracle-checked.
+    *
+    * Scale: explode is linear in corpus tokens; the window min is a
+    * doc-partitioned frame (ROWS w−1 FOLLOWING) on the same doc-keyed
+    * shuffle as the position sort; fingerprints then hash-agg per doc
+    * map-side. Cross-doc matching joins fingerprint sets exactly like
+    * the span/shingle indexes — never pairwise text. */
+  private def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = 4
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val grams = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
+    grams
+      .withColumn("wmin", min(col("h")).over(win))
+      // the last w-1 windows are partial (fewer than w k-grams) — the
+      // classic scheme only selects from FULL windows; count k-grams
+      // before the cut so n_kgrams stays the true inventory size
+      .withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n_kgrams") - w)
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_kgrams")).as("n_kgrams"),
+        countDistinct(col("wmin")).as("n_fingerprints"))
+      .select(col("doc_id"), col("n_kgrams"),
+        col("n_fingerprints"),
+        Parity.r6(col("n_fingerprints").cast("double") /
+          col("n_kgrams").cast("double")).as("fp_density"))
+      .orderBy(col("doc_id"))
+  }
 
   /** CCNet-style SENTENCE-level dedup signal: split each document on
     * sentence boundaries ([.!?]+ runs), normalize (lower + trim), and
