@@ -708,7 +708,40 @@ object TextOps {
         | floor(CAST(count(DISTINCT wmin) AS DOUBLE) / CAST(n_kgrams AS DOUBLE)
         |   * 1000000 + 0.5) / 1000000 AS fp_density
         |FROM w WHERE pos <= n_kgrams - 4
-        |GROUP BY doc_id, n_kgrams ORDER BY doc_id""".stripMargin), textWinnowing)
+        |GROUP BY doc_id, n_kgrams ORDER BY doc_id""".stripMargin), textWinnowing),
+
+    QueryDef("text_winnowing_matches", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+        |  FROM t, unnest(range(0, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        | w AS (
+        |  SELECT doc_id, pos,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS nk
+        |  FROM g),
+        | fp AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= nk - 4),
+        | dfq AS (SELECT wmin, count(*) AS df FROM fp GROUP BY wmin),
+        | kept AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN dfq USING (wmin)
+        |          WHERE df <= 50),
+        | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |        FROM kept GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+        | floor(CAST(pr.n_shared AS DOUBLE)
+        |   / CAST(sa.n_fp + sb.n_fp - pr.n_shared AS DOUBLE) * 1000000 + 0.5)
+        |   / 1000000 AS jaccard_fp
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+        | JOIN sz sb ON sb.doc_id = pr.doc_b
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100""".stripMargin),
+      textWinnowingMatches)
   )
 
   /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
@@ -727,25 +760,33 @@ object TextOps {
     * shuffle as the position sort; fingerprints then hash-agg per doc
     * map-side. Cross-doc matching joins fingerprint sets exactly like
     * the span/shingle indexes — never pairwise text. */
-  private def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val w = 4
+  private val winnowK = 5
+  private val winnowW = 4
+
+  /** Per-(doc, position) winnowing selection: every k-gram md5 plus
+    * the minimum hash (`wmin`) of the w-window starting at that
+    * position, restricted to FULL windows (the last w−1 are partial —
+    * the classic scheme only selects from complete windows).
+    * `n_kgrams` is counted before the cut so it stays the true
+    * inventory size. Shared by the per-doc manifest and the cross-doc
+    * match join. */
+  private def winnowSelections(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val grams = fanout(documents(spark, dir))
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    fanout(documents(spark, dir))
       .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= k)
+      .filter(size(col("t")) >= winnowK)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("t")) - k),
-          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
-    grams
+        posexplode(transform(sequence(lit(0), size(col("t")) - winnowK),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(winnowK)))))))
+      .withColumnRenamed("col", "h")
       .withColumn("wmin", min(col("h")).over(win))
-      // the last w-1 windows are partial (fewer than w k-grams) — the
-      // classic scheme only selects from FULL windows; count k-grams
-      // before the cut so n_kgrams stays the true inventory size
       .withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("n_kgrams") - w)
+      .filter(col("pos") <= col("n_kgrams") - winnowW)
+  }
+
+  private def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowSelections(spark, dir)
       .groupBy(col("doc_id"))
       .agg(first(col("n_kgrams")).as("n_kgrams"),
         countDistinct(col("wmin")).as("n_fingerprints"))
@@ -754,6 +795,42 @@ object TextOps {
         Parity.r6(col("n_fingerprints").cast("double") /
           col("n_kgrams").cast("double")).as("fp_density"))
       .orderBy(col("doc_id"))
+
+  /** Cross-document overlap candidates from the winnowing index: join
+    * documents on SHARED fingerprints and score each pair by shared
+    * count and fingerprint-set Jaccard. The winnowing theorem makes
+    * this a guaranteed detector — any shared token run of length
+    * ≥ w+k−1 (= 8 tokens) puts at least one identical fingerprint in
+    * both documents' sets, so true overlaps of that length can never
+    * be missed (asserted as a planted-fixture contract in
+    * InvariantSpec). This is MOSS's candidate-generation stage.
+    *
+    * Scale: a fingerprint-keyed equi-join (Σ bucket², never n²
+    * text comparison); boilerplate hubs are capped by dropping
+    * fingerprints present in > 50 documents (same stop-shingle
+    * pattern as the n-gram inverted index), so no bucket exceeds
+    * 50 docs regardless of corpus size. */
+  private def textWinnowingMatches(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 50
+    val fp = winnowSelections(spark, dir)
+      .select(col("doc_id"), col("wmin")).distinct()
+    val df = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+    val kept = fp.join(df.filter(col("df") <= maxDf), "wmin")
+      .select(col("doc_id"), col("wmin"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("fp_a"), col("fp_b"),
+        Parity.r6(col("n_shared").cast("double") /
+          (col("fp_a") + col("fp_b") - col("n_shared")).cast("double"))
+          .as("jaccard_fp"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
   }
 
   /** CCNet-style SENTENCE-level dedup signal: split each document on

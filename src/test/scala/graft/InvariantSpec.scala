@@ -609,4 +609,54 @@ class InvariantSpec extends AnyFunSuite {
       assert(vs.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
     } finally df.unpersist()
   }
+
+  test("winnowing guarantee: every shared run of >= w+k-1 tokens yields a match") {
+    // Schleimer–Wilkerson–Aiken theorem: a shared token run of length
+    // >= w+k-1 (= 8 here) contains a FULL window of w identical
+    // k-grams in both documents, so both select that window's minimum
+    // hash — the pair MUST appear in text_winnowing_matches. Absolute,
+    // not probabilistic: a miss is a bug in the selection or the join,
+    // never sampling noise. Negative side: disjoint-vocabulary docs
+    // can only pair via an md5 collision (~2^-128), so none may appear.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_winnow").getAbsolutePath
+    import spark.implicits._
+    val rows = (0 until 10).flatMap { i =>
+      val run = (0 until 8).map(j => s"shared${i}_$j").mkString(" ")
+      def doc(p: String, id: Long) = {
+        val filler = (0 until 20).map(j => s"$p${i}_$j")
+        val text = (filler.take(10) :+ run :++ filler.drop(10)).mkString(" ")
+        (id, text, "en", "planted", text.length.toLong)
+      }
+      Seq(doc("fa", i.toLong), doc("fb", 1000L + i))
+    } ++ (0 until 5).map { i =>
+      val text = (0 until 40).map(j => s"lone${i}_$j").mkString(" ")
+      (5000L + i, text, "en", "planted", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val pairs = SparkEntry.queries("text_winnowing_matches")(spark, planted)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"planted 8-token run pair ($i, ${1000 + i}) missed — winnowing guarantee broken")
+    }
+    assert(!pairs.exists(p => p._1 >= 5000L || p._2 >= 5000L),
+      "disjoint-vocabulary doc surfaced in matches — spurious fingerprint sharing")
+  }
+
+  test("winnowing density: selection compresses the k-gram inventory toward 2/(w+1)") {
+    // on random text winnowing keeps an expected ~2/(w+1) = 0.4 of
+    // k-gram positions (distinct VALUES can only be fewer); assert the
+    // corpus-wide mean sits well under 1 and every doc keeps >= 1.
+    val df = q("text_winnowing").cache()
+    try {
+      assert(df.filter(col("n_fingerprints") < 1 ||
+        col("n_fingerprints") > col("n_kgrams")).count() == 0)
+      val mean = df.agg(avg(col("fp_density"))).head.getDouble(0)
+      assert(mean > 0.05 && mean < 0.7,
+        s"mean fp_density $mean outside the plausible winnowing band")
+    } finally df.unpersist()
+  }
 }
