@@ -90,6 +90,57 @@ object Aggregates {
     *
     * Scale: one distinct-pairs shuffle, then a per-group bottom-k
     * window (state k rows per group); the estimate never moves rows. */
+  /** KMV SET ALGEBRA (Beyer et al., SIGMOD'07 "On synopses for
+    * distinct-value estimation under multiset operations"): bottom-k
+    * sketches support union/intersection/Jaccard WITHOUT revisiting
+    * the data — merge two sketches by taking the bottom-k of their
+    * union, estimate |A∪B| = (k−1)/h_k of the merged sketch, Jaccard
+    * ρ = |{x ∈ K_A∪B : x ∈ K_A ∧ x ∈ K_B}| / k, and |A∩B| = ρ·|A∪B|.
+    * The sets here are customers with completed ('F') vs open ('O')
+    * orders. Deterministic md5 hashing makes the merged sketch — and
+    * every estimate — bit-reproducible cross-engine, so all three
+    * estimators are oracle-checked (exact counts sit alongside).
+    *
+    * Scale: one map-side-combinable groupBy builds the membership
+    * flags; each sketch is a distributed TakeOrdered (k rows of
+    * driver state); the merge touches 2k rows. The exact counters
+    * are the same single pass. At 100 TB the sketches would be
+    * PERSISTED per partition/day and only the 2k-row merge re-run. */
+  private def aggKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val h = conv(substring(md5(concat(lit("kmv:"), col("o_custkey").cast("string"))), 1, 12),
+      16, 10).cast(LongType).cast("double") / lit(281474976710656.0)
+    val flags = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_a"),
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_b"))
+      .withColumn("h", h)
+    val cols = Seq("o_custkey", "h", "in_a", "in_b").map(col)
+    val ka = flags.filter(col("in_a") === 1)
+      .orderBy(col("h"), col("o_custkey")).limit(k).select(cols: _*)
+    val kb = flags.filter(col("in_b") === 1)
+      .orderBy(col("h"), col("o_custkey")).limit(k).select(cols: _*)
+    // sketch merge: bottom-k of K_A ∪ K_B ≡ bottom-k of A ∪ B (any of
+    // the union's k smallest is in K_A or K_B by h ≤ h_k(A∪B) ≤ h_k(A))
+    val merged = ka.unionByName(kb)
+      .groupBy(col("o_custkey"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .orderBy(col("h"), col("o_custkey")).limit(k)
+    val m = merged.agg(max(col("h")).as("hk"),
+      sum(col("in_a") * col("in_b")).as("cnt_both"))
+    val s = flags.agg(
+      sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+      sum(col("in_a") * col("in_b")).as("n_intersect_exact"),
+      count(lit(1)).as("n_union_exact"))
+    s.crossJoin(m).select(
+      col("n_a"), col("n_b"), col("n_intersect_exact"), col("n_union_exact"),
+      Parity.r2(lit((k - 1).toDouble) / col("hk")).as("est_union"),
+      Parity.r6(col("cnt_both").cast("double") / lit(k.toDouble)).as("est_jaccard"),
+      Parity.r2(col("cnt_both").cast("double") / lit(k.toDouble)
+        * (lit((k - 1).toDouble) / col("hk"))).as("est_intersect"))
+  }
+
   private def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     import graft.Tables.events
@@ -299,6 +350,32 @@ object Aggregates {
         | floor(CAST(7 AS DOUBLE) / r.h * 100 + 0.5) / 100 AS est_distinct
         |FROM s JOIN r ON r.event_type = s.event_type AND r.rn = 8
         |ORDER BY s.event_type""".stripMargin), aggKmvDistinct),
+
+    QueryDef("agg_kmv_setops", Some(
+      """WITH u AS (
+        |  SELECT o_custkey,
+        |   max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_a,
+        |   max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_b
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_custkey),
+        | h AS (
+        |  SELECT o_custkey, in_a, in_b,
+        |   CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+        |     / 281474976710656.0 AS h
+        |  FROM u),
+        | sk AS (SELECT * FROM h ORDER BY h, o_custkey LIMIT 64),
+        | s AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+        |   CAST(sum(in_b) AS BIGINT) AS n_b,
+        |   CAST(sum(in_a * in_b) AS BIGINT) AS n_intersect_exact,
+        |   CAST(count(*) AS BIGINT) AS n_union_exact FROM h),
+        | m AS (SELECT max(h) AS hk,
+        |   CAST(sum(in_a * in_b) AS BIGINT) AS cnt_both FROM sk)
+        |SELECT s.n_a, s.n_b, s.n_intersect_exact, s.n_union_exact,
+        | floor(CAST(63 AS DOUBLE) / m.hk * 100 + 0.5) / 100 AS est_union,
+        | floor(CAST(m.cnt_both AS DOUBLE) / CAST(64 AS DOUBLE) * 1000000 + 0.5)
+        |   / 1000000 AS est_jaccard,
+        | floor(CAST(m.cnt_both AS DOUBLE) / CAST(64 AS DOUBLE)
+        |   * (CAST(63 AS DOUBLE) / m.hk) * 100 + 0.5) / 100 AS est_intersect
+        |FROM s, m""".stripMargin), aggKmvSetops),
     QueryDef("agg_countmin_freq", None, aggCountminFreq),
 
     QueryDef("agg_bitmap_distinct", Some(

@@ -610,6 +610,20 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("kmv set-algebra estimates land inside the k=64 error envelope") {
+    // deterministic md5 hashing ⇒ one fixed draw, so these are
+    // fixed-fixture bounds (no flake): k=64 gives SE ≈ 1/√64 = 12.5%;
+    // measured errors at the test SF are 5–16%, asserted with headroom.
+    val r = q("agg_kmv_setops").head
+    val (ni, nu) = (r.getLong(2), r.getLong(3))
+    val (eu, ej, ei) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(eu - nu) / nu < 0.25, s"union est $eu vs exact $nu")
+    assert(math.abs(ei - ni) / ni < 0.25, s"intersect est $ei vs exact $ni")
+    assert(math.abs(ej - ni.toDouble / nu) < 0.15, s"jaccard est $ej")
+    // sketch algebra is internally consistent: |A∩B| = ρ · |A∪B|
+    assert(math.abs(ei - ej * eu) < 0.5)
+  }
+
   test("winnowing guarantee: every shared run of >= w+k-1 tokens yields a match") {
     // Schleimer–Wilkerson–Aiken theorem: a shared token run of length
     // >= w+k-1 (= 8 here) contains a FULL window of w identical
