@@ -812,8 +812,14 @@ object TextOps {
     * 50 docs regardless of corpus size. */
   private def textWinnowingMatches(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
+    // materialize the fingerprint index once — it feeds four plan
+    // branches (df-cap, both join sides, per-doc sizes), and without
+    // the checkpoint each would re-run the explode + window selection
+    // over the full corpus (at lake scale this index is the artifact
+    // you PERSIST, like the IVF centroid store)
     val fp = winnowSelections(spark, dir)
       .select(col("doc_id"), col("wmin")).distinct()
+      .localCheckpoint()
     val df = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
     val kept = fp.join(df.filter(col("df") <= maxDf), "wmin")
       .select(col("doc_id"), col("wmin"))

@@ -380,4 +380,23 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "purchased-parts exclusion must be an anti-join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("text_winnowing_matches: candidate join is fingerprint-keyed, never pairwise") {
+    val p = plan("text_winnowing_matches")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "winnowing match must join on wmin buckets, not compare documents pairwise")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 pair cut must be a distributed TakeOrdered, not a global sort")
+  }
+
+  test("agg_kmv_setops: every bottom-k cut is a distributed TakeOrdered") {
+    val p = plan("agg_kmv_setops")
+    // K_A, K_B, and the merged sketch: three TakeOrdered cuts, k rows
+    // of driver state each — a global Sort here would single-partition
+    // the distinct-key relation at scale
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      "expected 3 bottom-k TakeOrderedAndProject cuts")
+    assert(!p.contains("CartesianProduct"), // 1-row × 1-row stat join broadcasts
+      "exact-vs-estimate combine must broadcast the single-row frames")
+  }
 }
