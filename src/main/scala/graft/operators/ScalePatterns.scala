@@ -81,6 +81,49 @@ object ScalePatterns {
       .orderBy(col("month"))
   }
 
+  /** DYNAMIC partition pruning (the TPC-DS date-dim pattern): the fact
+    * table is hive-partitioned by year; the year filter lives on a
+    * small DIMENSION (complete years only), so static pruning can't
+    * see it — Spark runs the broadcast dim first and injects its keys
+    * into the fact scan's PartitionFilters at RUNTIME
+    * (`dynamicpruningexpression`, plan-asserted). At 100 TB this is
+    * the difference between scanning 6/7 of the lake and scanning the
+    * whole of it whenever the cut lives in a dimension. The date dim
+    * is built once beside the layout: per-year order counts plus a
+    * `d_complete` flag from the all-integer rule 5·n·n_years > 4·total
+    * (exact arithmetic — no float threshold to drift cross-engine or
+    * cross-SF; drops the trailing partial year at every SF). */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.dir("partyear", dir, Seq("orders"))
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(base)
+    }
+    val dimBase = graft.Caches.dir("datedim", dir, Seq("orders"))
+    if (!new java.io.File(dimBase, "_SUCCESS").exists()) {
+      val yc = orders(spark, dir)
+        .groupBy(year(col("o_orderdate")).as("d_year"))
+        .agg(count(lit(1)).as("d_n_orders"))
+      val tot = yc.agg(sum(col("d_n_orders")).as("t"), count(lit(1)).as("ny"))
+      yc.crossJoin(broadcast(tot))
+        // int flag + literal equality below: a bare boolean predicate
+        // gets simplified to a lone attribute, which Spark's DPP
+        // "likely selective" test rejects — EqualTo(attr, lit) passes
+        .withColumn("d_complete",
+          (col("d_n_orders") * 5 * col("ny") > col("t") * 4).cast("int"))
+        .select(col("d_year"), col("d_n_orders"), col("d_complete"))
+        .write.mode("overwrite").parquet(dimBase)
+    }
+    val fact = spark.read.parquet(base)
+    val dim = spark.read.parquet(dimBase).filter(col("d_complete") === 1)
+    fact.join(broadcast(dim), col("o_year") === col("d_year"))
+      .groupBy(col("o_year").cast("bigint").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        Parity.r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("yr"))
+  }
+
   /** Incremental aggregation (lambda-architecture primitive): a
     * materialized partial aggregate over the closed history merges with
     * a freshly-computed delta — the nightly-batch + today's-increment
@@ -573,6 +616,17 @@ object ScalePatterns {
         | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY 1 ORDER BY month""".stripMargin), partitionPrunedScan),
+
+    QueryDef("join_dpp", Some(
+      """WITH yc AS (
+        |  SELECT year(o_orderdate) AS y, count(*) AS c FROM orders GROUP BY 1),
+        | t AS (SELECT sum(c) AS tot, count(*) AS ny FROM yc),
+        | keep AS (SELECT y FROM yc, t WHERE c * 5 * ny > tot * 4)
+        |SELECT CAST(o.yy AS BIGINT) AS yr, count(*) AS n,
+        | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        |FROM (SELECT year(o_orderdate) AS yy, o_totalprice FROM orders) o
+        | JOIN keep ON o.yy = keep.y
+        |GROUP BY 1 ORDER BY yr""".stripMargin), joinDpp),
 
     QueryDef("join_skew_salted", Some(
       """SELECT o_orderstatus, count(*) AS n,

@@ -381,6 +381,14 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_dpp: dim filter prunes fact partitions at runtime") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      "fact scan must carry a runtime dynamic-partition-pruning filter")
+    assert(p.contains("SubqueryAdaptiveBroadcast") || p.contains("SubqueryBroadcast"),
+      "the DPP subquery must reuse the join's broadcast, not rescan the dim")
+  }
+
   test("text_winnowing_matches: candidate join is fingerprint-keyed, never pairwise") {
     val p = plan("text_winnowing_matches")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
