@@ -32,7 +32,8 @@ object Bench {
     "dedup_containment", "agg_weighted_percentile", "agg_kmv_distinct",
     "text_sentence_dedup", "events_feature_matrix", "sample_negatives",
     "agg_tdigest_reaggregate", "pipeline_spec_full", "events_abtest_ztest",
-    "text_winnowing_matches", "agg_kmv_setops", "join_dpp")
+    "text_winnowing_matches", "agg_kmv_setops", "join_dpp",
+    "profile_distribution_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

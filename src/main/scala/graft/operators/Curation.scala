@@ -153,6 +153,42 @@ object Curation {
     * column in ONE pass over the table (a single aggregate row,
     * unpivoted to long form) — the schema-drift tripwire that runs
     * before a training read trusts 100 TB of upstream output. */
+  /** Distribution-drift tripwire (Population Stability Index): compare
+    * the document-length distribution of the REFERENCE slice
+    * (source = src0 — the prior crawl snapshot stand-in) against the
+    * rest of the corpus over fixed 100-char bins, PSI term per bin
+    * (p−q)·ln(p/q). The canonical "did this month's crawl shift under
+    * me" check a curation pipeline runs before retraining; PSI > 0.25
+    * is the conventional retrain-review threshold. Laplace-smoothed
+    * counts ((n+1)/(tot+B)) keep every log finite, the bin list is a
+    * FIXED sequence (absent bins still emit their smoothed term), and
+    * all inputs to the one float expression are exact integer-derived
+    * doubles — so the term is oracle-checked despite the ln.
+    *
+    * Scale: one map-side-combinable 6-bin aggregate + a 1-row totals
+    * broadcast; the PSI itself is a projection over 6 rows. */
+  private def profileDistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 6
+    val d = Tables.documents(spark, dir).select(
+      least(floor(col("n_chars") / 100), lit(5)).cast(LongType).as("bin"),
+      when(col("source") === "src0", 1).otherwise(0).as("is_ref"))
+    val counts = d.groupBy(col("bin")).agg(
+      sum(col("is_ref")).as("ref_n"), sum(lit(1) - col("is_ref")).as("cur_n"))
+    val tot = d.agg(sum(col("is_ref")).as("ref_tot"),
+      sum(lit(1) - col("is_ref")).as("cur_tot"))
+    val p = (col("ref_n") + 1).cast("double") /
+      (col("ref_tot") + nBins).cast("double")
+    val q = (col("cur_n") + 1).cast("double") /
+      (col("cur_tot") + nBins).cast("double")
+    spark.range(0, nBins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        Parity.r6((p - q) * log(p / q)).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   private def profileNulls(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
     val aggs = cols.flatMap { c =>
@@ -505,6 +541,26 @@ object Curation {
         |   * 1000000 + 0.5) / 1000000 AS top10_share
         |FROM rk""".stripMargin),
       profileKeySkew),
+
+    QueryDef("profile_distribution_drift", Some(
+      """WITH d AS (
+        |  SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
+        |   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_ref
+        |  FROM documents),
+        | c AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+        |   CAST(sum(1 - is_ref) AS BIGINT) AS cur_n FROM d GROUP BY bin),
+        | t AS (SELECT CAST(sum(is_ref) AS BIGINT) AS ref_tot,
+        |   CAST(sum(1 - is_ref) AS BIGINT) AS cur_tot FROM d),
+        | b AS (SELECT CAST(u.b AS BIGINT) AS bin FROM unnest(range(0, 6)) AS u(b)),
+        | j AS (SELECT b.bin, coalesce(c.ref_n, 0) AS ref_n,
+        |   coalesce(c.cur_n, 0) AS cur_n FROM b LEFT JOIN c ON b.bin = c.bin),
+        | e AS (SELECT bin, ref_n, cur_n,
+        |   CAST(ref_n + 1 AS DOUBLE) / CAST(ref_tot + 6 AS DOUBLE) AS p,
+        |   CAST(cur_n + 1 AS DOUBLE) / CAST(cur_tot + 6 AS DOUBLE) AS q
+        |  FROM j, t)
+        |SELECT bin, ref_n, cur_n,
+        | floor((p - q) * ln(p / q) * 1000000 + 0.5) / 1000000 AS psi_term
+        |FROM e ORDER BY bin""".stripMargin), profileDistributionDrift),
 
     QueryDef("profile_nulls", Some(
       """WITH a AS (
