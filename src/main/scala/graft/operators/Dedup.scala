@@ -41,8 +41,14 @@ object Dedup {
     * 8×`array_min(transform(...))` projection form re-evaluates the
     * interpreted shingle-building lambdas once per signature column
     * (no CSE inside higher-order functions) — measured ~10× slower. */
-  private def withSignature(spark: SparkSession, dir: String): DataFrame = {
-    val sh = fanout(documents(spark, dir))
+  private def withSignature(spark: SparkSession, dir: String): DataFrame =
+    signatureOf(fanout(documents(spark, dir)))
+
+  /** Signature build over an arbitrary document slice — the
+    * incremental path signs ONLY the new batch, so the shingle
+    * explode is sized by the increment, not the corpus. */
+  private def signatureOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(shingles(col("tk"))).as("s"))
@@ -66,6 +72,47 @@ object Dedup {
         md5(concat(col("h4"), col("h5"))).as("band2"),
         md5(concat(col("h6"), col("h7"))).as("band3"))
       .orderBy(col("doc_id"))
+
+  /** INCREMENTAL dedup against a PERSISTED LSH index — the production
+    * shape at 100 TB, where re-running detection over the full corpus
+    * per ingest is off the table: the historical band index (band_idx,
+    * band, doc_id) is materialized once (content-addressed cache — the
+    * local analogue of the curated index table an ingest pipeline
+    * maintains), and each new batch signs ONLY its own documents, then
+    * probes (a) the index for batch-vs-history duplicates and (b)
+    * itself for within-batch duplicates. Work per ingest is
+    * O(batch shingles) + two band-keyed equi-joins — corpus size only
+    * enters through index bucket width. The 80/20 history/batch split
+    * is doc_id mod 5 (deterministic at every SF); both joins and the
+    * md5 signatures are bit-reproducible, so the full incremental
+    * candidate set is oracle-checked. */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(j =>
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*))
+        .as(Seq("band_idx", "band")))
+    val idxBase = graft.Caches.dir("mhindex", dir, Seq("documents"))
+    if (!new java.io.File(idxBase, "_SUCCESS").exists()) {
+      bandsOf(signatureOf(fanout(documents(spark, dir))
+        .filter(col("doc_id") % 5 =!= 4)))
+        .write.mode("overwrite").parquet(idxBase)
+    }
+    val hist = spark.read.parquet(idxBase)
+    // the batch is signed fresh and probed twice (index + self-join)
+    val batch = bandsOf(signatureOf(fanout(documents(spark, dir))
+      .filter(col("doc_id") % 5 === 4))).localCheckpoint()
+    val vsHist = batch.as("n").join(hist.as("h"),
+        col("n.band_idx") === col("h.band_idx") && col("n.band") === col("h.band"))
+      .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"),
+        lit("history").as("origin"))
+    val vsBatch = batch.as("a").join(batch.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit("batch").as("origin"))
+    vsHist.unionByName(vsBatch).distinct()
+      .orderBy(col("origin"), col("doc_a"), col("doc_b"))
+  }
 
   /** LSH candidate pairs: docs sharing any band bucket, scored by
     * signature agreement. The banding join is the scale path — no
@@ -764,6 +811,27 @@ object Dedup {
         | md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
         | md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
+
+    QueryDef("dedup_incremental", Some(minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | hist AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+        | batch AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+        | vs_hist AS (
+        |  SELECT DISTINCT h.doc_id AS doc_a, n.doc_id AS doc_b,
+        |   'history' AS origin
+        |  FROM batch n JOIN hist h ON n.bi = h.bi AND n.band = h.band),
+        | vs_batch AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   'batch' AS origin
+        |  FROM batch a JOIN batch b
+        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, origin FROM
+        | (SELECT * FROM vs_hist UNION ALL SELECT * FROM vs_batch)
+        |ORDER BY origin, doc_a, doc_b""".stripMargin), dedupIncremental),
 
     QueryDef("dedup_minhash_pairs", Some(minhashSigCte +
       """, bands AS (

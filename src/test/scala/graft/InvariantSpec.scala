@@ -610,6 +610,25 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("incremental dedup finds exactly the full-run pairs that touch the batch") {
+    // completeness/soundness of the persisted-index path: probing the
+    // history index + the batch self-join must yield PRECISELY the
+    // full-corpus banding pairs with >= 1 batch member — no duplicate
+    // escapes the incremental ingest, none is invented. (History-
+    // internal pairs are intentionally absent: they were reported when
+    // THEIR batch landed.)
+    val inc = q("dedup_incremental").select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val full = q("dedup_minhash_pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 % 5 == 4 || p._2 % 5 == 4).toSet
+    assert(inc == full,
+      s"incremental/full mismatch: missing=${full -- inc}, extra=${inc -- full}")
+  }
+
   test("kmv set-algebra estimates land inside the k=64 error envelope") {
     // deterministic md5 hashing ⇒ one fixed draw, so these are
     // fixed-fixture bounds (no flake): k=64 gives SE ≈ 1/√64 = 12.5%;
