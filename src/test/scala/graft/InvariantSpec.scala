@@ -610,6 +610,22 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("psi drift terms are non-negative and bins partition the corpus") {
+    // (p−q)·ln(p/q) has matching signs in both factors, so every term
+    // is ≥ 0 (up to the r6 floor); bin counts must re-add to the
+    // corpus split exactly (fixed bin list ⇒ nothing dropped).
+    val df = q("profile_distribution_drift").cache()
+    try {
+      assert(df.filter(col("psi_term") < 0).count() == 0)
+      val Array(refN, curN) = df.agg(sum("ref_n"), sum("cur_n"))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val byFlag = Tables.documents(spark, sf)
+        .groupBy(col("source") === "src0").count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      assert(refN == byFlag(true) && curN == byFlag(false))
+    } finally df.unpersist()
+  }
+
   test("incremental dedup finds exactly the full-run pairs that touch the batch") {
     // completeness/soundness of the persisted-index path: probing the
     // history index + the batch self-join must yield PRECISELY the

@@ -181,4 +181,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: kmv merge lemma — bottom-k of sketches equals bottom-k of the union") {
+    // the identity agg_kmv_setops rests on: merging two bottom-k
+    // sketches reproduces the union's bottom-k EXACTLY (any of the
+    // union's k smallest has h ≤ h_k(A∪B) ≤ h_k(A side it came from),
+    // so it survives into that side's sketch); and for every merged-
+    // sketch element, true set membership ⟺ sketch membership (same
+    // argument), which is what lets the Jaccard count read the flags.
+    // Pure-Scala mirror of the operator's md5-48bit hash — no Spark
+    // job per case, so the case count can be high.
+    def h(x: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"kmv:$x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(12), 16).toDouble / 281474976710656.0
+    }
+    def bottomK(s: Set[Long], k: Int): Seq[Long] =
+      s.toSeq.sortBy(x => (h(x), x)).take(k)
+    val gen = for {
+      a <- Gen.containerOf[Set, Long](Gen.choose(0L, 500L))
+      b <- Gen.containerOf[Set, Long](Gen.choose(250L, 750L))
+      k <- Gen.oneOf(4, 8, 16)
+    } yield (a, b, k)
+    cases(gen, n = 24).foreach { case (a, b, k) =>
+      val ka = bottomK(a, k)
+      val kb = bottomK(b, k)
+      val merged = bottomK((ka ++ kb).toSet, k)
+      assert(merged == bottomK(a ++ b, k), s"merge lemma broken: k=$k a=$a b=$b")
+      merged.foreach { x =>
+        assert(a.contains(x) == ka.contains(x), s"A-membership drifts for $x")
+        assert(b.contains(x) == kb.contains(x), s"B-membership drifts for $x")
+      }
+    }
+  }
 }
