@@ -572,7 +572,97 @@ object Statistics {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** DETERMINISTIC Poisson bootstrap CI for a group mean (the
+    * resampling CI a pipeline attaches to any data-quality metric).
+    * Classic bootstrap resampling is RNG-bound and can't be checked
+    * cross-engine; here each of B=32 replicates draws every row's
+    * multiplicity from Poisson(1) via the INVERSE CDF of an md5 hash
+    * of (replicate, row key) — bit-reproducible anywhere md5 exists.
+    * Because the weights are small ints and l_quantity is
+    * integer-valued, every replicate sum is EXACT in IEEE doubles
+    * (order-independent), so the replicate means — and the order
+    * statistics that form the 2nd/31st-of-32 CI — hash-match DuckDB.
+    *
+    * Scale: the ×B explode is map-side combined straight back down to
+    * (group × B) partial sums (classic multiplier bootstrap on
+    * MapReduce — no data is ever copied B times across the wire);
+    * the order-statistics window runs over 32 rows per group. */
+  private def statsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 32
+    // P(Poisson(1) <= n) thresholds, written as full-precision decimal
+    // literals: both engines parse the same string to the same double
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val h = conv(substring(md5(concat_ws(":", col("rep"), col("l_orderkey"),
+      col("l_linenumber"))), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    val w = cdf.zipWithIndex.foldRight(lit(6): org.apache.spark.sql.Column) {
+      case ((t, i), e) => when(col("h") < t, i).otherwise(e)
+    }
+    val reps = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("h", h).withColumn("w", w)
+    val means = reps.groupBy(col("l_returnflag"), col("rep"))
+      .agg((sum(col("w") * col("l_quantity")) / sum(col("w"))).as("rep_mean"))
+    val rn = row_number().over(Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("rep_mean"), col("rep")))
+    val ordered = means.withColumn("rn", rn)
+    val point = lineitem(spark, dir).groupBy(col("l_returnflag"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("m"))
+    point
+      .join(ordered.filter(col("rn") === 2)
+        .select(col("l_returnflag"), col("rep_mean").as("lo")), "l_returnflag")
+      .join(ordered.filter(col("rn") === b - 1)
+        .select(col("l_returnflag"), col("rep_mean").as("hi")), "l_returnflag")
+      .select(col("l_returnflag"),
+        Parity.r6(col("m")).as("mean_qty"),
+        Parity.r6(col("lo")).as("ci_lo"),
+        Parity.r6(col("hi")).as("ci_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_bootstrap_ci", Some(
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity, u.rep AS rep,
+        |   CAST(('0x' || substr(md5(CAST(u.rep AS VARCHAR) || ':' ||
+        |     CAST(l_orderkey AS VARCHAR) || ':' ||
+        |     CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)
+        |     / 281474976710656.0 AS h
+        |  FROM lineitem, unnest(range(0, 32)) AS u(rep)),
+        | w AS (
+        |  SELECT l_returnflag, rep, l_quantity,
+        |   CASE WHEN h < CAST(0.36787944117144233 AS DOUBLE) THEN 0
+        |        WHEN h < CAST(0.7357588823428847 AS DOUBLE) THEN 1
+        |        WHEN h < CAST(0.9196986029286058 AS DOUBLE) THEN 2
+        |        WHEN h < CAST(0.9810118431238462 AS DOUBLE) THEN 3
+        |        WHEN h < CAST(0.9963401531726563 AS DOUBLE) THEN 4
+        |        WHEN h < CAST(0.9994058151824183 AS DOUBLE) THEN 5
+        |        ELSE 6 END AS w
+        |  FROM r),
+        | m AS (
+        |  SELECT l_returnflag, rep,
+        |   sum(w * l_quantity) / sum(w) AS rep_mean
+        |  FROM w GROUP BY 1, 2),
+        | o AS (
+        |  SELECT l_returnflag, rep_mean,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY rep_mean, rep) AS rn
+        |  FROM m),
+        | p AS (SELECT l_returnflag, sum(l_quantity) / count(*) AS m
+        |       FROM lineitem GROUP BY 1)
+        |SELECT p.l_returnflag,
+        | floor(p.m * 1000000 + 0.5) / 1000000 AS mean_qty,
+        | floor(lo.rep_mean * 1000000 + 0.5) / 1000000 AS ci_lo,
+        | floor(hi.rep_mean * 1000000 + 0.5) / 1000000 AS ci_hi
+        |FROM p
+        | JOIN o lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = 2
+        | JOIN o hi ON hi.l_returnflag = p.l_returnflag AND hi.rn = 31
+        |ORDER BY p.l_returnflag""".stripMargin), statsBootstrapCi),
     QueryDef("agg_corr_matrix", Some {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val pairs = for {

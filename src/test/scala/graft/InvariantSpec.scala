@@ -610,6 +610,18 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("bootstrap CI brackets the point estimate with positive width") {
+    // deterministic hash-weights ⇒ one fixed draw: on this fixture the
+    // 2nd/31st-of-32 replicate means must straddle the full-sample
+    // mean for every group (a degenerate or inverted interval means
+    // the weights or the order statistics broke)
+    q("stats_bootstrap_ci").collect().foreach { r =>
+      val (m, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo < hi, s"degenerate CI [$lo, $hi]")
+      assert(lo <= m && m <= hi, s"mean $m outside CI [$lo, $hi]")
+    }
+  }
+
   test("psi drift terms are non-negative and bins partition the corpus") {
     // (p−q)·ln(p/q) has matching signs in both factors, so every term
     // is ≥ 0 (up to the r6 floor); bin counts must re-add to the

@@ -381,6 +381,15 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("stats_bootstrap_ci: the x32 explode combines map-side before any shuffle") {
+    val p = plan("stats_bootstrap_ci")
+    // the replicate fan-out must reduce to (group x rep) partials on
+    // the map side — shipping 32x the fact table would be the naive
+    // bootstrap this operator exists to avoid
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join_dpp: dim filter prunes fact partitions at runtime") {
     val p = plan("join_dpp")
     assert(p.contains("dynamicpruningexpression"),
