@@ -189,6 +189,37 @@ object EventTime {
     * mean/σ are order-sensitive double sums, rounded (Parity) exactly
     * like agg_stats — residual ulps can't flip a rounded digit at these
     * magnitudes, and the 2σ cut sits far from any value's boundary. */
+  /** CUSUM change-point detection over the daily event-value mean:
+    * cumulative sum of deviations from the corpus-wide target, with
+    * the max-|CUSUM| day flagged as the estimated change point — the
+    * classic "did the metric shift, and when" monitor (Page 1954)
+    * that complements events_anomaly's pointwise z-scores with a
+    * persistent-shift detector. Parity: daily means and the target
+    * are r6-rounded BEFORE differencing, so both engines feed the
+    * running sum bit-identical operands in the same (day) order.
+    *
+    * Scale: the raw stream reduces map-side to one row per day; the
+    * ordered cumsum and the peak flag then run on the metadata-sized
+    * day relation (the bounded-global-window pattern — the single
+    * partition holds ~days rows, never events). */
+  private def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Parity.r6(avg(col("value"))).as("mean_value"))
+    val target = daily.agg(Parity.r6(avg(col("mean_value"))).as("target"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(target))
+      .withColumn("cusum",
+        Parity.r6(sum(col("mean_value") - col("target")).over(cum)))
+      .withColumn("is_peak",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(Window.partitionBy()))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("mean_value"), col("cusum"), col("is_peak"))
+      .orderBy(col("day"))
+  }
+
   private def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val stats = events(spark, dir)
       .groupBy(col("event_type"))
@@ -726,6 +757,23 @@ object EventTime {
         | CAST(sum(me - ms) AS BIGINT) AS covered_days
         |FROM m GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
       mergeIntervals),
+
+    QueryDef("events_cusum", Some(
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   floor(avg(value) * 1000000 + 0.5) / 1000000 AS mean_value
+        |  FROM events GROUP BY 1),
+        | t AS (SELECT floor(avg(mean_value) * 1000000 + 0.5) / 1000000
+        |   AS target FROM d),
+        | c AS (
+        |  SELECT day, mean_value,
+        |   floor(sum(mean_value - target) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     * 1000000 + 0.5) / 1000000 AS cusum
+        |  FROM d, t)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, mean_value, cusum,
+        | abs(cusum) = max(abs(cusum)) OVER () AS is_peak
+        |FROM c ORDER BY day""".stripMargin), eventsCusum),
 
     QueryDef("events_anomaly", Some(
       """WITH s AS (
