@@ -689,6 +689,30 @@ object TextOps {
         |   / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS removed_frac
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin), textSentenceDedup),
 
+    QueryDef("text_curriculum_order", Some(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |     AS n_words,
+        |   floor(CAST(length(text) AS DOUBLE)
+        |     / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+        |     * 100 + 0.5) / 100 AS cpw
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        | v AS (SELECT cpw, count(*) AS c FROM s GROUP BY cpw),
+        | w AS (SELECT cpw, sum(c) OVER (ORDER BY cpw
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM v),
+        | n AS (SELECT count(*) AS n FROM s),
+        | b AS (SELECT
+        |   min(CASE WHEN cum * 4 >= n THEN cpw END) AS q1,
+        |   min(CASE WHEN cum * 2 >= n THEN cpw END) AS q2,
+        |   min(CASE WHEN cum * 4 >= 3 * n THEN cpw END) AS q3
+        |  FROM w, n)
+        |SELECT doc_id, n_words, cpw AS chars_per_word,
+        | CAST(CASE WHEN cpw <= q1 THEN 1 WHEN cpw <= q2 THEN 2
+        |      WHEN cpw <= q3 THEN 3 ELSE 4 END AS BIGINT) AS phase
+        |FROM s, b ORDER BY doc_id""".stripMargin), textCurriculumOrder),
+
     QueryDef("text_winnowing", Some(
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -760,6 +784,40 @@ object TextOps {
     * shuffle as the position sort; fingerprints then hash-agg per doc
     * map-side. Cross-doc matching joins fingerprint sets exactly like
     * the span/shingle indexes — never pairwise text. */
+  /** Curriculum-learning phase assignment: quantized difficulty
+    * (mean word length, r2-bucketed) → exact quartile boundaries →
+    * phase 1..4, easiest first — the "order training data easy→hard"
+    * prep step. The r2 QUANTIZATION is the scale lever: boundaries
+    * come from a cumulative window over DISTINCT buckets (≤ a few
+    * thousand rows regardless of corpus size — raw length/words
+    * ratios would be corpus-cardinality), then 3 boundary values
+    * broadcast and every doc assigned by comparison. No global sort
+    * of the corpus anywhere; ties share a bucket so assignment is
+    * reproducible under any partitioning. Boundary rule: smallest
+    * bucket with 4·cum ≥ q·N (all-integer, exact). */
+  private def textCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(toks)
+    val s = documents(spark, dir)
+      .select(col("doc_id"), nw.cast(LongType).as("n_words"),
+        Parity.r2(length(col("text")).cast(DoubleType) /
+          nw.cast(DoubleType)).as("cpw"))
+      .filter(col("n_words") > 0)
+    val wcum = Window.orderBy(col("cpw"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = s.groupBy(col("cpw")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+    val n = s.agg(count(lit(1)).as("n"))
+    val b = cums.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") * 4 >= col("n"), col("cpw"))).as("q1"),
+      min(when(col("cum") * 2 >= col("n"), col("cpw"))).as("q2"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("cpw"))).as("q3"))
+    s.crossJoin(broadcast(b))
+      .select(col("doc_id"), col("n_words"), col("cpw").as("chars_per_word"),
+        when(col("cpw") <= col("q1"), 1L).when(col("cpw") <= col("q2"), 2L)
+          .when(col("cpw") <= col("q3"), 3L).otherwise(4L).as("phase"))
+      .orderBy(col("doc_id"))
+  }
+
   private val winnowK = 5
   private val winnowW = 4
 
