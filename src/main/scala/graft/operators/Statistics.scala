@@ -576,8 +576,10 @@ object Statistics {
     * resampling CI a pipeline attaches to any data-quality metric).
     * Classic bootstrap resampling is RNG-bound and can't be checked
     * cross-engine; here each of B=32 replicates draws every row's
-    * multiplicity from Poisson(1) via the INVERSE CDF of an md5 hash
-    * of (replicate, row key) — bit-reproducible anywhere md5 exists.
+    * multiplicity from Poisson(1) via the INVERSE CDF of a uniform
+    * derived from ONE md5 row hash, scrambled per replicate by an
+    * odd-multiplier bijection mod 2^48 — bit-reproducible anywhere
+    * md5 and 64-bit integers exist.
     * Because the weights are small ints and l_quantity is
     * integer-valued, every replicate sum is EXACT in IEEE doubles
     * (order-independent), so the replicate means — and the order
@@ -595,15 +597,23 @@ object Statistics {
     val cdf = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
       0.9994058151824183)
-    val h = conv(substring(md5(concat_ws(":", col("rep"), col("l_orderkey"),
-      col("l_linenumber"))), 1, 12), 16, 10)
-      .cast("long").cast("double") / lit(281474976710656.0)
+    // one md5 per ROW (not per row×replicate — measured 16 s vs ~2 s at
+    // sf0.1); each replicate's uniform comes from an odd-multiplier
+    // scramble of the 48-bit row hash mod 2^48 — a bijection on
+    // [0, 2^48) for every rep, so each replicate's weights are exactly
+    // Poisson-marginal; all-integer (≤ 2^55 < 2^63), bit-identical on
+    // any engine with 64-bit ints
+    val h = ((col("h48") * (col("rep") * 2 + 1) +
+      col("rep") * lit(2654435761L)) % lit(281474976710656L))
+      .cast("double") / lit(281474976710656.0)
     val w = cdf.zipWithIndex.foldRight(lit(6): org.apache.spark.sql.Column) {
       case ((t, i), e) => when(col("h") < t, i).otherwise(e)
     }
     val reps = lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"),
-        col("l_orderkey"), col("l_linenumber"),
+        conv(substring(md5(concat_ws(":", col("l_orderkey"),
+          col("l_linenumber"))), 1, 12), 16, 10).cast("long").as("h48"))
+      .select(col("l_returnflag"), col("l_quantity"), col("h48"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("h", h).withColumn("w", w)
     val means = reps.groupBy(col("l_returnflag"), col("rep"))
@@ -629,9 +639,9 @@ object Statistics {
     QueryDef("stats_bootstrap_ci", Some(
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity, u.rep AS rep,
-        |   CAST(('0x' || substr(md5(CAST(u.rep AS VARCHAR) || ':' ||
-        |     CAST(l_orderkey AS VARCHAR) || ':' ||
-        |     CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)
+        |   ((CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |       CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)
+        |     * (2 * u.rep + 1) + u.rep * 2654435761) % 281474976710656)
         |     / 281474976710656.0 AS h
         |  FROM lineitem, unnest(range(0, 32)) AS u(rep)),
         | w AS (
