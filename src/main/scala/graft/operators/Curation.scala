@@ -153,6 +153,33 @@ object Curation {
     * column in ONE pass over the table (a single aggregate row,
     * unpivoted to long form) — the schema-drift tripwire that runs
     * before a training read trusts 100 TB of upstream output. */
+  /** Deterministic EPOCH SHUFFLE + worker sharding — the "globally
+    * shuffle the corpus, split it across N dataloader workers" step
+    * every distributed training run needs, without RNG state: the
+    * permutation key is md5("epoch1:" ‖ doc_id), so epoch 2 is a new
+    * prefix (full reshuffle, zero coordination) and any worker can
+    * recompute its own shard independently. Shard = key mod 8; order
+    * within a shard = rank of the key — reproducible on any engine,
+    * so the whole assignment is oracle-checked.
+    *
+    * Scale: ONE hash shuffle on shard, then shard-local sort — there
+    * is no global sort anywhere (a global shuffle via ORDER BY
+    * rand() would single-chain the corpus). At lake scale the same
+    * plan materializes as repartition(shard) +
+    * sortWithinPartitions(key) file writes; the explicit rank column
+    * here exists so the contract is checkable. */
+  private def pipelineShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val workers = 8L
+    val h = conv(substring(md5(concat(lit("epoch1:"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast(LongType)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id")).withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(workers)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Distribution-drift tripwire (Population Stability Index): compare
     * the document-length distribution of the REFERENCE slice
     * (source = src0 — the prior crawl snapshot stand-in) against the
@@ -541,6 +568,17 @@ object Curation {
         |   * 1000000 + 0.5) / 1000000 AS top10_share
         |FROM rk""".stripMargin),
       profileKeySkew),
+
+    QueryDef("pipeline_shuffle_shard", Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |     AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        | CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT)
+        |   AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin), pipelineShuffleShard),
 
     QueryDef("profile_distribution_drift", Some(
       """WITH d AS (

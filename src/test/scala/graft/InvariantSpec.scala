@@ -610,6 +610,22 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("shuffle-shard is a permutation: dense per-shard ranks, corpus preserved, balanced") {
+    val df = q("pipeline_shuffle_shard").cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.select("doc_id").distinct().count() == df.count())
+      // positions are dense 1..|shard| within every shard
+      val byShard = df.groupBy("shard")
+        .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("n"))
+      assert(byShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+      // md5 keys spread shards to within 3x of each other on this fixture
+      val ns = byShard.select("n").collect().map(_.getLong(0))
+      assert(ns.length == 8 && ns.max <= 3 * ns.min,
+        s"shard imbalance: ${ns.toSeq.sorted}")
+    } finally df.unpersist()
+  }
+
   test("bootstrap CI brackets the point estimate with positive width") {
     // deterministic hash-weights ⇒ one fixed draw: on this fixture the
     // 2nd/31st-of-32 replicate means must straddle the full-sample
