@@ -765,7 +765,49 @@ object TextOps {
         |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
         | JOIN sz sb ON sb.doc_id = pr.doc_b
         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100""".stripMargin),
-      textWinnowingMatches)
+      textWinnowingMatches),
+
+    QueryDef("dedup_winnowing_verified", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+        |  FROM t, unnest(range(0, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        | w AS (
+        |  SELECT doc_id, pos, h,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS nk
+        |  FROM g),
+        | fp AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= nk - 4),
+        | dfq AS (SELECT wmin, count(*) AS df FROM fp GROUP BY wmin),
+        | kept AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN dfq USING (wmin)
+        |          WHERE df <= 50),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | cand AS (SELECT doc_a, doc_b, n_shared FROM pr
+        |  ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100),
+        | gr AS (SELECT DISTINCT doc_id, h FROM w WHERE pos <= nk - 4),
+        | szg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g
+        |         FROM gr GROUP BY doc_id),
+        | iv AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM cand c JOIN gr ga ON ga.doc_id = c.doc_a
+        |   JOIN gr gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.n_shared,
+        | floor(CAST(coalesce(iv.i, 0) AS DOUBLE)
+        |   / CAST(sa.n_g + sb.n_g - coalesce(iv.i, 0) AS DOUBLE)
+        |   * 1000000 + 0.5) / 1000000 AS true_jaccard,
+        | coalesce(iv.i, 0) * 2 >= sa.n_g + sb.n_g - coalesce(iv.i, 0) AS is_dup
+        |FROM cand c
+        | LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+        | JOIN szg sa ON sa.doc_id = c.doc_a
+        | JOIN szg sb ON sb.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin), textWinnowingVerified)
   )
 
   /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
@@ -895,6 +937,40 @@ object TextOps {
           .as("jaccard_fp"))
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
       .limit(100)
+  }
+
+  /** Winnowing pipeline completed detect→VERIFY (the shape
+    * dedup_minhash_verified gives MinHash): the fingerprint join
+    * proposes candidates, then the TRUE 5-gram Jaccard is computed
+    * for candidate pairs ONLY — |G_a∩G_b| / |G_a∪G_b| over distinct
+    * k-gram md5 sets — and pairs at J ≥ 0.5 are flagged duplicates.
+    * Verification cost is bounded by the candidate count (top-100
+    * broadcast), never the corpus: the exact-overlap join touches
+    * only rows of the ≤ 200 docs named in candidates. */
+  private def textWinnowingVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cand = textWinnowingMatches(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+      .localCheckpoint()
+    val grams = winnowSelections(spark, dir)
+      .select(col("doc_id"), col("h")).distinct()
+    val docIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val g = grams.join(broadcast(docIds), "doc_id")
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val inter = broadcast(cand)
+      .join(g.as("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(g.as("gb"),
+        col("gb.doc_id") === col("doc_b") && col("ga.h") === col("gb.h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("i"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_g").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_g").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        Parity.r6(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("true_jaccard"),
+        (col("i") * 2 >= col("na") + col("nb") - col("i")).as("is_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** CCNet-style SENTENCE-level dedup signal: split each document on
