@@ -33,7 +33,8 @@ object Bench {
     "text_sentence_dedup", "events_feature_matrix", "sample_negatives",
     "agg_tdigest_reaggregate", "pipeline_spec_full", "events_abtest_ztest",
     "text_winnowing_matches", "agg_kmv_setops", "join_dpp",
-    "profile_distribution_drift", "dedup_incremental", "stats_bootstrap_ci")
+    "profile_distribution_drift", "dedup_incremental", "stats_bootstrap_ci",
+    "events_cusum", "pipeline_shuffle_shard", "dedup_winnowing_verified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
