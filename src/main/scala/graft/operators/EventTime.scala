@@ -189,6 +189,31 @@ object EventTime {
     * mean/σ are order-sensitive double sums, rounded (Parity) exactly
     * like agg_stats — residual ulps can't flip a rounded digit at these
     * magnitudes, and the 2σ cut sits far from any value's boundary. */
+  /** Autocorrelation function of the daily value series at lags 1–7 —
+    * the seasonality diagnostic (a weekly cycle shows as an ACF spike
+    * at lag 7) that tells a pipeline whether yesterday predicts today
+    * before anyone fits a forecaster. Daily means are r6-rounded
+    * first (bit-identical inputs cross-engine), lagged pairs come
+    * from a self-equi-join on day+lag (no window over the raw
+    * stream), and Pearson r per lag rides the same sample-corr both
+    * engines implement (agg_corr_matrix precedent).
+    *
+    * Scale: the stream reduces map-side to one row per day; the
+    * 7-row lag dim broadcasts; the self-join and corr run on the
+    * metadata-sized day relation. */
+  private def timeseriesAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Parity.r6(avg(col("value"))).as("m"))
+    val lags = spark.range(1, 8).select(col("id").cast("int").as("lag"))
+    daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.day") === date_add(col("a.day"), col("lag")))
+      .groupBy(col("lag").cast(LongType).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Parity.r6(corr(col("a.m"), col("b.m"))).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** CUSUM change-point detection over the daily event-value mean:
     * cumulative sum of deviations from the corpus-wide target, with
     * the max-|CUSUM| day flagged as the estimated change point — the
@@ -757,6 +782,20 @@ object EventTime {
         | CAST(sum(me - ms) AS BIGINT) AS covered_days
         |FROM m GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
       mergeIntervals),
+
+    QueryDef("timeseries_autocorr", Some(
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   floor(avg(value) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM events GROUP BY 1),
+        | l AS (SELECT CAST(u.lag AS INT) AS lag FROM unnest(range(1, 8)) AS u(lag)),
+        | j AS (
+        |  SELECT l.lag, a.m AS ma, b.m AS mb
+        |  FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | floor(corr(ma, mb) * 1000000 + 0.5) / 1000000 AS acf
+        |FROM j GROUP BY 1 ORDER BY lag""".stripMargin), timeseriesAutocorr),
 
     QueryDef("events_cusum", Some(
       """WITH d AS (
