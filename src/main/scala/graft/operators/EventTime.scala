@@ -214,6 +214,30 @@ object EventTime {
       .orderBy(col("lag"))
   }
 
+  /** Day-of-week seasonal decomposition of the daily value series —
+    * the additive seasonal index (weekday mean minus corpus mean)
+    * that pairs with timeseries_autocorr: the ACF says IF there is a
+    * weekly cycle, this says WHAT it looks like, and subtracting it
+    * is the deseasonalizing step before anomaly thresholds or
+    * forecasts. Weekday numbering is Monday=0 on both engines (Spark
+    * `weekday`, DuckDB `isodow − 1` — `dayofweek` disagrees across
+    * engines). Same bounded shape as the rest of the family: stream
+    * → one row per day map-side, 1-row corpus-mean broadcast, 7-row
+    * output. */
+  private def timeseriesSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Parity.r6(avg(col("value"))).as("m"))
+    val overall = daily.agg(avg(col("m")).as("om"))
+    daily.withColumn("weekday", weekday(col("day")).cast(LongType))
+      .crossJoin(broadcast(overall))
+      .groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        Parity.r6(avg(col("m"))).as("wd_mean"),
+        Parity.r6(avg(col("m") - col("om"))).as("seasonal"))
+      .orderBy(col("weekday"))
+  }
+
   /** CUSUM change-point detection over the daily event-value mean:
     * cumulative sum of deviations from the corpus-wide target, with
     * the max-|CUSUM| day flagged as the estimated change point — the
@@ -796,6 +820,19 @@ object EventTime {
         | CAST(count(*) AS BIGINT) AS n_pairs,
         | floor(corr(ma, mb) * 1000000 + 0.5) / 1000000 AS acf
         |FROM j GROUP BY 1 ORDER BY lag""".stripMargin), timeseriesAutocorr),
+
+    QueryDef("timeseries_seasonal", Some(
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   floor(avg(value) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM events GROUP BY 1),
+        | o AS (SELECT avg(m) AS om FROM d)
+        |SELECT CAST(isodow(day) - 1 AS BIGINT) AS weekday,
+        | CAST(count(*) AS BIGINT) AS n_days,
+        | floor(avg(m) * 1000000 + 0.5) / 1000000 AS wd_mean,
+        | floor(avg(m - om) * 1000000 + 0.5) / 1000000 AS seasonal
+        |FROM d, o GROUP BY 1 ORDER BY weekday""".stripMargin),
+      timeseriesSeasonal),
 
     QueryDef("events_cusum", Some(
       """WITH d AS (
