@@ -610,6 +610,29 @@ class InvariantSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("timeseries family: cusum closes near zero, ACF bounded, seasonal indices cancel") {
+    // CUSUM of deviations from the series mean must return to ~0 at
+    // the last day (up to the r6 rounding of each daily term), and
+    // exactly the max-|s| days carry the peak flag
+    val cu = q("events_cusum").collect()
+    val nDays = cu.length
+    assert(math.abs(cu.last.getDouble(2)) <= nDays * 2e-6 + 1e-6,
+      s"final CUSUM ${cu.last.getDouble(2)} far from 0 over $nDays days")
+    assert(cu.count(_.getBoolean(3)) >= 1, "no peak day flagged")
+    // Pearson r is bounded; every probed lag found pairs
+    q("timeseries_autocorr").collect().foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 && r.getLong(1) >= 1)
+    }
+    // weekday decomposition partitions the day count, and the
+    // count-weighted seasonal indices cancel (they are deviations
+    // from the corpus mean) up to per-term rounding
+    val se = q("timeseries_seasonal").collect()
+    assert(se.map(_.getLong(1)).sum == nDays)
+    val weighted = se.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted) <= nDays * 2e-6 + 1e-6,
+      s"weighted seasonal sum $weighted should cancel")
+  }
+
   test("shuffle-shard is a permutation: dense per-shard ranks, corpus preserved, balanced") {
     val df = q("pipeline_shuffle_shard").cache()
     try {
