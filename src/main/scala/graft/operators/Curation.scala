@@ -135,18 +135,27 @@ object Curation {
     * shuffle: per-key histogram (map-side combined), then one tiny
     * aggregate of its shape: row/key counts, the heaviest key, and the
     * share the top 10 keys hold. A high top-share says "salt this key"
-    * before the job, not after it straggles. */
+    * before the job, not after it straggles.
+    *
+    * Scale: the top-10 cut is `orderBy().limit(10)` — a distributed
+    * TakeOrderedAndProject (each partition offers its local top 10,
+    * driver merges 10·P rows) — NOT a global `row_number()` window,
+    * which would rank every key of the histogram through a single
+    * partition: a straggler at 10⁸⁺ keys, in the very tool meant to
+    * detect stragglers. The two one-row aggregates (global totals,
+    * top-10 sum) meet in a broadcast cross join. */
   private def profileKeySkew(spark: SparkSession, dir: String): DataFrame = {
-    val byCnt = Window.orderBy(col("cnt").desc, col("l_suppkey"))
     val hist = lineitem(spark, dir)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(byCnt))
-    hist.agg(
+    val totals = hist.agg(
       sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),
-      max(col("cnt")).as("max_key_rows"),
-      Parity.r6(sum(when(col("rk") <= 10, col("cnt")).otherwise(0L))
-        / sum(col("cnt"))).as("top10_share"))
+      max(col("cnt")).as("max_key_rows"))
+    val top10 = hist.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    totals.crossJoin(broadcast(top10))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        Parity.r6(col("top10_rows") / col("n_rows")).as("top10_share"))
   }
 
   /** Column-quality profile: null and distinct counts for every audited

@@ -36,6 +36,14 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(plan("sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("profile_key_skew: top-10 cut is TakeOrdered, never a global window") {
+    val p = plan("profile_key_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 keys must be a distributed TakeOrdered cut")
+    assert(!p.contains("Window"),
+      "no unpartitioned row_number over the full key histogram")
+  }
+
   test("dedup_minhash_pairs: banding join is a hash join, not a cross join") {
     val p = plan("dedup_minhash_pairs")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
