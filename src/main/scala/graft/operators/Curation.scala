@@ -73,7 +73,7 @@ object Curation {
     val w = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fanout(documents(spark, dir))
-      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+      .select(col("doc_id"), TextOps.subwordCount(toks).as("n_tokens"),
         // first 8 md5 hex digits → int: cross-engine-stable shard id
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast(LongType) % nShards).as("shard_id"))
@@ -273,7 +273,7 @@ object Curation {
       .when(col("source") === "src2", 0.2)
       .otherwise(0.1)
     val perSource = fanout(documents(spark, dir))
-      .select(col("source"), size(toks).cast(LongType).as("n_tokens"))
+      .select(col("source"), TextOps.subwordCount(toks).as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
     val total = perSource.agg(sum(col("src_tokens")).as("total_tokens"))
@@ -500,11 +500,15 @@ object Curation {
       sampleTrainSplit),
 
     QueryDef("pipeline_mixture_plan", Some(
-      """WITH s AS (
+      s"""${TextOps.bpeSegSql},
+        | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id),
+        | dt AS (SELECT d.doc_id, d.source, coalesce(g.n_tokens, 0) AS n_tokens
+        |  FROM d LEFT JOIN g ON d.doc_id = g.doc_id),
+        | s AS (
         |  SELECT source, count(*) AS n_docs,
-        |   CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
-        |     AS src_tokens
-        |  FROM documents GROUP BY source),
+        |   CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM dt GROUP BY source),
         | t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM s),
         | w AS (
         |  SELECT source, n_docs, src_tokens, total_tokens,
@@ -520,11 +524,13 @@ object Curation {
       pipelineMixturePlan),
 
     QueryDef("pipeline_pack_sequences", Some(
-      """WITH t AS (
-        |  SELECT doc_id,
-        |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard_id
-        |  FROM documents),
+      s"""${TextOps.bpeSegSql},
+        | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id),
+        | t AS (
+        |  SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+        |   CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard_id
+        |  FROM d LEFT JOIN g ON d.doc_id = g.doc_id),
         | c AS (
         |  SELECT shard_id, doc_id, n_tokens,
         |   sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
@@ -633,14 +639,15 @@ object Curation {
       profileNulls),
 
     QueryDef("corpus_budget_select", Some(
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |      t -> t <> '')) AS BIGINT) AS tokens,
-        |    CAST(least(9, n_chars // 200) AS BIGINT) AS bin,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS BIGINT) AS bucket,
-        |    md5(CAST(doc_id AS VARCHAR)) AS md5key
-        |  FROM documents),
+      s"""${TextOps.bpeSegSql},
+        | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id),
+        | scored AS (
+        |  SELECT d.doc_id, coalesce(g.n_tokens, 0) AS tokens,
+        |    CAST(least(9, d.n_chars // 200) AS BIGINT) AS bin,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::INT AS BIGINT) AS bucket,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS md5key
+        |  FROM d LEFT JOIN g ON d.doc_id = g.doc_id),
         |cum AS (SELECT *, sum(tokens) OVER (
         |   ORDER BY bin DESC, bucket, md5key, doc_id
         |   ROWS UNBOUNDED PRECEDING) AS cumtok FROM scored)
@@ -670,8 +677,7 @@ object Curation {
     val budget = 10000L
     val docs = documents(spark, dir).select(
       col("doc_id"),
-      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
-        .cast(LongType).as("tokens"),
+      TextOps.subwordCount(toks).as("tokens"),
       least(lit(9L), floor(col("n_chars") / 200)).cast(LongType).as("bin"),
       conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
         .cast(LongType).as("bucket"),

@@ -64,7 +64,83 @@ object TextOps {
         size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast(LongType)
           .as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-          .cast(LongType).as("bpe_ish_tokens"))
+          .cast(LongType).as("bpe_ish_tokens"),
+        subwordCount(toks).as("subword_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Fixture BPE merge table, collapsed to its vocabulary (the set of
+    * pieces the merges produce) — the form greedy longest-match
+    * consumes. A real pipeline ships this as a broadcast file; the
+    * literal keeps both engines (Spark + DuckDB oracle) on one copy.
+    * Deliberately exercises every tokenizer path on this corpus:
+    * whole-word pieces (`table`), longest-match shadowing (`wind` >
+    * `win`, `ord` > `or`), 3-piece splits (`cust om er`), and the
+    * single-char byte fallback for out-of-vocab spans (`dup`,
+    * trailing `t`/`y`/`g`/`w`). */
+  private[operators] val bpeVocab: Seq[String] = Seq(
+    "table", "the", "data", "cust", "om", "er", "col", "umn", "wind",
+    "win", "ow", "str", "eam", "fil", "ter", "vec", "tor", "qu", "ery",
+    "bat", "ch", "mer", "ge", "ord", "or", "gr", "oup", "sp", "ark",
+    "sm", "all", "val", "ue", "sc", "an", "sl", "jo", "in", "ha", "sh",
+    "li", "ne", "so", "rt", "fa", "st", "ke", "ro", "bi", "ag", "par",
+    "a")
+
+  /** Greedy longest-match subword segmentation of one word (the
+    * tokenizer-apply step every token-billed curation op needs):
+    * scan left to right; at each boundary take the longest vocab piece
+    * that prefixes the remainder, falling back to one character.
+    * Emitted as the space-joined piece string.
+    *
+    * Pure array higher-order functions — `aggregate` walks the
+    * character positions carrying (next-boundary, pieces-so-far);
+    * positions inside an already-consumed piece pass the accumulator
+    * through untouched. O(|word| × |vocab|) with a ~50-piece fixture:
+    * trivial per row, embarrassingly parallel, NO shuffle and no
+    * driver state — at 100 TB this stays a narrow projection fused
+    * into the scan, which is why the pieces are computed inline per
+    * occurrence rather than via a distinct-words join (two shuffles
+    * for a lookup the projection re-derives in nanoseconds). */
+  private[operators] def bpeWord(w: Column): Column = {
+    val vocab = array(bpeVocab.map(lit): _*)
+    val walk = aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("nxt"), lit("").as("toks")),
+      (acc, i) => {
+        val m = coalesce(
+          array_max(transform(
+            filter(vocab, p => w.substr(i, length(p)) === p),
+            p => length(p))),
+          lit(1))
+        when(i < acc("nxt"), acc).otherwise(struct(
+          (i + m).as("nxt"),
+          concat(acc("toks"), lit(" "), w.substr(i, m)).as("toks")))
+      })
+    ltrim(walk("toks"))
+  }
+
+  /** Subword token count of a whole document given its word array —
+    * Σ pieces per word, 0 for an empty doc. */
+  private[operators] def subwordCount(tk: Column): Column = {
+    val sub = concat_ws(" ", transform(tk, w => bpeWord(w)))
+    when(sub === "", lit(0L))
+      .otherwise(size(split(sub, " ")).cast(LongType))
+  }
+
+  /** Subword tokenizer-apply over the corpus: per doc, the whitespace
+    * token count, the subword token count under the fixture merge
+    * table, and an md5 over the full in-order piece stream (so the
+    * oracle checks the exact segmentation, not just its length). */
+  private def textBpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("ws_tokens"),
+        concat_ws(" ", transform(col("tk"), w => bpeWord(w))).as("sub"))
+      .select(col("doc_id"), col("ws_tokens"),
+        when(col("sub") === "", lit(0L))
+          .otherwise(size(split(col("sub"), " ")).cast(LongType))
+          .as("subword_tokens"),
+        md5(col("sub")).as("sub_md5"))
       .orderBy(col("doc_id"))
 
   /** Canonical-form fingerprint (lowercase, sorted tokens → md5) with a
@@ -389,7 +465,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The fixture vocabulary as a DuckDB list literal, and the shared
+    * recursive-CTE prelude that segments every DISTINCT corpus word by
+    * the same greedy longest-match walk the Spark side runs (the
+    * oracle's recursion carries (pos, pieces-so-far) per word; `m` is
+    * the longest vocab piece prefixing the remainder, else 1). */
+  private val bpeVocabSql: String =
+    bpeVocab.map(p => s"'$p'").mkString("[", ",", "]")
+
+  private[operators] val bpeSegSql: String =
+    s"""WITH RECURSIVE vocab(piece) AS (SELECT unnest($bpeVocabSql)),
+       | uw AS (
+       |  SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+       |    t -> t <> '')) AS wd
+       |  FROM documents),
+       | seg(wd, pos, toks) AS (
+       |  SELECT wd, 1, '' FROM uw
+       |  UNION ALL
+       |  SELECT wd, pos + m, toks || ' ' || substr(wd, pos, m)
+       |  FROM (SELECT wd, pos, toks,
+       |    coalesce((SELECT max(len(piece)) FROM vocab v
+       |      WHERE substr(wd, pos, len(piece)) = v.piece), 1) AS m
+       |   FROM seg WHERE pos <= len(wd)) s),
+       | wt AS (
+       |  SELECT wd, ltrim(toks) AS toks,
+       |   CAST(len(string_split(ltrim(toks), ' ')) AS BIGINT) AS ntok
+       |  FROM seg WHERE pos > len(wd)),
+       | d AS (SELECT doc_id, text, source, n_chars,
+       |   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       | e AS (SELECT doc_id, i, tk[i] AS wd
+       |  FROM d, unnest(range(1, len(tk) + 1)) AS r(i))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_bpe_tokenize", Some(
+      s"""$bpeSegSql,
+        | g AS (SELECT e.doc_id, string_agg(wt.toks, ' ' ORDER BY e.i) AS sub,
+        |   CAST(sum(wt.ntok) AS BIGINT) AS subword_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id)
+        |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS ws_tokens,
+        | coalesce(g.subword_tokens, 0) AS subword_tokens,
+        | md5(coalesce(g.sub, '')) AS sub_md5
+        |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin), textBpeTokenize),
+
     QueryDef("text_readability", Some(
       """SELECT doc_id,
         | CAST(greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')))
@@ -539,10 +658,16 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin), textQuality),
 
     QueryDef("text_token_count", Some(
-      """SELECT doc_id,
-        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin), textTokenCount),
+      s"""$bpeSegSql,
+        | g AS (SELECT e.doc_id,
+        |   CAST(sum(wt.ntok) AS BIGINT) AS subword_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+        | coalesce(g.subword_tokens, 0) AS subword_tokens
+        |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin), textTokenCount),
 
     QueryDef("text_fingerprint", Some(
       """WITH f AS (SELECT doc_id,
