@@ -986,7 +986,25 @@ object Dedup {
         |SELECT span_hash, CAST(count(*) AS BIGINT) AS n_docs
         |FROM wins GROUP BY span_hash HAVING count(*) > 1
         |ORDER BY n_docs DESC, span_hash LIMIT 200""".stripMargin),
-      dedupSpanNgrams)
+      dedupSpanNgrams),
+
+    QueryDef("dedup_span_maximal", Some(
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        | wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM tk, unnest(range(1, greatest(len(ts) - 6, 1))) AS r(i)),
+        | rep AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        | rw AS (SELECT w.doc_id, w.i FROM wins w JOIN rep USING (h)),
+        | isl AS (SELECT doc_id, i,
+        |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM rw),
+        | sp AS (SELECT doc_id, min(i) AS s, max(i) AS e FROM isl GROUP BY doc_id, g)
+        |SELECT sp.doc_id, CAST(s AS BIGINT) AS span_start,
+        | CAST(e - s + 8 AS BIGINT) AS span_len,
+        | md5(array_to_string(tk.ts[CAST(s AS INT):CAST(e + 7 AS INT)], ' ')) AS span_md5
+        |FROM sp JOIN tk ON sp.doc_id = tk.doc_id
+        |ORDER BY sp.doc_id, span_start""".stripMargin),
+      dedupSpanMaximal)
   )
 
   /** Cross-document repeated-span detection (the span-level
@@ -1000,6 +1018,52 @@ object Dedup {
     * one hash-keyed shuffle with map-side DISTINCT; no all-pairs
     * anywhere. A 32-bit span space at 100 T tokens would saturate —
     * md5 (128-bit) keeps collisions below 1e-18. */
+  /** Maximal cross-document repeated spans — the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * semantic at window granularity, and the removal manifest it
+    * implies: hash EVERY 8-token window (stride 1), keep windows whose
+    * content appears in ≥ 2 distinct docs, then merge each doc's runs
+    * of consecutive repeated offsets into maximal spans
+    * (gaps-and-islands: island = offset − row_number). A span's tokens
+    * are [start, start+len), its md5 lets the downstream pass excise
+    * the exact text. Every span is maximal by construction: the
+    * windows at start−1 and end+1 are not cross-doc repeated, else
+    * they'd be in the same island.
+    *
+    * Scale: the stride-1 explode is the honest cost — W bytes hashed
+    * per corpus token, embarrassingly parallel, rows narrowed to
+    * (doc_id, offset, h) BEFORE any shuffle (the token array never
+    * ships). One hash-keyed shuffle finds repeats, one doc-keyed
+    * window merges islands, one doc-keyed equi-join re-slices span
+    * text. A suffix array beats this per-node; nothing beats it for
+    * a 1000-executor fan-out. */
+  private def dedupSpanMaximal(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val wins = fanout(documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= W)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - (W - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("ts"), col("i"), lit(W)))).as("h"))
+    val repeated = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = wins.join(repeated, Seq("h"), "left_semi")
+      .withColumn("isl", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"))
+    spans.join(documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts")), Seq("doc_id"))
+      .select(col("doc_id"),
+        col("s").cast(LongType).as("span_start"),
+        (col("e") - col("s") + W).cast(LongType).as("span_len"),
+        md5(concat_ws(" ", slice(col("ts"), col("s"), col("e") - col("s") + W)))
+          .as("span_md5"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   private def dedupSpanNgrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     documents(spark, dir)

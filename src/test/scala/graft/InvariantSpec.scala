@@ -183,6 +183,56 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_span_maximal recovers the planted shared span exactly (maximal)") {
+    // plant one 16-token phrase inside two otherwise-unique docs: the
+    // only cross-doc repeated 8-windows are the 9 offsets fully inside
+    // the phrase, one island each => exactly one span per doc, exactly
+    // 16 tokens, identical md5 — neither extended into the unique
+    // context nor truncated. Deterministic: violations are merge bugs,
+    // never sampling noise.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_span").getAbsolutePath
+    val shared = (0 until 16).map(i => s"shared$i")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val rows = Seq(
+      (1L, (uniq("a", 8) ++ shared ++ uniq("az", 6)).mkString(" ")),
+      (2L, (uniq("b", 3) ++ shared ++ uniq("bz", 10)).mkString(" ")),
+      (3L, uniq("c", 30).mkString(" ")))
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val got = SparkEntry.queries("dedup_span_maximal")(spark, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.length == 2, s"expected exactly the two planted spans, got ${got.toSeq}")
+    assert(got(0)._1 == 1L && got(0)._2 == 9L && got(0)._3 == 16L,
+      s"doc 1 span wrong: ${got(0)}")
+    assert(got(1)._1 == 2L && got(1)._2 == 4L && got(1)._3 == 16L,
+      s"doc 2 span wrong: ${got(1)}")
+    assert(got(0)._4 == got(1)._4, "same content must hash to the same span_md5")
+  }
+
+  test("dedup_span_maximal islands are separated (no mergeable adjacent spans)") {
+    // maximality, corpus-wide: two spans of one doc always have >= 2
+    // unrepeated offsets between them in window-offset space — gap 1
+    // would mean the islands should have merged.
+    val spans = q("dedup_span_maximal")
+      .select("doc_id", "span_start", "span_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values
+    spans.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, l1), (d, s2, _)) =>
+          val prevEndOffset = s1 + l1 - 8 // last repeated window offset
+          assert(s2 >= prevEndOffset + 2,
+            s"doc $d: spans at $s1(len $l1) and $s2 should have merged")
+        case _ => ()
+      }
+    }
+  }
+
   test("simhash pigeonhole finds every planted pair it promises (hamming <= 3)") {
     // the pigeonhole guarantee is absolute, not probabilistic: hamming
     // <= 3 over 4 disjoint 16-bit blocks forces >= 1 identical block,
