@@ -183,6 +183,24 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("window_session (Spark-native) matches events_sessionize boundaries") {
+    // closes SURVEY §2's one check gap: the Spark-native session_window
+    // has no DuckDB oracle, so prove it against the oracle-checked
+    // gaps-and-islands formulation instead. The two differ only at a
+    // gap of EXACTLY 30 min (session_window splits weakly at >= gap,
+    // the explicit lag test strictly at > gap) — microsecond event
+    // timestamps make that measure-zero on the fixtures, so boundary
+    // sets must be identical.
+    val native = q("window_session")
+      .select("user_id", "session_start", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val explicit = q("events_sessionize")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == explicit,
+      s"only-native=${(native -- explicit).take(3)} only-explicit=${(explicit -- native).take(3)}")
+  }
+
   test("dedup_span_maximal recovers the planted shared span exactly (maximal)") {
     // plant one 16-token phrase inside two otherwise-unique docs: the
     // only cross-doc repeated 8-windows are the 9 offsets fully inside
