@@ -140,8 +140,15 @@ final class TDigestBuffer(val delta: Double) {
   private def kScale(qq: Double): Double =
     delta * (math.asin(2.0 * math.min(1.0, math.max(0.0, qq)) - 1.0) / math.Pi + 0.5)
 
+  // ~2δ centroids is the documented k1 bound; past it, always re-cluster —
+  // merging partials with disjoint ascending ranges (range-partitioned
+  // data) concatenates already-sorted lists that the sortedness
+  // early-exit alone would never coalesce, growing the buffer with the
+  // number of merged partials.
+  private def sizeCap: Int = math.ceil(2.0 * delta).toInt + 16
+
   private[functions] def compress(): Unit = {
-    if (pending.isEmpty && isSorted) return
+    if (pending.isEmpty && isSorted && means.length <= sizeCap) return
     val n = means.length + pending.length
     if (n == 0) return
     val pts = new Array[(Double, Long)](n)

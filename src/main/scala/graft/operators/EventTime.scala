@@ -513,12 +513,17 @@ object EventTime {
       sum(when(col("variant") === 0, col("cv")).otherwise(0L)).as("c_a"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === 1, col("cv")).otherwise(0L)).as("c_b"))
-    val ra = col("c_a").cast("double") / col("n_a").cast("double")
-    val rb = col("c_b").cast("double") / col("n_b").cast("double")
+    // every ratio is statistically undefined on an empty variant (and
+    // ANSI Spark would throw on the 0/0 double division): NULL them
+    // behind explicit n > 0 guards, mirrored as CASE WHEN in the oracle
+    val ra = when(col("n_a") > 0,
+      col("c_a").cast("double") / col("n_a").cast("double"))
+    val rb = when(col("n_b") > 0,
+      col("c_b").cast("double") / col("n_b").cast("double"))
     val pp = (col("c_a") + col("c_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    val se = sqrt(pp * (lit(1.0) - pp) *
-      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val se = when(col("n_a") > 0 && col("n_b") > 0, sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
     // z is UNDEFINED when the pooled variance is 0 (all or none
     // converted — degenerate at tiny fixtures): NULL, not 0/0
     val z = when(se > lit(0.0), (ra - rb) / se)
@@ -624,11 +629,14 @@ object EventTime {
         |  FROM u),
         | s AS (
         |  SELECT n_a, c_a, n_b, c_b,
-        |   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-        |   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-        |   sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |   CASE WHEN n_a > 0
+        |    THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+        |   CASE WHEN n_b > 0
+        |    THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+        |   CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |     * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS se
         |  FROM g)
         |SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
         | CASE WHEN se > 0.0 THEN (rate_a - rate_b) / se END AS z

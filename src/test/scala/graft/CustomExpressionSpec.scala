@@ -236,4 +236,20 @@ class CustomExpressionSpec extends AnyFunSuite {
     for (q <- Seq(0.1, 0.5, 0.9))
       assert(math.abs(buf.quantile(q) - back.quantile(q)) < 1e-9)
   }
+
+  test("tdigest buffer: merging range-partitioned partials stays O(delta)") {
+    // disjoint ascending partials concatenate into an already-sorted
+    // centroid list — the sortedness early-exit must not let the count
+    // grow with the number of merged partials
+    val acc = new graft.functions.TDigestBuffer(100.0)
+    (0 until 64).foreach { p =>
+      val part = new graft.functions.TDigestBuffer(100.0)
+      (1 to 1000).foreach(i => part.add(p * 1000.0 + i))
+      acc.mergeWith(part)
+    }
+    assert(acc.centroidCount <= 250,
+      s"centroids ${acc.centroidCount} grew with merged partial count")
+    // quantiles stay sane over the uniform 0..64000 range
+    assert(math.abs(acc.quantile(0.5) - 32000.0) < 640.0)
+  }
 }

@@ -8,6 +8,16 @@ DuckDB oracle SQL from oracle_sql.json against the same tables, sorts
 columns by name + rows by all columns, and compares values exactly
 (with a float near-miss report to distinguish rounding ulps from real
 bugs).
+
+Gate-scope caveat (known, deliberate): gate_log.json fingerprints the
+ORACLE SQL only. Editing a QueryDef's Spark-side fn (or a shared Parity
+helper) without touching its oracle SQL does NOT turn the gate red —
+the gate is a registration tripwire for unchecked/edited oracles, not a
+change detector for Scala code. The workflow contract is therefore:
+after editing EITHER side of a query, re-run Verify + this script for
+it. Each pass also records result_sha256 (a hash of the canonicalized
+Spark output) so cross-round output drift is at least visible in the
+gate log diff even when both SQLs are unchanged.
 """
 import hashlib, json, math, os, sys
 
@@ -54,9 +64,15 @@ gate = {}
 if os.path.exists(GATE_LOG):
     gate = json.load(open(GATE_LOG))
 
-npass = nfail = 0
+npass = nfail = nskip = 0
 for name, sql in sorted(oracle.items()):
     ok, nrows = False, 0
+    if not os.path.isdir(os.path.join(OUT, name)):
+        # output never dumped (stale/partial verify dir) — not a
+        # comparison failure: leave any recorded gate pass untouched
+        print(f"SKIP {name}: no output at {OUT}/{name}")
+        nskip += 1
+        continue
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         want = con.sql(sql).df()
@@ -93,6 +109,9 @@ for name, sql in sorted(oracle.items()):
     if ok:
         gate[name] = {
             "oracle_sha256": hashlib.sha256(sql.encode("utf-8")).hexdigest(),
+            "result_sha256": hashlib.sha256(
+                g.to_csv(index=False, float_format="%.17g").encode("utf-8")
+            ).hexdigest(),
             "sf": os.path.basename(SF.rstrip("/")),
             "rows": nrows,
         }
@@ -103,6 +122,7 @@ with open(GATE_LOG, "w") as f:
     json.dump(gate, f, indent=1, sort_keys=True)
     f.write("\n")
 
-print(f"\n{npass} pass, {nfail} fail, {len(oracle)} oracle-checked "
+skipnote = f", {nskip} skipped (no output)" if nskip else ""
+print(f"\n{npass} pass, {nfail} fail{skipnote}, {len(oracle)} oracle-checked "
       f"(gate log: {len(gate)} recorded passes)")
 sys.exit(1 if nfail else 0)
