@@ -497,6 +497,45 @@ object TextOps {
        | e AS (SELECT doc_id, i, tk[i] AS wd
        |  FROM d, unnest(range(1, len(tk) + 1)) AS r(i))""".stripMargin
 
+  /** Incremental winnowing ingest — the persisted-index shape
+    * `dedup_incremental` proved for MinHash, mirrored for MOSS
+    * fingerprints: the HISTORY corpus's (doc, fingerprint) index is
+    * built once and PERSISTED (content-addressed parquet — at lake
+    * scale, the curated artifact each ingest batch appends to); a new
+    * BATCH (doc_id % 5 = 4 stands in for today's crawl) is
+    * fingerprinted fresh and probed (1) against the stored index and
+    * (2) against itself. Per-ingest work is O(batch fingerprints) plus
+    * one fingerprint-keyed equi-join against the index — the full
+    * corpus is never re-fingerprinted.
+    *
+    * Invariant (InvariantSpec): index-path output ≡ the monolithic
+    * full-corpus fingerprint join restricted to pairs touching the
+    * batch — the persisted index loses nothing. */
+  private def dedupWinnowingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def fpOf(docs: DataFrame): DataFrame =
+      winnowSelectionsOf(docs).select(col("doc_id"), col("wmin")).distinct()
+    val idxBase = graft.Caches.dir("wnindex", dir, Seq("documents"))
+    if (!new java.io.File(idxBase, "_SUCCESS").exists()) {
+      fpOf(fanout(documents(spark, dir)).filter(col("doc_id") % 5 =!= 4))
+        .write.mode("overwrite").parquet(idxBase)
+    }
+    val hist = spark.read.parquet(idxBase)
+    val batch = fpOf(fanout(documents(spark, dir)).filter(col("doc_id") % 5 === 4))
+      .localCheckpoint()
+    val vsHist = batch.as("n").join(hist.as("h"), col("n.wmin") === col("h.wmin"))
+      .groupBy(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("origin", lit("history"))
+    val vsBatch = batch.as("a").join(batch.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("origin", lit("batch"))
+    vsHist.unionByName(vsBatch)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("origin"))
+      .orderBy(col("origin"), col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bpe_tokenize", Some(
       s"""$bpeSegSql,
@@ -892,6 +931,35 @@ object TextOps {
         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100""".stripMargin),
       textWinnowingMatches),
 
+    QueryDef("dedup_winnowing_incremental", Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+        |  FROM t, unnest(range(0, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        | w AS (
+        |  SELECT doc_id, pos,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS nk
+        |  FROM g),
+        | fp AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= nk - 4),
+        | hist AS (SELECT * FROM fp WHERE doc_id % 5 <> 4),
+        | batch AS (SELECT * FROM fp WHERE doc_id % 5 = 4),
+        | vh AS (SELECT h.doc_id AS doc_a, n.doc_id AS doc_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared, 'history' AS origin
+        |  FROM batch n JOIN hist h ON n.wmin = h.wmin GROUP BY 1, 2),
+        | vb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared, 'batch' AS origin
+        |  FROM batch a JOIN batch b
+        |    ON a.wmin = b.wmin AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, origin FROM
+        | (SELECT * FROM vh UNION ALL SELECT * FROM vb)
+        |ORDER BY origin, doc_a, doc_b""".stripMargin),
+      dedupWinnowingIncremental),
+
     QueryDef("dedup_winnowing_verified", Some(
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -995,10 +1063,18 @@ object TextOps {
     * `n_kgrams` is counted before the cut so it stays the true
     * inventory size. Shared by the per-doc manifest and the cross-doc
     * match join. */
-  private def winnowSelections(spark: SparkSession, dir: String): DataFrame = {
+  private def winnowSelections(spark: SparkSession, dir: String): DataFrame =
+    winnowSelectionsOf(fanout(documents(spark, dir)))
+
+  /** The distinct winnowing fingerprint set (doc_id, wmin) of the full
+    * corpus — exposed for the incremental-index invariant test. */
+  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSelections(spark, dir).select(col("doc_id"), col("wmin")).distinct()
+
+  private def winnowSelectionsOf(docs: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, winnowW - 1)
-    fanout(documents(spark, dir))
+    docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= winnowK)
       .select(col("doc_id"),

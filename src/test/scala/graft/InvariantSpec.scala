@@ -201,6 +201,25 @@ class InvariantSpec extends AnyFunSuite {
       s"only-native=${(native -- explicit).take(3)} only-explicit=${(explicit -- native).take(3)}")
   }
 
+  test("dedup_winnowing_incremental equals the full-corpus join restricted to the batch") {
+    // the persisted-index ingest path must lose nothing: probing the
+    // stored history index + batch self-join == monolithically
+    // fingerprinting the whole corpus and keeping only pairs that
+    // touch a batch doc (with identical shared-fingerprint counts)
+    val inc = q("dedup_winnowing_incremental").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val fp = graft.operators.TextOps.winnowFingerprints(spark, sf)
+    val full = fp.as("a").join(fp.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("da") % 5 === 4 || col("db") % 5 === 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full,
+      s"only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+  }
+
   test("dedup_span_maximal recovers the planted shared span exactly (maximal)") {
     // plant one 16-token phrase inside two otherwise-unique docs: the
     // only cross-doc repeated 8-windows are the 9 offsets fully inside
