@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, md5, row_number, spark_partition_id}
 import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -131,6 +131,14 @@ object PipelineSpec {
     case other => fail(s"field '$field' must be an integer", other)
   }
 
+  private def doubleOpt(v: JValue, field: String): Option[Double] = v \ field match {
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JInt(i) => Some(i.toDouble)
+    case JNothing => None
+    case other => fail(s"field '$field' must be a number", other)
+  }
+
   // ------------------------------------------------------------ registry
 
   private def source(v: JValue): Source = str(v, "format") match {
@@ -243,6 +251,56 @@ object PipelineSpec {
         val w0 = Window.partitionBy(parts.map(col): _*)
         val w = if (order.isEmpty) w0 else w0.orderBy(order.map(sortItem): _*)
         df.withColumn(as, expr(wexpr).over(w))
+      }
+    case "dedup_near" =>
+      // declarative NEAR-duplicate removal — the curation loop's dedup
+      // step as config (the exact-dedup "dedup" op above can't catch
+      // boilerplate variants): MinHash LSH candidates + exact-Jaccard
+      // verify at "threshold" (default 0.5), then drop every row whose
+      // id matches a verified duplicate with a SMALLER id (keep-first,
+      // deterministic at any partitioning). Same banding machinery as
+      // dedup_minhash_verified — band-keyed equi-joins, no all-pairs.
+      val idc = strOpt(v, "id").getOrElse("doc_id")
+      val txt = strOpt(v, "text").getOrElse("text")
+      val thr = doubleOpt(v, "threshold").getOrElse(0.5)
+      df => {
+        val std = df.select(col(idc).as("doc_id"), col(txt).as("text"))
+        val victims = graft.operators.Dedup.verifiedPairsOf(std, thr)
+          .select(col("doc_b").as(idc)).distinct()
+        df.join(victims, Seq(idc), "left_anti")
+      }
+    case "sample_group" =>
+      // declarative reproducible k-per-group sampling: rank rows in
+      // each "by" group by md5(seed:key) and keep the k smallest —
+      // partition-independent and stable under corpus growth within a
+      // group ordering. Two-phase (partition-local top-k prune, then
+      // the global rank over <= k·P survivors) so no single group's
+      // full membership ever funnels through one task — the same
+      // shape as sample_per_group (Curation.scala).
+      val by = strSeq(v, "by")
+      val k = intOpt(v, "k").getOrElse(fail("sample_group needs 'k'", v))
+      val keyE = str(v, "key")
+      val seed = strOpt(v, "seed").getOrElse("spec")
+      val rankAs = strOpt(v, "as")
+      if (by.isEmpty)
+        fail("sample_group needs a nonempty 'by' (global sampling is a scale hazard)", v)
+      df => {
+        import org.apache.spark.sql.expressions.Window
+        val local = Window
+          .partitionBy((by.map(col) :+ spark_partition_id()): _*)
+          .orderBy(col("__sg_h"))
+        val global = Window.partitionBy(by.map(col): _*).orderBy(col("__sg_h"))
+        val ranked = df
+          .withColumn("__sg_h", md5(concat(lit(s"$seed:"), expr(keyE).cast("string"))))
+          .withColumn("__sg_l", row_number().over(local))
+          .filter(col("__sg_l") <= k)
+          .withColumn("__sg_r", row_number().over(global).cast("long"))
+          .filter(col("__sg_r") <= k)
+        val kept = rankAs match {
+          case Some(a) => ranked.withColumn(a, col("__sg_r"))
+          case None => ranked
+        }
+        kept.drop("__sg_h", "__sg_l", "__sg_r")
       }
     case "sql" =>
       // whole-query escape hatch: the running frame is exposed to the

@@ -160,8 +160,16 @@ object Dedup {
     * This is the full candidate-generation → verification shape used on
     * real corpora; the oracle recomputes the identical signatures,
     * bands, candidates, and Jaccard in DuckDB. */
-  private def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    val sig = withSignature(spark, dir)
+  private def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairsOf(fanout(documents(spark, dir)), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** LSH candidates + exact-Jaccard verify over an arbitrary
+    * (doc_id, text) slice, as scored pairs (doc_a < doc_b, jac >=
+    * threshold). Shared by dedup_minhash_verified and the declarative
+    * spec grammar's `dedup_near` op (PipelineSpec). */
+  private[graft] def verifiedPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = signatureOf(docs)
       .select(col("doc_id"),
         array((0 until NumBands).map(j =>
           md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
@@ -173,7 +181,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = fanout(documents(spark, dir))
+    val sh = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
@@ -191,8 +199,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
-      .filter(col("jac") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("jac") >= threshold)
   }
 
   /** Benchmark decontamination: find corpus documents that leak an

@@ -178,6 +178,52 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sqlite"))
   }
 
+  test("pipeline spec: curation chain (filter -> dedup_near -> sample_group) to a partitioned sink") {
+    // the full declarative curation loop: the frame() dataflow is the
+    // oracle-checked pipeline_spec_curate query; here the SAME json
+    // runs end-to-end into a lang-partitioned parquet sink and prunes
+    // on read-back.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val out = tmp("spec_curate_out")
+    val base = JsonMethods.parse(SpecQueries.curateSpecJson(TestSpark.sf))
+    val withSink = base merge JObject("sink" -> JObject(
+      "format" -> JString("parquet"), "path" -> JString(out),
+      "mode" -> JString("overwrite"),
+      "partitionBy" -> JArray(List(JString("lang")))))
+    PipelineSpec.fromJson(JsonMethods.compact(JsonMethods.render(withSink))).run(spark)
+    val back = spark.read.parquet(out)
+    val direct = SparkEntry.queries("pipeline_spec_curate")(spark, TestSpark.sf)
+    assert(back.count() == direct.count())
+    // per-group cap holds and ranks are 1..k
+    assert(back.groupBy("lang").count().filter(col("count") > 3).count() == 0)
+    assert(back.agg(max("rn")).collect()(0).getLong(0) <= 3L)
+    // partition pruning reaches the scan on the partitioned layout
+    val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+  }
+
+  test("pipeline spec: dedup_near drops only verified near-duplicates, keep-first") {
+    // exact-copy pair planted with a smaller original id: the copy
+    // (larger id) must vanish, the original must survive
+    import org.json4s.jackson.JsonMethods
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_spec").getAbsolutePath
+    val src = Tables.documents(spark, TestSpark.sf).limit(50)
+    val copies = src.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+    src.unionByName(copies).coalesce(1)
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val deduped = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$planted/documents.parquet"},
+         | "transforms": [{"op": "dedup_near", "threshold": 0.5}]}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0L until 5L).foreach { d =>
+      assert(deduped.contains(d), s"original $d must survive")
+      assert(!deduped.contains(d + 900000L), s"copy ${d + 900000} must be dropped")
+    }
+  }
+
   test("upsert keeps existing rows and inserts only missing keys (R11)") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark
