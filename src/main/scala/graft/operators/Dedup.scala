@@ -1011,7 +1011,40 @@ object Dedup {
         | md5(array_to_string(tk.ts[CAST(s AS INT):CAST(e + 7 AS INT)], ' ')) AS span_md5
         |FROM sp JOIN tk ON sp.doc_id = tk.doc_id
         |ORDER BY sp.doc_id, span_start""".stripMargin),
-      dedupSpanMaximal)
+      dedupSpanMaximal),
+
+    QueryDef("dedup_span_apply", Some(
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        | wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM tk, unnest(range(1, greatest(len(ts) - 6, 1))) AS r(i)),
+        | rep AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        | rw AS (SELECT w.doc_id, w.i FROM wins w JOIN rep USING (h)),
+        | isl AS (SELECT doc_id, i,
+        |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM rw),
+        | sp AS (SELECT doc_id, min(i) AS s, max(i) AS e FROM isl GROUP BY doc_id, g),
+        | spans AS (SELECT sp.doc_id, s, e + 7 AS e,
+        |   md5(array_to_string(tk.ts[CAST(s AS INT):CAST(e + 7 AS INT)], ' ')) AS sm
+        |  FROM sp JOIN tk ON sp.doc_id = tk.doc_id),
+        | keeper AS (SELECT sm, min(doc_id) AS kd FROM spans GROUP BY sm),
+        | rem AS (SELECT s.doc_id, s.s, s.e FROM spans s
+        |  JOIN keeper k ON s.sm = k.sm AND s.doc_id <> k.kd),
+        | tok AS (SELECT doc_id, i, ts[i] AS t
+        |  FROM tk, unnest(range(1, len(ts) + 1)) AS r(i)),
+        | kept AS (SELECT tok.doc_id, tok.i, tok.t
+        |  FROM tok LEFT JOIN rem
+        |    ON tok.doc_id = rem.doc_id AND tok.i BETWEEN rem.s AND rem.e
+        |  WHERE rem.s IS NULL),
+        | g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+        |   string_agg(t, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(tk.ts) AS BIGINT) AS n_tokens_before,
+        | coalesce(g.n_after, 0) AS n_tokens_after,
+        | md5(coalesce(g.cleaned, '')) AS cleaned_md5
+        |FROM tk LEFT JOIN g ON tk.doc_id = g.doc_id
+        |ORDER BY tk.doc_id""".stripMargin),
+      dedupSpanApply)
   )
 
   /** Cross-document repeated-span detection (the span-level
@@ -1069,6 +1102,45 @@ object Dedup {
         md5(concat_ws(" ", slice(col("ts"), col("s"), col("e") - col("s") + W)))
           .as("span_md5"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** APPLY the maximal-span removal manifest (the second half of the
+    * Lee et al. substring-dedup loop): each span content keeps its FIRST
+    * occurrence corpus-wide (smallest doc_id owning that span_md5);
+    * every other occurrence is excised token-exactly from its document.
+    * Output is the cleaned-corpus manifest — before/after token counts
+    * and an md5 of the cleaned token stream per doc.
+    *
+    * Scale: the manifest is tiny relative to the corpus (spans, not
+    * text), so the apply pass is one doc-keyed equi-join of documents
+    * against the per-doc removal-interval arrays plus a narrow
+    * projection (filter-with-index over the token array) — no shuffle
+    * of corpus text beyond the join, no window. */
+  private def dedupSpanApply(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dedupSpanMaximal(spark, dir)
+    val keeper = spans.groupBy(col("span_md5"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val rem = spans.join(keeper, "span_md5")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_len") - 1).as("e"))).as("rs"))
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(rem, Seq("doc_id"), "left")
+      .withColumn("rs", coalesce(col("rs"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens_before"),
+        transform(
+          filter(
+            transform(col("ts"), (t, i) => struct((i + 1).cast("long").as("i"), t.as("t"))),
+            p => !exists(col("rs"), r => p("i") >= r("s") && p("i") <= r("e"))),
+          p => p("t")).as("kept"))
+      .select(col("doc_id"), col("n_tokens_before"),
+        size(col("kept")).cast(LongType).as("n_tokens_after"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
   }
 
   private def dedupSpanNgrams(spark: SparkSession, dir: String): DataFrame = {
