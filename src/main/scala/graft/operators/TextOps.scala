@@ -143,6 +143,36 @@ object TextOps {
         md5(col("sub")).as("sub_md5"))
       .orderBy(col("doc_id"))
 
+  /** BPE merge-TRAINING step: corpus-wide adjacent piece-pair counts
+    * under the current vocab — the statistic a BPE trainer maximizes
+    * to pick its next merge ("which two pieces co-occur most?").
+    * Pairs are word-internal only (BPE never merges across word
+    * boundaries). Top 50 by count, tie-broken lexically, with the
+    * candidate merged piece.
+    *
+    * Scale: segmentation is the same inline narrow projection as
+    * `text_bpe_tokenize` (no distinct-words join); the pair explode
+    * feeds ONE hash aggregate whose map-side combine collapses each
+    * partition to its distinct pairs (≤ |vocab|² keys, in practice a
+    * few hundred) before the shuffle — shuffle volume is the pair
+    * vocabulary, not the corpus. One shuffle total, then a driver-side
+    * top-50 via TakeOrderedAndProject. */
+  private def textBpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val ps = split(bpeWord(col("w")), " ")
+    graft.Tables.fanout(documents(spark, dir))
+      .select(explode(toks).as("w"))
+      .select(ps.as("ps"))
+      .select(explode(zip_with(
+        slice(col("ps"), lit(1), size(col("ps")) - 1),
+        slice(col("ps"), lit(2), size(col("ps")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("pair_left"), col("p.r").as("pair_right"))
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("merged", concat(col("pair_left"), col("pair_right")))
+      .orderBy(col("pair_count").desc, col("pair_left"), col("pair_right"))
+      .limit(50)
+  }
+
   /** Canonical-form fingerprint (lowercase, sorted tokens → md5) with a
     * per-fingerprint duplicate count — the "did we already ingest this
     * content" primitive. */
@@ -547,6 +577,22 @@ object TextOps {
         | md5(coalesce(g.sub, '')) AS sub_md5
         |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin), textBpeTokenize),
+
+    QueryDef("text_bpe_pair_stats", Some(
+      s"""$bpeSegSql,
+        | wf AS (SELECT wd, count(*) AS f FROM e GROUP BY wd),
+        | wp AS (SELECT wd, string_split(toks, ' ') AS ps FROM wt),
+        | pairs AS (
+        |  SELECT wp.ps[CAST(i AS INT)] AS pair_left,
+        |   wp.ps[CAST(i + 1 AS INT)] AS pair_right, wf.f
+        |  FROM wp JOIN wf USING (wd),
+        |   unnest(range(1, len(wp.ps))) AS r(i))
+        |SELECT pair_left, pair_right,
+        | CAST(sum(f) AS BIGINT) AS pair_count,
+        | pair_left || pair_right AS merged
+        |FROM pairs GROUP BY pair_left, pair_right
+        |ORDER BY pair_count DESC, pair_left, pair_right
+        |LIMIT 50""".stripMargin), textBpePairStats),
 
     QueryDef("text_readability", Some(
       """SELECT doc_id,
