@@ -100,8 +100,13 @@ object TextOps {
     * into the scan, which is why the pieces are computed inline per
     * occurrence rather than via a distinct-words join (two shuffles
     * for a lookup the projection re-derives in nanoseconds). */
-  private[operators] def bpeWord(w: Column): Column = {
-    val vocab = array(bpeVocab.map(lit): _*)
+  private[operators] def bpeWord(w: Column): Column =
+    bpeWordWith(array(bpeVocab.map(lit): _*), w)
+
+  /** Same greedy walk with a caller-supplied vocab array column —
+    * lets the merge-apply step segment under vocab ∪ {learned piece}
+    * without a second code path. */
+  private[operators] def bpeWordWith(vocab: Column, w: Column): Column = {
     val walk = aggregate(
       sequence(lit(1), length(w)),
       struct(lit(1).as("nxt"), lit("").as("toks")),
@@ -120,8 +125,11 @@ object TextOps {
 
   /** Subword token count of a whole document given its word array —
     * Σ pieces per word, 0 for an empty doc. */
-  private[operators] def subwordCount(tk: Column): Column = {
-    val sub = concat_ws(" ", transform(tk, w => bpeWord(w)))
+  private[operators] def subwordCount(tk: Column): Column =
+    subwordCountWith(array(bpeVocab.map(lit): _*), tk)
+
+  private[operators] def subwordCountWith(vocab: Column, tk: Column): Column = {
+    val sub = concat_ws(" ", transform(tk, w => bpeWordWith(vocab, w)))
     when(sub === "", lit(0L))
       .otherwise(size(split(sub, " ")).cast(LongType))
   }
@@ -171,6 +179,35 @@ object TextOps {
       .withColumn("merged", concat(col("pair_left"), col("pair_right")))
       .orderBy(col("pair_count").desc, col("pair_left"), col("pair_right"))
       .limit(50)
+  }
+
+  /** One full BPE TRAIN iteration, closing the loop pair_stats opens:
+    * learn the top merge (max pair count, lexical tie-break), extend
+    * the vocab with the merged piece, re-segment the corpus under
+    * vocab ∪ {merge}, and report per-source token compression
+    * (tokens_before/tokens_after) — the trainer's acceptance metric.
+    *
+    * Scale: the learned merge is a ONE-ROW broadcast crossJoin (the
+    * standard scalar-enrichment shape here); both segmentations are
+    * narrow projections fused into the scan; the only shuffle is the
+    * final per-source hash aggregate (≤ |sources| keys). A real
+    * trainer iterates this N-merges times with the vocab snapshot
+    * broadcast per iteration — per-iteration cost is one corpus scan,
+    * never a driver-side corpus. */
+  private def textBpeApplyMerge(spark: SparkSession, dir: String): DataFrame = {
+    val top = textBpePairStats(spark, dir).limit(1).select(col("merged"))
+    val baseVocab = array(bpeVocab.map(lit): _*)
+    val vocab2 = array_union(baseVocab, array(col("merged")))
+    graft.Tables.fanout(documents(spark, dir))
+      .select(col("source"), toks.as("tk"))
+      .crossJoin(broadcast(top))
+      .select(col("source"), col("merged"),
+        subwordCountWith(baseVocab, col("tk")).as("nb"),
+        subwordCountWith(vocab2, col("tk")).as("na"))
+      .groupBy(col("source"), col("merged"))
+      .agg(sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"))
+      .orderBy(col("source"))
   }
 
   /** Canonical-form fingerprint (lowercase, sorted tokens → md5) with a
@@ -593,6 +630,45 @@ object TextOps {
         |FROM pairs GROUP BY pair_left, pair_right
         |ORDER BY pair_count DESC, pair_left, pair_right
         |LIMIT 50""".stripMargin), textBpePairStats),
+
+    QueryDef("text_bpe_apply_merge", Some(
+      s"""$bpeSegSql,
+        | wf AS (SELECT wd, count(*) AS f FROM e GROUP BY wd),
+        | wp AS (SELECT wd, string_split(toks, ' ') AS ps FROM wt),
+        | pairs AS (
+        |  SELECT wp.ps[CAST(i AS INT)] AS pl,
+        |   wp.ps[CAST(i + 1 AS INT)] AS pr, wf.f
+        |  FROM wp JOIN wf USING (wd),
+        |   unnest(range(1, len(wp.ps))) AS r(i)),
+        | top AS (SELECT pl || pr AS m FROM (
+        |  SELECT pl, pr, sum(f) AS c FROM pairs GROUP BY pl, pr
+        |  ORDER BY c DESC, pl, pr LIMIT 1)),
+        | vocab2(piece) AS (
+        |  SELECT piece FROM vocab UNION ALL SELECT m FROM top),
+        | seg2(wd, pos, toks) AS (
+        |  SELECT wd, 1, '' FROM uw
+        |  UNION ALL
+        |  SELECT wd, pos + m, toks || ' ' || substr(wd, pos, m)
+        |  FROM (SELECT wd, pos, toks,
+        |    coalesce((SELECT max(len(piece)) FROM vocab2 v
+        |      WHERE substr(wd, pos, len(piece)) = v.piece), 1) AS m
+        |   FROM seg2 WHERE pos <= len(wd)) s),
+        | wt2 AS (
+        |  SELECT wd, CAST(len(string_split(ltrim(toks), ' ')) AS BIGINT) AS ntok
+        |  FROM seg2 WHERE pos > len(wd)),
+        | bs AS (SELECT d.source, CAST(sum(wt.ntok) AS BIGINT) AS tokens_before
+        |  FROM e JOIN d USING (doc_id) JOIN wt ON e.wd = wt.wd
+        |  GROUP BY d.source),
+        | a2 AS (SELECT d.source, CAST(sum(wt2.ntok) AS BIGINT) AS tokens_after
+        |  FROM e JOIN d USING (doc_id) JOIN wt2 ON e.wd = wt2.wd
+        |  GROUP BY d.source)
+        |SELECT s.source, t.m AS merged,
+        | coalesce(bs.tokens_before, 0) AS tokens_before,
+        | coalesce(a2.tokens_after, 0) AS tokens_after
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |LEFT JOIN bs USING (source) LEFT JOIN a2 USING (source)
+        |CROSS JOIN top t
+        |ORDER BY s.source""".stripMargin), textBpeApplyMerge),
 
     QueryDef("text_readability", Some(
       """SELECT doc_id,
