@@ -57,7 +57,8 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+  private def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    registerBpe(spark)
     graft.Tables.fanout(documents(spark, dir)) // per-row regex work: spread single-split inputs
       .select(
         col("doc_id"),
@@ -67,6 +68,7 @@ object TextOps {
           .cast(LongType).as("bpe_ish_tokens"),
         subwordCount(toks).as("subword_tokens"))
       .orderBy(col("doc_id"))
+  }
 
   /** Fixture BPE merge table, collapsed to its vocabulary (the set of
     * pieces the merges produce) — the form greedy longest-match
@@ -77,7 +79,7 @@ object TextOps {
     * `win`, `ord` > `or`), 3-piece splits (`cust om er`), and the
     * single-char byte fallback for out-of-vocab spans (`dup`,
     * trailing `t`/`y`/`g`/`w`). */
-  private[operators] val bpeVocab: Seq[String] = Seq(
+  private[graft] val bpeVocab: Seq[String] = Seq(
     "table", "the", "data", "cust", "om", "er", "col", "umn", "wind",
     "win", "ow", "str", "eam", "fil", "ter", "vec", "tor", "qu", "ery",
     "bat", "ch", "mer", "ge", "ord", "or", "gr", "oup", "sp", "ark",
@@ -100,13 +102,13 @@ object TextOps {
     * into the scan, which is why the pieces are computed inline per
     * occurrence rather than via a distinct-words join (two shuffles
     * for a lookup the projection re-derives in nanoseconds). */
-  private[operators] def bpeWord(w: Column): Column =
+  private[graft] def bpeWord(w: Column): Column =
     bpeWordWith(array(bpeVocab.map(lit): _*), w)
 
   /** Same greedy walk with a caller-supplied vocab array column —
     * lets the merge-apply step segment under vocab ∪ {learned piece}
     * without a second code path. */
-  private[operators] def bpeWordWith(vocab: Column, w: Column): Column = {
+  private[graft] def bpeWordWith(vocab: Column, w: Column): Column = {
     val walk = aggregate(
       sequence(lit(1), length(w)),
       struct(lit(1).as("nxt"), lit("").as("toks")),
@@ -125,10 +127,23 @@ object TextOps {
 
   /** Subword token count of a whole document given its word array —
     * Σ pieces per word, 0 for an empty doc. */
-  private[operators] def subwordCount(tk: Column): Column =
-    subwordCountWith(array(bpeVocab.map(lit): _*), tk)
+  /** Register the codegen'd segmentation expression (idempotent) —
+    * every caller of `subwords`/`subwordCount` goes through here. */
+  private[graft] def registerBpe(spark: SparkSession): Unit =
+    graft.functions.BpeSubwords.register(spark, bpeVocab)
 
-  private[operators] def subwordCountWith(vocab: Column, tk: Column): Column = {
+  /** Flattened piece stream of a word array under the fixture vocab
+    * (+ optional learned merge pieces), via the compiled expression —
+    * the hot path every token-billed op shares. `bpeWordWith` above is
+    * the retained reference implementation; BpeParitySpec asserts the
+    * two walks agree on the corpus. */
+  private[graft] def subwords(tk: Column, extra: Column*): Column =
+    call_function("bpe_subwords", (tk +: extra): _*)
+
+  private[graft] def subwordCount(tk: Column): Column =
+    size(subwords(tk)).cast(LongType)
+
+  private[graft] def subwordCountWith(vocab: Column, tk: Column): Column = {
     val sub = concat_ws(" ", transform(tk, w => bpeWordWith(vocab, w)))
     when(sub === "", lit(0L))
       .otherwise(size(split(sub, " ")).cast(LongType))
@@ -138,18 +153,18 @@ object TextOps {
     * token count, the subword token count under the fixture merge
     * table, and an md5 over the full in-order piece stream (so the
     * oracle checks the exact segmentation, not just its length). */
-  private def textBpeTokenize(spark: SparkSession, dir: String): DataFrame =
+  private def textBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    registerBpe(spark)
     graft.Tables.fanout(documents(spark, dir))
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast(LongType).as("ws_tokens"),
-        concat_ws(" ", transform(col("tk"), w => bpeWord(w))).as("sub"))
+        subwords(col("tk")).as("ps"))
       .select(col("doc_id"), col("ws_tokens"),
-        when(col("sub") === "", lit(0L))
-          .otherwise(size(split(col("sub"), " ")).cast(LongType))
-          .as("subword_tokens"),
-        md5(col("sub")).as("sub_md5"))
+        size(col("ps")).cast(LongType).as("subword_tokens"),
+        md5(concat_ws(" ", col("ps"))).as("sub_md5"))
       .orderBy(col("doc_id"))
+  }
 
   /** BPE merge-TRAINING step: corpus-wide adjacent piece-pair counts
     * under the current vocab — the statistic a BPE trainer maximizes
@@ -166,10 +181,10 @@ object TextOps {
     * vocabulary, not the corpus. One shuffle total, then a driver-side
     * top-50 via TakeOrderedAndProject. */
   private def textBpePairStats(spark: SparkSession, dir: String): DataFrame = {
-    val ps = split(bpeWord(col("w")), " ")
+    registerBpe(spark)
     graft.Tables.fanout(documents(spark, dir))
       .select(explode(toks).as("w"))
-      .select(ps.as("ps"))
+      .select(subwords(array(col("w"))).as("ps")) // per-word: pairs stay word-internal
       .select(explode(zip_with(
         slice(col("ps"), lit(1), size(col("ps")) - 1),
         slice(col("ps"), lit(2), size(col("ps")) - 1),
@@ -195,15 +210,19 @@ object TextOps {
     * broadcast per iteration — per-iteration cost is one corpus scan,
     * never a driver-side corpus. */
   private def textBpeApplyMerge(spark: SparkSession, dir: String): DataFrame = {
-    val top = textBpePairStats(spark, dir).limit(1).select(col("merged"))
-    val baseVocab = array(bpeVocab.map(lit): _*)
-    val vocab2 = array_union(baseVocab, array(col("merged")))
+    registerBpe(spark)
+    // The learned merge is the trainer's output artifact: one scalar,
+    // collected to the driver (bounded state, like the k-means
+    // centroids) so both segmentations run as static-vocab compiled
+    // expressions. A real trainer iterates exactly this way — learn
+    // merge, extend broadcast vocab, rescan.
+    val merged = textBpePairStats(spark, dir).limit(1)
+      .select(col("merged")).collect()(0).getString(0)
     graft.Tables.fanout(documents(spark, dir))
       .select(col("source"), toks.as("tk"))
-      .crossJoin(broadcast(top))
-      .select(col("source"), col("merged"),
-        subwordCountWith(baseVocab, col("tk")).as("nb"),
-        subwordCountWith(vocab2, col("tk")).as("na"))
+      .select(col("source"), lit(merged).as("merged"),
+        subwordCount(col("tk")).as("nb"),
+        size(subwords(col("tk"), lit(merged))).cast(LongType).as("na"))
       .groupBy(col("source"), col("merged"))
       .agg(sum(col("nb")).as("tokens_before"),
         sum(col("na")).as("tokens_after"))

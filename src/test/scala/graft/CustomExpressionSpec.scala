@@ -23,6 +23,37 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("bpe_subwords matches the reference higher-order-function walk on the corpus") {
+    operators.TextOps.registerBpe(spark)
+    val base = array(operators.TextOps.bpeVocab.map(lit): _*)
+    val df = Tables.documents(spark, TestSpark.sf)
+      .select(filter(split(col("text"), " "), t => t =!= "").as("tk"))
+      .select(
+        concat_ws(" ", operators.TextOps.subwords(col("tk"))).as("fast"),
+        concat_ws(" ", transform(col("tk"),
+          w => operators.TextOps.bpeWordWith(base, w))).as("slow"))
+    assert(df.count() > 0)
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("bpe_subwords: extra merge pieces, longest-match shadowing, empty and null input") {
+    operators.TextOps.registerBpe(spark)
+    val df = Seq(Seq("thewindow", "xyz", "table"), Seq.empty[String]).toDF("tk")
+    val out = df.select(operators.TextOps.subwords(col("tk")).as("ps"))
+      .collect().map(_.getSeq[String](0))
+    // 'the'+'wind'(> 'win')+'ow'; out-of-vocab 'xyz' falls back per char
+    assert(out(0) == Seq("the", "wind", "ow", "x", "y", "z", "table"))
+    assert(out(1) == Seq.empty)
+    // learned merge 'thewind' wins over 'the'+'wind' once appended
+    val merged = df.limit(1)
+      .select(operators.TextOps.subwords(col("tk"), lit("thewind")).as("ps"))
+      .collect()(0).getSeq[String](0)
+    assert(merged == Seq("thewind", "ow", "x", "y", "z", "table"))
+    val nul = df.withColumn("n", lit(null).cast("array<string>"))
+      .select(operators.TextOps.subwords(col("n"))).collect()
+    assert(nul.forall(_.isNullAt(0)))
+  }
+
   test("dot_product handles empty and null arrays") {
     DotProduct.register(spark)
     val df = Seq(
