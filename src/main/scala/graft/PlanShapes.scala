@@ -31,6 +31,14 @@ object PlanShapes {
 
   def normalize(plan: String): String = plan
     .replaceAll("#\\d+", "#")
+    // Lambda variable names carry a SESSION-GLOBAL counter (x_157):
+    // adding/removing any higher-order function anywhere shifts every
+    // later query's lambdas, which is run-order noise, not shape.
+    .replaceAll("lambda [A-Za-z]+_\\d+", "lambda v_")
+    // FileScan truncates DataFilters to ~100 chars BEFORE id stripping,
+    // so expression-id widths (#89 vs #123) shift the truncation point.
+    // The content duplicates the Filter node above the scan — drop it.
+    .replaceAll("(?s)DataFilters: \\[.*?(?=, Format:)", "DataFilters: [..]")
     .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("Location: [A-Za-z0-9]+\\([^)]*\\)\\[[^\\]]*\\]", "Location: PATH")
     .replaceAll("file:[^\\s\\],)]+", "file:PATH")

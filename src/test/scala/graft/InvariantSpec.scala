@@ -502,9 +502,12 @@ class InvariantSpec extends AnyFunSuite {
     val total = sel.map(_.getLong(1)).sum
     assert(total <= 10000L, s"selected $total tokens > budget")
     val selIds = sel.map(_.getLong(0)).toSet
+    operators.TextOps.registerBpe(spark)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        // same token definition as the operator: SUBWORD count (r7)
+        size(operators.TextOps.subwords(
+          filter(split(col("text"), " "), t => t =!= "")))
           .cast("long").as("tokens"),
         least(lit(9L), floor(col("n_chars") / 200)).cast("long").as("bin"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
