@@ -251,6 +251,37 @@ class InvariantSpec extends AnyFunSuite {
     assert(got(0)._4 == got(1)._4, "same content must hash to the same span_md5")
   }
 
+  test("dedup_span_apply excises the planted span from the non-keeper only") {
+    // same planted fixture as above (written by the previous test's
+    // run order is not guaranteed — rewrite it): doc 1 is the keeper
+    // (min doc_id owning the span_md5) and stays whole; doc 2 loses
+    // exactly the 16 planted tokens; doc 3 is untouched.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_span_apply").getAbsolutePath
+    val shared = (0 until 16).map(i => s"shared$i")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val doc2Kept = uniq("b", 3) ++ uniq("bz", 10)
+    val rows = Seq(
+      (1L, (uniq("a", 8) ++ shared ++ uniq("az", 6)).mkString(" ")),
+      (2L, (uniq("b", 3) ++ shared ++ uniq("bz", 10)).mkString(" ")),
+      (3L, uniq("c", 30).mkString(" ")))
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val got = SparkEntry.queries("dedup_span_apply")(spark, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 30L, 30L), (2L, 29L, 13L), (3L, 30L, 30L)), s"got ${got.toSeq}")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1)._4 == md5hex(doc2Kept.mkString(" ")),
+      "non-keeper cleaned stream must be exactly its unique tokens, in order")
+    assert(got(0)._4 == md5hex(rows(0)._2), "keeper must be byte-identical")
+  }
+
   test("dedup_span_maximal islands are separated (no mergeable adjacent spans)") {
     // maximality, corpus-wide: two spans of one doc always have >= 2
     // unrepeated offsets between them in window-offset space — gap 1
