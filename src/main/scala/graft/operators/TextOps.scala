@@ -196,6 +196,27 @@ object TextOps {
       .limit(50)
   }
 
+  /** Tokenizer fertility by (source, lang): subword tokens per
+    * whitespace word — the curation signal for which domains are
+    * expensive under the current vocab (fertility ≫ 1 means the
+    * tokenizer fragments that domain; retrain or re-weight). One
+    * narrow projection + one small hash aggregate. */
+  private def textBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    registerBpe(spark)
+    graft.Tables.fanout(documents(spark, dir))
+      .select(col("source"), col("lang"),
+        size(toks).cast(LongType).as("ws"),
+        subwordCount(toks).as("sw"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sw")).as("subword_tokens"))
+      .withColumn("fertility",
+        when(col("ws_tokens") > 0,
+          col("subword_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType)))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** One full BPE TRAIN iteration, closing the loop pair_stats opens:
     * learn the top merge (max pair count, lexical tie-break), extend
     * the vocab with the merged piece, re-segment the corpus under
@@ -649,6 +670,23 @@ object TextOps {
         |FROM pairs GROUP BY pair_left, pair_right
         |ORDER BY pair_count DESC, pair_left, pair_right
         |LIMIT 50""".stripMargin), textBpePairStats),
+
+    QueryDef("text_bpe_fertility", Some(
+      s"""$bpeSegSql,
+        | per AS (
+        |  SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS sw
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id)
+        |SELECT d.source, doc.lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(d.tk)) AS BIGINT) AS ws_tokens,
+        | CAST(sum(coalesce(per.sw, 0)) AS BIGINT) AS subword_tokens,
+        | CASE WHEN sum(len(d.tk)) > 0
+        |  THEN CAST(sum(coalesce(per.sw, 0)) AS DOUBLE)
+        |    / CAST(sum(len(d.tk)) AS DOUBLE) END AS fertility
+        |FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+        |LEFT JOIN per ON d.doc_id = per.doc_id
+        |GROUP BY d.source, doc.lang
+        |ORDER BY d.source, doc.lang""".stripMargin), textBpeFertility),
 
     QueryDef("text_bpe_apply_merge", Some(
       s"""$bpeSegSql,
