@@ -47,7 +47,7 @@ object Dedup {
   /** Signature build over an arbitrary document slice — the
     * incremental path signs ONLY the new batch, so the shingle
     * explode is sized by the increment, not the corpus. */
-  private def signatureOf(docs: DataFrame): DataFrame = {
+  private[graft] def signatureOf(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -86,11 +86,14 @@ object Dedup {
     * is doc_id mod 5 (deterministic at every SF); both joins and the
     * md5 signatures are bit-reproducible, so the full incremental
     * candidate set is oracle-checked. */
+  /** LSH band keys of a signature frame — shared by the batch
+    * incremental path and the streaming ingest (StreamingOps). */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
+    posexplode(array((0 until NumBands).map(j =>
+      md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*))
+      .as(Seq("band_idx", "band")))
+
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map(j =>
-        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*))
-        .as(Seq("band_idx", "band")))
     val idxBase = graft.Caches.dir("mhindex", dir, Seq("documents"))
     if (!new java.io.File(idxBase, "_SUCCESS").exists()) {
       bandsOf(signatureOf(fanout(documents(spark, dir))

@@ -149,4 +149,47 @@ object StreamingOps {
     df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
       batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     }
+
+  /** CONTINUOUS near-dedup ingest — the streaming form of
+    * `dedup_incremental` (operators/Dedup.scala), i.e. the shape a
+    * crawl pipeline actually runs: each micro-batch of documents is
+    * minhash-signed (work O(batch shingles), never the corpus),
+    * LSH-banded, and probed (a) against the PERSISTED band index of
+    * everything ingested before it and (b) against itself; flagged
+    * pairs land in an epoch-addressed parquet, and the batch's own
+    * bands are appended to the index under the same epoch address —
+    * so a replayed batch overwrites both its verdicts and its index
+    * contribution instead of double-inserting (at-least-once replay
+    * safe without a transactional format).
+    *
+    * At scale the index is the curated artifact: band-keyed, so the
+    * probe is a shuffle equi-join sized by Σ bucket², identical to the
+    * batch path's bound. Epoch subdirectories compact offline exactly
+    * like any ingest table (`scale_compaction`).
+    */
+  def dedupIngest(docs: DataFrame, indexDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      val spark = batch.sparkSession
+      val bands = graft.operators.Dedup.bandsOf(
+        graft.operators.Dedup.signatureOf(batch.toDF())).localCheckpoint()
+      val idx = new java.io.File(indexDir)
+      val histEpochs = if (idx.isDirectory)
+        idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch=")
+          && f.getName != s"epoch=$epochId").map(_.getPath) else Array.empty[String]
+      val vsHist = if (histEpochs.isEmpty) None else Some {
+        val hist = spark.read.parquet(histEpochs.toIndexedSeq: _*)
+        bands.as("n").join(hist.as("h"),
+            col("n.band_idx") === col("h.band_idx") && col("n.band") === col("h.band"))
+          .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"),
+            lit("history").as("origin"))
+      }
+      val vsBatch = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit("batch").as("origin"))
+      vsHist.map(_.unionByName(vsBatch)).getOrElse(vsBatch).distinct()
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      bands.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+    }
 }

@@ -14,6 +14,8 @@ class StreamingSpec extends AnyFunSuite {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class Doc(doc_id: Long, text: String)
+
   private def t(s: String) = Timestamp.valueOf(s)
 
   private def drain(q: StreamingQuery): Unit = { q.processAllAvailable(); q.stop() }
@@ -135,6 +137,34 @@ class StreamingSpec extends AnyFunSuite {
     val read = spark.read.parquet(out)
     assert(read.count() == 2)
     assert(read.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("continuous dedup ingest: batch probes the persisted index and itself") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_ingest")
+    val (idxDir, outDir) = (s"$base/index", s"$base/dups")
+    val ms = MemoryStream[Doc]
+    val q = StreamingOps.dedupIngest(ms.toDF(), idxDir, outDir)
+      .outputMode("append").start()
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "completely different content with many unique words here today"
+    val textC = "yet another unrelated document about spark streaming state stores"
+    // epoch 0: two unique docs — no duplicates anywhere
+    ms.addData(Doc(1, textA), Doc(2, textB))
+    q.processAllAvailable()
+    // epoch 1: doc 3 duplicates ingested doc 1 (history hit); docs 4+5
+    // duplicate each other within the batch (self hit)
+    ms.addData(Doc(3, textA), Doc(4, textC), Doc(5, textC))
+    drain(q)
+    val e0 = spark.read.parquet(s"$outDir/epoch=0")
+    assert(e0.count() == 0, "unique first batch must flag nothing")
+    val e1 = spark.read.parquet(s"$outDir/epoch=1")
+      .select("doc_a", "doc_b", "origin").as[(Long, Long, String)].collect().toSet
+    assert(e1 == Set((1L, 3L, "history"), (4L, 5L, "batch")), s"got $e1")
+    // the index now holds every epoch's bands: 5 docs × 4 bands
+    assert(spark.read.parquet(idxDir).count() == 20)
   }
 
   test("session windows merge events within the gap") {
