@@ -34,7 +34,11 @@ object Bench {
     "agg_tdigest_reaggregate", "pipeline_spec_full", "events_abtest_ztest",
     "text_winnowing_matches", "agg_kmv_setops", "join_dpp",
     "profile_distribution_drift", "dedup_incremental", "stats_bootstrap_ci",
-    "events_cusum", "pipeline_shuffle_shard", "dedup_winnowing_verified")
+    "events_cusum", "pipeline_shuffle_shard", "dedup_winnowing_verified",
+    // round-7 additions
+    "text_bpe_tokenize", "text_bpe_pair_stats", "text_bpe_apply_merge",
+    "text_bpe_fertility", "dedup_span_maximal", "dedup_span_apply",
+    "dedup_winnowing_incremental", "pipeline_spec_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
