@@ -643,7 +643,72 @@ object TextOps {
       .orderBy(col("origin"), col("doc_a"), col("doc_b"))
   }
 
+  /** Apply a (fasttext-shaped) hashed-feature linear classifier to
+    * every document — the model-apply step a curation pipeline runs at
+    * full-corpus scale to score quality/toxicity/domain: features are
+    * md5-hashed word uni+bigrams folded into B=64 buckets, the
+    * "trained" model is a 64-row weight table BROADCAST into the
+    * scoring join, and the doc score is the mean feature weight pushed
+    * through a logistic link. Swapping the deterministic fixture
+    * weights for a really-trained table is a data change, not a plan
+    * change — the operator shape (explode → bucket → broadcast model
+    * join → per-doc agg) is the deliverable.
+    *
+    * Parity: weights are INTEGER centi-units ((b·37) mod 101 − 50), so
+    * the per-doc sum is an exact BIGINT in any summation order; the
+    * only float ops are one exactly-rounded division and the final
+    * exp(), r6-rounded like every libm call in an oracle-checked
+    * query. The label thresholds on the exact integer sum (sigmoid ≥
+    * 0.5 ⇔ Σw ≥ 0) — bit-exact cross-engine, no float boundary.
+    *
+    * Scale: shuffle volume is one (doc_id, sum, count) partial-agg row
+    * per doc per partition (map-side combine); the model join is a
+    * 64-row broadcast. No vocabulary-sized state anywhere. */
+  private def textClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
+    val feats = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(concat(col("tk"), bg)).as("feat"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("qc:"), col("feat"))), 1, 4), 16, 10)
+          .cast(LongType) % 64).as("b"))
+    val model = spark.range(64).select(col("id").as("b"),
+      ((col("id") * 37) % 101 - 50).as("w"))
+    feats.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("n_features"))
+      .select(col("doc_id"), col("n_features"),
+        Parity.r6(lit(1.0) / (lit(1.0) + exp((-col("sw")).cast(DoubleType) /
+          (col("n_features") * 100).cast(DoubleType)))).as("score"),
+        when(col("sw") >= 0, 1L).otherwise(0L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_classifier_score", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | f AS (
+        |  SELECT doc_id, unnest(t || list_transform(generate_series(1, len(t) - 1),
+        |    i -> concat_ws(' ', t[i], t[i+1]))) AS feat
+        |  FROM tk WHERE len(t) >= 2),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(md5('qc:' || feat), 1, 4)) AS BIGINT) % 64 AS b
+        |  FROM f),
+        | model AS (SELECT range AS b, (range * 37) % 101 - 50 AS w FROM range(64)),
+        | s AS (
+        |  SELECT doc_id, sum(w) AS sw, count(*) AS n_features
+        |  FROM h JOIN model USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_features,
+        | floor(CAST(1 AS DOUBLE) / (1 + exp(CAST(-sw AS DOUBLE)
+        |   / CAST(100 * n_features AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS score,
+        | CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS label
+        |FROM s ORDER BY doc_id""".stripMargin), textClassifierScore),
+
     QueryDef("text_bpe_tokenize", Some(
       s"""$bpeSegSql,
         | g AS (SELECT e.doc_id, string_agg(wt.toks, ' ' ORDER BY e.i) AS sub,
