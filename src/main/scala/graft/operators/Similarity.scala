@@ -433,6 +433,32 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection 64 → 16: the
+    * dimensionality-reduction step in front of clustering / coarse ANN
+    * when the full embedding is too wide to shuffle. Each output
+    * coordinate is a ±1-signed sum over the input dims scaled by
+    * 1/√k — with k = 16 the scale is an EXACT power of two (÷4), so
+    * the only inexactness is the sequential dot-product fold, which is
+    * bitwise cross-engine (same guarantee sim_cosine_topk relies on;
+    * r6-rounded anyway). Signs come from the deterministic [[planes]]
+    * generator and are inlined as literals into both engines.
+    *
+    * Scale: a narrow per-row projection — the 16-row sign matrix
+    * broadcasts, output is 16 doubles/row regardless of corpus size;
+    * no shuffle at all beyond the output sort. Norm preservation
+    * (E‖Pv‖² = ‖v‖²) is contract-tested in InvariantSpec. */
+  private def simRpProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = planes(16, 64).zipWithIndex.map { case (p, j) => (j.toLong, p) }
+    val pdf = ps.toDF("j", "s")
+    fanout(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      .crossJoin(broadcast(pdf))
+      .select(col("vec_id"), col("j"),
+        Parity.r6(dotLambda(col("e"), col("s")) / 4).as("val"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   private val topkCte =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -522,6 +548,18 @@ object Similarity {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnMultiprobe),
+
+    QueryDef("sim_rp_project", Some {
+      val rows = planes(16, 64).zipWithIndex.map { case (p, j) =>
+        s"(CAST($j AS BIGINT), [${p.mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | p AS (SELECT * FROM (VALUES
+         |    $rows) AS t(j, s))
+         |SELECT vec_id, j,
+         | floor(list_inner_product(e, s) / 4 * 1000000 + 0.5) / 1000000 AS val
+         |FROM v CROSS JOIN p ORDER BY vec_id, j""".stripMargin
+    }, simRpProject),
 
     QueryDef("fn_vector", Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

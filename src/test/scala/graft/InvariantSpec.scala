@@ -880,4 +880,23 @@ class InvariantSpec extends AnyFunSuite {
         s"mean fp_density $mean outside the plausible winnowing band")
     } finally df.unpersist()
   }
+
+  test("sim_rp_project preserves norms in expectation (JL guarantee)") {
+    // val_j = (s_j·v)/√k with iid ±1 signs ⇒ E[Σ_j val_j²] = ‖v‖².
+    // Per-vector the ratio is χ²₁₆/16-distributed (heavy tails OK);
+    // the corpus mean concentrates hard. Bounds are measured-with-
+    // headroom per house style (observed mean ≈ 1.0 ± 0.05).
+    val proj = q("sim_rp_project")
+      .groupBy(col("vec_id")).agg(sum(col("val") * col("val")).as("pn2"))
+    val nrm = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), aggregate(
+        transform(col("embedding").cast("array<double>"), x => x * x),
+        lit(0.0), (a, x) => a + x).as("n2"))
+    val ratios = proj.join(nrm, "vec_id")
+      .select((col("pn2") / col("n2")).as("r")).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"JL norm ratio mean drifted: $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"JL per-vector ratio outside χ² tail bounds: ${ratios.min} .. ${ratios.max}")
+  }
 }
