@@ -86,6 +86,38 @@ object Curation {
       .orderBy(col("shard_id"), col("seq_id"))
   }
 
+  /** Shard-level pack manifest — the artifact a dataloader actually
+    * consumes: one row per shard with its sequence count, doc count,
+    * token total, and fill ratio against the packed capacity
+    * (budget × n_seqs). Same chain as [[packSequences]] rolled up one
+    * level; fill_ratio is exact-int ÷ exact-int (one exactly-rounded
+    * double op, no rounding needed cross-engine).
+    *
+    * Scale: identical movement to pack_sequences — one shuffle on
+    * shard_id, per-shard window, then a 64-row (shard count) final
+    * aggregate. The manifest is metadata-sized by construction. */
+  private def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.registerBpe(spark)
+    val budget = 256L
+    val nShards = 64
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), TextOps.subwordCount(toks).as("n_tokens"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % nShards).as("shard_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", ceil(col("cum").cast("double") / budget).cast(LongType))
+      .groupBy(col("shard_id"))
+      .agg(max(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+      .select(col("shard_id"), col("n_seqs"), col("n_docs"), col("shard_tokens"),
+        (col("shard_tokens").cast("double") /
+          (col("n_seqs") * budget).cast("double")).as("fill_ratio"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Context-window chunking with overlap: each document's token array
     * is cut into windows of 64 tokens at stride 48 (16-token overlap) —
     * the long-document → training-example explosion. Work is linear in
@@ -524,6 +556,28 @@ object Curation {
         | least(target_tokens, src_tokens) AS expected_tokens
         |FROM w ORDER BY source""".stripMargin),
       pipelineMixturePlan),
+
+    QueryDef("pipeline_shard_manifest", Some(
+      s"""${TextOps.bpeSegSql},
+        | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens
+        |  FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id),
+        | t AS (
+        |  SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+        |   CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard_id
+        |  FROM d LEFT JOIN g ON d.doc_id = g.doc_id),
+        | c AS (
+        |  SELECT shard_id, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        | s AS (
+        |  SELECT shard_id, CAST(max(ceil(cum / 256.0)) AS BIGINT) AS n_seqs,
+        |   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |  FROM c GROUP BY shard_id)
+        |SELECT shard_id, n_seqs, n_docs, shard_tokens,
+        | CAST(shard_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE) AS fill_ratio
+        |FROM s ORDER BY shard_id""".stripMargin),
+      shardManifest),
 
     QueryDef("pipeline_pack_sequences", Some(
       s"""${TextOps.bpeSegSql},
