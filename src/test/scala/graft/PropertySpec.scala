@@ -214,4 +214,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: BPE segmentation is a lossless partition of every word") {
+    // Detokenization contract: greedy longest-match never drops,
+    // duplicates, or reorders characters — joining the pieces must
+    // reproduce the word exactly, for vocab-dense words, random
+    // letters, and out-of-vocab unicode alike.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.BpeSubwords(
+      Literal.create(null, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      graft.operators.TextOps.bpeVocab, Nil)
+    val piece = Gen.oneOf(graft.operators.TextOps.bpeVocab)
+    val letters = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+    val word = for {
+      ps <- Gen.listOfN(3, piece)
+      pad <- letters
+      uni <- Gen.oneOf("", "é", "中", "𝄞") // incl. a surrogate pair
+    } yield ps.mkString + pad + uni
+    cases(Gen.listOfN(5, word), n = 24).foreach { words =>
+      val in = new GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val out = expr.segment(in)
+      val pieces = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      assert(pieces.mkString == words.mkString,
+        s"roundtrip broke: $words -> $pieces")
+      assert(pieces.forall(_.nonEmpty), s"empty piece in $pieces")
+    }
+  }
+
+  test("BPE pieces concatenate back to the corpus text (char conservation)") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    graft.operators.TextOps.registerBpe(spark)
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val bad = Tables.documents(spark, sf)
+      .select(
+        concat_ws("", call_function("bpe_subwords", toks)).as("detok"),
+        concat_ws("", toks).as("orig"))
+      .filter(col("detok") =!= col("orig")).count()
+    assert(bad == 0, s"$bad documents fail BPE char conservation")
+  }
 }
