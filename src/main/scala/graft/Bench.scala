@@ -39,7 +39,8 @@ object Bench {
     "text_bpe_tokenize", "text_bpe_pair_stats", "text_bpe_apply_merge",
     "text_bpe_fertility", "dedup_span_maximal", "dedup_span_apply",
     "dedup_winnowing_incremental", "pipeline_spec_curate",
-    "text_classifier_score", "sim_rp_project", "pipeline_shard_manifest")
+    "text_classifier_score", "sim_rp_project", "pipeline_shard_manifest",
+    "timeseries_holt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,8 +49,41 @@ object PlanShapes {
   def shapeHash(spark: SparkSession, sfDir: String, name: String): String = {
     val plan = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
+    sha256(normalize(plan))
+  }
+
+  private def sha256(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(normalize(plan).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Canonical data dir for IMPLEMENTATION fingerprints: always the
+    * smallest SF, so the hash is invariant under which SF a sweep
+    * verified (a few queries embed data-derived driver scalars —
+    * learned BPE merges, max keys — as plan literals, which are
+    * deterministic for a fixed dir but differ across SFs). */
+  val CanonicalSf = "/root/testdata/sf0.001"
+
+  /** Scala-side fingerprint of one registered query: sha256 of the
+    * normalized ANALYZED logical plan built against [[CanonicalSf]].
+    * The analyzed plan is a pure function of the QueryDef's Spark code
+    * (pre-optimizer: no stats, no strategy choices), so it changes
+    * exactly when someone edits the fn (or a helper it calls) — the
+    * half of the edit workflow the oracle-SQL hash cannot see.
+    * Session-shape noise is normalized away on top of [[normalize]]:
+    * `fanout` repartition widths and `range` split counts follow
+    * defaultParallelism, which differs between the Verify session and
+    * the test session. */
+  def implHash(spark: SparkSession, name: String): String = {
+    val plan = SparkEntry.queries(name)(spark, CanonicalSf)
+      .queryExecution.analyzed.toString
+    sha256(normalize(plan)
+      .replaceAll("Repartition \\d+", "Repartition N")
+      .replaceAll("splits=Some\\(\\d+\\)", "splits=N")
+      // CTE definition ids are a session-global counter (like lambda
+      // variable suffixes): same query, different id per run order.
+      .replaceAll("(CTERelationDef|CTERelationRef|UnionLoop|UnionLoopRef) \\d+",
+        "$1 N"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -43,6 +43,23 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scala-side fingerprints (see PlanShapes.implHash): lets the gate
+    // detect QueryDef fn edits that leave the oracle SQL untouched.
+    // Always computed against the canonical SF so sweeps at any SF
+    // record the same hash; skipped silently if that dir is absent.
+    if (Files.isDirectory(Paths.get(PlanShapes.CanonicalSf))) {
+      val fps = SparkEntry.oracleSql.keys.toSeq.sorted
+        .filter(k => only.isEmpty || only(k))
+        .flatMap { k =>
+          try Some(s"${q(k)}: ${q(PlanShapes.implHash(spark, k))}")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] impl_fp $k failed: ${e.getMessage}")
+            None
+          }
+        }
+      Files.writeString(Paths.get(s"$outDir/impl_fp.json"),
+        fps.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

@@ -438,6 +438,50 @@ object EventTime {
     * Scale: one shuffle on event_type; both windows (min-day, running
     * sum) share that partitioning; series state is one row per
     * (type, day). */
+  /** Holt double-exponential smoothing (level + linear trend,
+    * α = β = ½) per event type over the daily count series, with a
+    * 7-day-ahead forecast — the next step up from [[timeseriesEwma]]
+    * when volumes trend rather than hover. The coupled recursion has
+    * no EWMA-style closed form, so both engines run the SAME
+    * sequential fold over the date-ordered series (bounded: one
+    * element per observed day) — Spark `aggregate`, DuckDB
+    * `list_reduce` — with a 2-element DOUBLE-array accumulator and
+    * textually identical update arithmetic (halving is exact, adds
+    * are the same op sequence → bit-identical before the r6 round).
+    * NOTE the oracle deliberately avoids a STRUCT accumulator:
+    * DuckDB 1.0's list_reduce mis-evaluates struct-literal fields
+    * that re-reference the accumulator (observed: wrong 'b' from step
+    * 2 on); the array form folds correctly.
+    *
+    * Scale: daily counts are one map-side-combinable hash-agg; the
+    * fold runs on metadata-sized per-type day arrays (≤ observed
+    * days), never on the event stream. */
+  private def timeseriesHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("ser"))
+      .select(col("event_type"),
+        transform(col("ser"), x => x.getField("n").cast("double")).as("cnts"))
+      .select(col("event_type"), size(col("cnts")).cast(LongType).as("n_days"),
+        aggregate(
+          slice(col("cnts"), lit(2), greatest(size(col("cnts")) - 1, lit(0))),
+          array(element_at(col("cnts"), 1), lit(0.0)),
+          (a, v) => {
+            val l = element_at(a, 1)
+            val b = element_at(a, 2)
+            val nl = lit(0.5) * v + lit(0.5) * (l + b)
+            array(nl, lit(0.5) * (nl - l) + lit(0.5) * b)
+          }).as("h"))
+      .select(col("event_type"), col("n_days"),
+        Parity.r6(element_at(col("h"), 1)).as("level"),
+        Parity.r6(element_at(col("h"), 2)).as("trend"),
+        Parity.r6(element_at(col("h"), 1) + lit(7) * element_at(col("h"), 2))
+          .as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
   private def timeseriesEwma(spark: SparkSession, dir: String): DataFrame = {
     val wType = Window.partitionBy(col("event_type"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("idx"))
@@ -713,6 +757,28 @@ object EventTime {
         |  ON cur.event_type = prev.event_type AND cur.d = prev.d + 7
         |GROUP BY cur.event_type ORDER BY cur.event_type""".stripMargin),
       eventsForecastBacktest),
+
+    QueryDef("timeseries_holt", Some(
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | ser AS (
+        |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY d) AS cnts
+        |  FROM daily GROUP BY event_type),
+        | h AS (
+        |  SELECT event_type, CAST(len(cnts) AS BIGINT) AS n_days,
+        |   list_reduce(list_transform(cnts, x -> [x, CAST(0 AS DOUBLE)]),
+        |    (a, v) -> [CAST(0.5 AS DOUBLE)*v[1] + CAST(0.5 AS DOUBLE)*(a[1]+a[2]),
+        |      CAST(0.5 AS DOUBLE)*((CAST(0.5 AS DOUBLE)*v[1]
+        |        + CAST(0.5 AS DOUBLE)*(a[1]+a[2])) - a[1])
+        |      + CAST(0.5 AS DOUBLE)*a[2]]) AS hh
+        |  FROM ser)
+        |SELECT event_type, n_days,
+        | floor(hh[1] * 1000000 + 0.5) / 1000000 AS level,
+        | floor(hh[2] * 1000000 + 0.5) / 1000000 AS trend,
+        | floor((hh[1] + 7 * hh[2]) * 1000000 + 0.5) / 1000000 AS forecast_7d
+        |FROM h ORDER BY event_type""".stripMargin),
+      timeseriesHolt),
 
     QueryDef("timeseries_ewma", Some(
       """WITH daily AS (

@@ -9,15 +9,15 @@ columns by name + rows by all columns, and compares values exactly
 (with a float near-miss report to distinguish rounding ulps from real
 bugs).
 
-Gate-scope caveat (known, deliberate): gate_log.json fingerprints the
-ORACLE SQL only. Editing a QueryDef's Spark-side fn (or a shared Parity
-helper) without touching its oracle SQL does NOT turn the gate red —
-the gate is a registration tripwire for unchecked/edited oracles, not a
-change detector for Scala code. The workflow contract is therefore:
-after editing EITHER side of a query, re-run Verify + this script for
-it. Each pass also records result_sha256 (a hash of the canonicalized
-Spark output) so cross-round output drift is at least visible in the
-gate log diff even when both SQLs are unchanged.
+Gate scope (round 7: BOTH sides fingerprinted): each pass records
+oracle_sha256 (the SQL text) AND impl_sha256 (the normalized analyzed
+logical plan of the Spark-side fn at the canonical SF, dumped by
+Verify as impl_fp.json). OracleGateSpec turns red on an edited oracle
+without a re-run; ImplGateSpec turns red on an edited Spark fn (or
+shared helper that changes its plan) without a re-run — the previously
+documented scope gap. Each pass also records result_sha256 (a hash of
+the canonicalized Spark output) so cross-round output drift shows in
+the gate-log diff even when both fingerprints are unchanged.
 """
 import hashlib, json, math, os, sys
 
@@ -41,6 +41,15 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+# Scala-side fingerprints (Verify dumps sha256 of each query's
+# normalized analyzed plan at the canonical SF). Recorded into each
+# gate pass so ImplGateSpec can detect fn edits that leave the oracle
+# SQL untouched — closing the documented gate-scope gap. Absent file
+# (old Verify output) carries prior hashes forward rather than evicting.
+impl_fp = {}
+if os.path.exists(f"{OUT}/impl_fp.json"):
+    impl_fp = json.load(open(f"{OUT}/impl_fp.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]
@@ -107,7 +116,7 @@ for name, sql in sorted(oracle.items()):
             npass += 1
             ok, nrows = True, len(g)
     if ok:
-        gate[name] = {
+        entry = {
             "oracle_sha256": hashlib.sha256(sql.encode("utf-8")).hexdigest(),
             "result_sha256": hashlib.sha256(
                 g.to_csv(index=False, float_format="%.17g").encode("utf-8")
@@ -115,6 +124,10 @@ for name, sql in sorted(oracle.items()):
             "sf": os.path.basename(SF.rstrip("/")),
             "rows": nrows,
         }
+        ih = impl_fp.get(name, gate.get(name, {}).get("impl_sha256"))
+        if ih:
+            entry["impl_sha256"] = ih
+        gate[name] = entry
     else:
         gate.pop(name, None)
 
