@@ -635,7 +635,207 @@ object Statistics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group feature scaling — z-score and min-max — the
+    * normalization step every feature pipeline runs before training.
+    * The group stats (3 rows) are computed in one map-side-combinable
+    * hash aggregate and BROADCAST-joined back to the fact rows —
+    * deliberately NOT a `Window.partitionBy(l_returnflag)`, which
+    * would funnel 600 M rows into 3 partitions at scale (the
+    * profile_key_skew lesson). Plan: scan → partial agg → 3-row
+    * broadcast → one projection; no wide shuffle at all.
+    *
+    * Float parity: μ and σ are rounded (r4) BEFORE use, so both
+    * engines scale with bit-identical constants and `(x−μ)/σ` is a
+    * fixed sequence of exactly-rounded IEEE ops — deterministic.
+    * min/max are exact (no accumulation). σ > 0 for every group at
+    * every SF (prices vary within each returnflag), so the ANSI 0/0
+    * guard is not needed here. */
+  private def statsFeatureScale(spark: SparkSession, dir: String): DataFrame = {
+    val stats = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Parity.r4(avg(col("l_extendedprice"))).as("mu"),
+        Parity.r4(stddev_samp(col("l_extendedprice"))).as("sd"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    lineitem(spark, dir)
+      .join(broadcast(stats), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        Parity.r6((col("l_extendedprice") - col("mu")) / col("sd")).as("z_price"),
+        Parity.r6((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")))
+          .as("mm_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test between the 'R' and 'A'
+    * return-flag populations on `l_quantity` — the distribution-shift
+    * check a curation pipeline runs between corpus snapshots. D is the
+    * max |ECDF_r − ECDF_a| over the POOLED distinct values; the
+    * decision column compares √(n_r·n_a/(n_r+n_a))·D against the
+    * α=0.05 critical value 1.358.
+    *
+    * Scale: the fact scan collapses to a value histogram in one
+    * map-side-combinable hash aggregate (l_quantity is integer-valued,
+    * ≤ 50 levels at any SF); the unpartitioned cumulative window runs
+    * over that metadata-sized relation only — never the fact rows.
+    *
+    * Float parity: ECDFs are int/int divisions of identical integer
+    * counts, D a max of exact diffs, and the scale factor one sqrt of
+    * an int-derived double — every op exactly-rounded IEEE on
+    * bit-identical inputs, so no rounding slack is needed beyond the
+    * output-format r6. */
+  private def statsKsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val hist = lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_quantity"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"))
+      .select(col("l_quantity"),
+        sum(col("cr")).over(cum).as("cum_r"),
+        sum(col("ca")).over(cum).as("cum_a"))
+      .withColumn("n_r", max(col("cum_r")).over(whole))
+      .withColumn("n_a", max(col("cum_a")).over(whole))
+    val scaled = sqrt((col("n_r") * col("n_a")).cast("double") /
+      (col("n_r") + col("n_a")).cast("double")) * col("d_stat")
+    hist
+      .groupBy(col("n_r"), col("n_a"))
+      .agg(max(abs(col("cum_r") / col("n_r") - col("cum_a") / col("n_a")))
+        .as("d_stat"))
+      .select(col("n_r"), col("n_a"), Parity.r6(col("d_stat")).as("d_stat"),
+        Parity.r6(scaled).as("ks_scaled"), (scaled > lit(1.358)).as("reject_05"))
+  }
+
+  /** Chi-square test of independence for event_type × weekday, plus
+    * Cramér's V effect size — "is traffic mix day-of-week dependent",
+    * the categorical drift check alongside [[statsKsTest]]'s
+    * continuous one.
+    *
+    * Scale: the event scan collapses to a contingency table in one
+    * map-side-combinable hash aggregate (|types| × 7 cells); the
+    * row/column/grand totals are windows over that metadata-sized
+    * relation, never the events.
+    *
+    * Float parity: every cell term (o−e)²/e is a fixed op sequence on
+    * integer-derived identical bits; the cross-cell SUM is the one
+    * order-sensitive float op, so it runs as a SEQUENTIAL fold over
+    * the (event_type, wd)-sorted term list on both engines (Spark
+    * `aggregate`, DuckDB `list_reduce` — the [[timeseriesHolt]]
+    * pattern; 0.0-init vs first-element-init agree because 0.0+x is
+    * exact). Weekday parity: Spark `weekday` ≡ DuckDB `isodow − 1`
+    * (Monday = 0), per the events_seasonal precedent. */
+  private def statsChi2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.partitionBy(col("event_type"))
+    val byW = Window.partitionBy(col("wd"))
+    val whole = Window.partitionBy()
+    val cells = events(spark, dir)
+      .select(col("event_type"), weekday(col("ts")).cast("long").as("wd"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum(col("o")).over(byT))
+      .withColumn("ct", sum(col("o")).over(byW))
+      .withColumn("n", sum(col("o")).over(whole))
+    val e = (col("rt") * col("ct")) / col("n")
+    val term = (col("o") - e) * (col("o") - e) / e
+    // r and c via max(dense_rank) windows on the cell relation rather
+    // than two countDistincts in the final aggregate: the multi-distinct
+    // Expand rewrite orders its gid groups by expression id — a
+    // session-counter-dependent plan shape that trips PlanDriftSpec.
+    cells
+      .select(col("event_type"), col("wd"), col("n"), term.as("t"))
+      .withColumn("dr_t", dense_rank().over(Window.orderBy(col("event_type"))))
+      .withColumn("dr_w", dense_rank().over(Window.orderBy(col("wd"))))
+      .agg(
+        sort_array(collect_list(struct(col("event_type"), col("wd"), col("t"))))
+          .as("terms"),
+        max(col("dr_t")).cast("long").as("r"),
+        max(col("dr_w")).cast("long").as("c"),
+        max(col("n")).as("n"))
+      .select(
+        aggregate(transform(col("terms"), x => x.getField("t")), lit(0.0),
+          (a, v) => a + v).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"), col("n"),
+        col("r"), col("c"))
+      .select(Parity.r6(col("chi2")).as("chi2"), col("df"), col("n"),
+        Parity.r6(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")))
+          .as("cramers_v"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_feature_scale", Some(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |   floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS mu,
+        |   floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd,
+        |   min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        | floor((l_extendedprice - mu) / sd * 1000000 + 0.5) / 1000000 AS z_price,
+        | floor((l_extendedprice - lo) / (hi - lo) * 1000000 + 0.5) / 1000000
+        |   AS mm_price
+        |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      statsFeatureScale),
+    QueryDef("stats_ks_test", Some(
+      """WITH h AS (
+        |  SELECT l_quantity,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+        | c AS (
+        |  SELECT
+        |   CAST(sum(cr) OVER (ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_r,
+        |   CAST(sum(ca) OVER (ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a
+        |  FROM h),
+        | t AS (SELECT cum_r, cum_a, max(cum_r) OVER () AS n_r,
+        |        max(cum_a) OVER () AS n_a FROM c),
+        | d AS (SELECT n_r, n_a,
+        |        max(abs(cum_r / n_r - cum_a / n_a)) AS d_stat
+        |       FROM t GROUP BY 1, 2)
+        |SELECT n_r, n_a,
+        | floor(d_stat * 1000000 + 0.5) / 1000000 AS d_stat,
+        | floor(sqrt(CAST(n_r * n_a AS DOUBLE) / CAST(n_r + n_a AS DOUBLE))
+        |   * d_stat * 1000000 + 0.5) / 1000000 AS ks_scaled,
+        | sqrt(CAST(n_r * n_a AS DOUBLE) / CAST(n_r + n_a AS DOUBLE)) * d_stat
+        |   > CAST(1.358 AS DOUBLE) AS reject_05
+        |FROM d""".stripMargin),
+      statsKsTest),
+    QueryDef("stats_chi2", Some(
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+        |   CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        | tot AS (
+        |  SELECT event_type, wd, o,
+        |   CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |   CAST(sum(o) OVER (PARTITION BY wd) AS BIGINT) AS ct,
+        |   CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        | terms AS (
+        |  SELECT event_type, wd, n,
+        |   (o - (rt * ct) / n) * (o - (rt * ct) / n) / ((rt * ct) / n) AS t
+        |  FROM tot),
+        | folded AS (
+        |  SELECT list_reduce(list(t ORDER BY event_type, wd), (a, v) -> a + v)
+        |    AS chi2,
+        |   CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT wd) - 1)
+        |     AS BIGINT) AS df,
+        |   max(n) AS n, count(DISTINCT event_type) AS r,
+        |   count(DISTINCT wd) AS c
+        |  FROM terms)
+        |SELECT floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2, df, n,
+        | floor(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+        |   * 1000000 + 0.5) / 1000000 AS cramers_v
+        |FROM folded""".stripMargin),
+      statsChi2),
     QueryDef("stats_bootstrap_ci", Some(
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity, u.rep AS rep,

@@ -424,4 +424,29 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), // 1-row × 1-row stat join broadcasts
       "exact-vs-estimate combine must broadcast the single-row frames")
   }
+
+  test("stats_feature_scale: group stats broadcast back — no per-group window") {
+    val p = plan("stats_feature_scale")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 3-row stats relation must broadcast to the fact side")
+    assert(!p.contains("Window"),
+      "scaling must not funnel fact rows into 3 returnflag window partitions")
+    assert(p.contains("partial_avg"), "group stats combine map-side")
+  }
+
+  test("stats_ks_test: ECDF windows run on the value histogram, not fact rows") {
+    val p = plan("stats_ks_test")
+    // the only SinglePartition exchange input is the <=50-row histogram
+    assert(p.contains("partial_sum(CASE WHEN"),
+      "per-value group counts must combine map-side before any shuffle")
+    assert(p.contains("In(l_returnflag, [A,R])"),
+      "population filter must reach the parquet scan")
+  }
+
+  test("stats_chi2: contingency cells combine map-side; fold is metadata-sized") {
+    val p = plan("stats_chi2")
+    assert(p.contains("partial_count"),
+      "cell counts must combine map-side before the (type, wd) shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
