@@ -57,6 +57,31 @@ object EventTime {
         col("n_users"), col("n_events"))
       .orderBy(col("window_start"))
 
+  /** Distinct users per 4-hour window sliding hourly — the sliding
+    * cardinality every traffic dashboard needs. Distinct counts don't
+    * decompose over overlapping windows, so the naive plan explodes
+    * every EVENT ×4; here the stream first collapses to DISTINCT
+    * (hour, user) pairs (map-side combinable, users×hours ≪ events),
+    * and only that reduced relation explodes into the ≤4 covering
+    * windows before the second (window, user) dedup + count. At 100 TB
+    * the explode factor applies to the per-hour user set, not the raw
+    * firehose — the same pre-reduction Spark's own `window()` slide
+    * path does NOT do (it expands each input row first). */
+  private def windowSlidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+      .select(col("h"), col("user_id"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("h") - expr("make_interval(0, 0, 0, 0, k)") as "ws",
+        col("user_id"))
+      .distinct()
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_users"))
+      .orderBy(col("window_start"))
+
   /** Spark-native session windows (30 min gap). No oracle: DuckDB has no
     * session windows and the boundary condition (gap strictly vs weakly
     * > 30 min) differs from the explicit formulation below — kept as the
@@ -482,6 +507,75 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Additive Holt-Winters (level + trend + weekly seasonal,
+    * α = β = γ = ½) per event type — the seasonal completion of
+    * [[timeseriesHolt]]. Init is the textbook two-season recipe
+    * (L₀ = mean of week 1, B₀ = (mean week 2 − mean week 1)/7,
+    * Sⱼ = xⱼ − L₀), then one sequential fold from day 8 with a
+    * 10-slot double-array accumulator [L, B, S₀..S₆, pos].
+    *
+    * Cross-engine determinism (the [[timeseriesHolt]] pattern, one
+    * size up): Spark `aggregate` takes the init directly; DuckDB 1.0's
+    * `list_reduce` has no init arg, so the oracle PREPENDS the init
+    * accumulator as element zero and wraps each value in a 10-array —
+    * both engines then run the identical op sequence (first step
+    * f(init, x₈) on each). The seasonal-slot index is integer-cast
+    * arithmetic on the position counter; the in-place slot update is a
+    * 1-based-vs-0-based-aware indexed transform. Repeated
+    * subexpressions (the new level inside the trend and seasonal
+    * updates) are INLINED textually in the SQL — identical IEEE op
+    * dags, bit-identical before the r6 output round.
+    *
+    * Scale: daily counts are one map-side-combinable hash-agg; the
+    * fold runs on metadata-sized per-type day arrays. */
+  private def timeseriesHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("ser"))
+      .select(col("event_type"),
+        transform(col("ser"), x => x.getField("n").cast("double")).as("cnts"))
+      .filter(size(col("cnts")) >= 14)
+    val m1 = aggregate(slice(col("cnts"), 1, 7), lit(0.0), (a, v) => a + v) / lit(7.0)
+    val m2 = aggregate(slice(col("cnts"), 8, 7), lit(0.0), (a, v) => a + v) / lit(7.0)
+    val init = concat(
+      array(m1, (m2 - m1) / lit(7.0)),
+      transform(slice(col("cnts"), 1, 7), x => x - m1),
+      array(lit(8.0)))
+    val folded = aggregate(
+      slice(col("cnts"), lit(8), greatest(size(col("cnts")) - 7, lit(0))),
+      init,
+      (a, v) => {
+        val lv = element_at(a, 1)
+        val bt = element_at(a, 2)
+        val p = element_at(a, 10)
+        val slot0 = ((p - 1).cast("long") % 7).cast("int")
+        val sOld = element_at(a, slot0 + lit(3))
+        val nl = lit(0.5) * (v - sOld) + lit(0.5) * (lv + bt)
+        val nb = lit(0.5) * (nl - lv) + lit(0.5) * bt
+        val ns = lit(0.5) * (v - nl) + lit(0.5) * sOld
+        concat(array(nl, nb),
+          transform(slice(a, 3, 7), (s, i) => when(i === slot0, ns).otherwise(s)),
+          array(p + 1))
+      })
+    ser
+      .select(col("event_type"), size(col("cnts")).cast("long").as("n_days"),
+        folded.as("h"))
+      .select(col("event_type"), col("n_days"),
+        Parity.r6(element_at(col("h"), 1)).as("level"),
+        Parity.r6(element_at(col("h"), 2)).as("trend"),
+        Parity.r6(array_max(slice(col("h"), 3, 7)) -
+          array_min(slice(col("h"), 3, 7))).as("seas_amplitude"),
+        Parity.r6(element_at(col("h"), 1) + element_at(col("h"), 2) +
+          element_at(col("h"), (col("n_days") % 7).cast("int") + lit(3)))
+          .as("forecast_1d"),
+        Parity.r6(element_at(col("h"), 1) + lit(7.0) * element_at(col("h"), 2) +
+          element_at(col("h"), ((col("n_days") + 6) % 7).cast("int") + lit(3)))
+          .as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
   private def timeseriesEwma(spark: SparkSession, dir: String): DataFrame = {
     val wType = Window.partitionBy(col("event_type"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("idx"))
@@ -780,6 +874,58 @@ object EventTime {
         |FROM h ORDER BY event_type""".stripMargin),
       timeseriesHolt),
 
+    QueryDef("timeseries_holt_winters", Some(
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | ser AS (
+        |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY d) AS cnts
+        |  FROM daily GROUP BY event_type),
+        | f AS (SELECT event_type, cnts FROM ser WHERE len(cnts) >= 14),
+        | h AS (
+        |  SELECT event_type, CAST(len(cnts) AS BIGINT) AS n_days,
+        |   list_reduce(
+        |    list_concat(
+        |     [list_concat(
+        |       [list_reduce(cnts[1:7], (a, v) -> a + v) / 7,
+        |        (list_reduce(cnts[8:14], (a, v) -> a + v) / 7
+        |         - list_reduce(cnts[1:7], (a, v) -> a + v) / 7) / 7],
+        |       list_concat(
+        |        list_transform(cnts[1:7],
+        |          x -> x - list_reduce(cnts[1:7], (a, v) -> a + v) / 7),
+        |        [CAST(8 AS DOUBLE)]))],
+        |     list_transform(cnts[8:len(cnts)],
+        |       x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+        |    (a, v) -> list_concat(
+        |     [CAST(0.5 AS DOUBLE) * (v[1] - a[CAST(a[10] - 1 AS BIGINT) % 7 + 3])
+        |       + CAST(0.5 AS DOUBLE) * (a[1] + a[2]),
+        |      CAST(0.5 AS DOUBLE)
+        |       * ((CAST(0.5 AS DOUBLE) * (v[1] - a[CAST(a[10] - 1 AS BIGINT) % 7 + 3])
+        |           + CAST(0.5 AS DOUBLE) * (a[1] + a[2])) - a[1])
+        |       + CAST(0.5 AS DOUBLE) * a[2]],
+        |     list_concat(
+        |      list_transform(a[3:9], (s, i) ->
+        |       CASE WHEN i = CAST(a[10] - 1 AS BIGINT) % 7 + 1
+        |        THEN CAST(0.5 AS DOUBLE)
+        |          * (v[1] - (CAST(0.5 AS DOUBLE)
+        |              * (v[1] - a[CAST(a[10] - 1 AS BIGINT) % 7 + 3])
+        |             + CAST(0.5 AS DOUBLE) * (a[1] + a[2])))
+        |         + CAST(0.5 AS DOUBLE) * a[CAST(a[10] - 1 AS BIGINT) % 7 + 3]
+        |        ELSE s END),
+        |      [a[10] + 1]))) AS hh
+        |  FROM f)
+        |SELECT event_type, n_days,
+        | floor(hh[1] * 1000000 + 0.5) / 1000000 AS level,
+        | floor(hh[2] * 1000000 + 0.5) / 1000000 AS trend,
+        | floor((list_aggregate(hh[3:9], 'max') - list_aggregate(hh[3:9], 'min'))
+        |   * 1000000 + 0.5) / 1000000 AS seas_amplitude,
+        | floor((hh[1] + hh[2] + hh[n_days % 7 + 3]) * 1000000 + 0.5) / 1000000
+        |   AS forecast_1d,
+        | floor((hh[1] + 7 * hh[2] + hh[(n_days + 6) % 7 + 3]) * 1000000 + 0.5)
+        |   / 1000000 AS forecast_7d
+        |FROM h ORDER BY event_type""".stripMargin),
+      timeseriesHoltWinters),
+
     QueryDef("timeseries_ewma", Some(
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
@@ -1011,6 +1157,17 @@ object EventTime {
         | event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
       windowTumbling),
+
+    QueryDef("window_sliding_distinct", Some(
+      """WITH hu AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+        | w AS (
+        |  SELECT DISTINCT h - to_hours(t.k) AS ws, user_id
+        |  FROM hu CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin),
+      windowSlidingDistinct),
 
     QueryDef("window_sliding", Some(
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n

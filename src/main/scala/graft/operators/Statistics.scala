@@ -767,7 +767,59 @@ object Statistics {
           .as("cramers_v"))
   }
 
+  /** Percentile winsorization: clamp `l_extendedprice` to its
+    * per-group [p05, p95] — the outlier-taming companion to
+    * [[statsFeatureScale]] (a z-score after THIS is what robust
+    * pipelines feed the model). Bounds come from the same exact
+    * interpolated-percentile histogram as [[aggPercentile]] (bitwise ≡
+    * DuckDB quantile_cont, r4-rounded before use so both engines clamp
+    * against identical constants), collapse to 3 rows, and BROADCAST
+    * back onto the fact scan — clamping is one `least(greatest(…))`
+    * projection, no fact-side window. At extreme group cardinality the
+    * bounds subquery would swap in [[aggPercentileSelect]]'s two-phase
+    * bin recipe; the clamp side is scale-free either way. */
+  private def statsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = byFlag.orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    def pct(p: Double, name: String) = {
+      val pos = lit(p) * (col("n") - 1)
+      val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
+      val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
+      val lo = max(when(coversLo, col("l_extendedprice")))
+      val hi = max(when(coversHi, col("l_extendedprice")))
+      Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
+    }
+    val bounds = hist.groupBy(col("l_returnflag"))
+      .agg(pct(0.05, "lo"), pct(0.95, "hi"))
+    lineitem(spark, dir)
+      .join(broadcast(bounds), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("price_w"),
+        (col("l_extendedprice") < col("lo") ||
+          col("l_extendedprice") > col("hi")).as("clamped"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_winsorize", Some(
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |   floor(quantile_cont(l_extendedprice, 0.05) * 10000 + 0.5) / 10000 AS lo,
+        |   floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        | least(greatest(l_extendedprice, lo), hi) AS price_w,
+        | (l_extendedprice < lo OR l_extendedprice > hi) AS clamped
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      statsWinsorize),
     QueryDef("stats_feature_scale", Some(
       """WITH s AS (
         |  SELECT l_returnflag,
