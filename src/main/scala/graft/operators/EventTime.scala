@@ -1227,7 +1227,55 @@ object EventTime {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin),
-      eventsTransitions)
+      eventsTransitions),
+
+    QueryDef("events_markov_stationary", Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        | trans AS (
+        |  SELECT event_type AS src, next_type AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        | states AS (
+        |  SELECT s, CAST(dense_rank() OVER (ORDER BY s) AS INTEGER) AS idx
+        |  FROM (SELECT DISTINCT event_type AS s FROM events)),
+        | grid AS (
+        |  SELECT a.idx AS i, b.idx AS j, coalesce(t.n, 0) AS n
+        |  FROM states a CROSS JOIN states b
+        |  LEFT JOIN trans t ON t.src = a.s AND t.dst = b.s),
+        | pm AS (
+        |  SELECT i, j, n,
+        |   CAST(sum(n) OVER (PARTITION BY i) AS BIGINT) AS rt,
+        |   CAST(max(j) OVER () AS INTEGER) AS k
+        |  FROM grid),
+        | p2 AS (
+        |  SELECT i, j, k,
+        |   CASE WHEN rt > 0 THEN n / rt ELSE CAST(1 AS DOUBLE) / k END AS p
+        |  FROM pm),
+        | m AS (SELECT k, list(p ORDER BY i, j) AS pmat FROM p2 GROUP BY k),
+        | fin AS (
+        |  SELECT k, pmat,
+        |   list_reduce(
+        |    list_concat([list_transform(range(1, k + 1), x -> CAST(1 AS DOUBLE) / k)],
+        |      list_transform(range(1, 51), x -> [CAST(0 AS DOUBLE)])),
+        |    (a, v) -> list_transform(range(1, k + 1), j ->
+        |      list_reduce(
+        |        list_transform(range(1, k + 1), i -> a[i] * pmat[(i - 1) * k + j]),
+        |        (x, y) -> x + y))) AS pi
+        |  FROM m),
+        | emp AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(count(*)) OVER () AS BIGINT) AS tot
+        |  FROM events GROUP BY 1)
+        |SELECT st.s AS event_type,
+        | floor(f.pi[st.idx] * 1000000 + 0.5) / 1000000 AS stationary,
+        | floor((CAST(e.cnt AS DOUBLE) / e.tot) * 1000000 + 0.5) / 1000000
+        |   AS empirical
+        |FROM states st CROSS JOIN fin f JOIN emp e ON e.event_type = st.s
+        |ORDER BY event_type""".stripMargin),
+      eventsMarkovStationary)
   )
 
   /** User survival curve: lifetime = calendar days between a user's
@@ -1251,6 +1299,59 @@ object EventTime {
       .select(col("t"), col("n_surviving"),
         Parity.r6(col("n_surviving") / col("n")).as("survival"))
       .orderBy(col("t"))
+  }
+
+  /** Stationary distribution of the first-order Markov chain over
+    * event types ([[eventsTransitions]]'s matrix, row-normalized;
+    * no-outgoing rows get the uniform teleport row) via 50 power
+    * iterations — "where does a user's session settle", next to the
+    * empirical type share for drift comparison. The whole chain state
+    * is a k×k METADATA matrix (k = |event types|): the event stream
+    * reduces to transition counts in one windowed lead + hash agg,
+    * the dense grid / normalization / iteration all run on k² rows.
+    * The matrix-vector recurrence has no closed form, so both engines
+    * run the SAME nested sequential fold (Spark `aggregate` ×2 deep,
+    * DuckDB `list_reduce` with the prepended-init trick and dummy
+    * iteration elements) over the (i,j)-sorted flattened matrix —
+    * identical IEEE op dag, bit-identical before the r6 round. */
+  private def eventsMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val states = events(spark, dir)
+      .select(col("event_type").as("s")).distinct()
+      .withColumn("idx", dense_rank().over(Window.orderBy(col("s"))))
+    val grid = states.select(col("s").as("src"), col("idx").as("i"))
+      .crossJoin(states.select(col("s").as("dst"), col("idx").as("j")))
+      .join(trans, Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("i"))))
+      .withColumn("k", max(col("j")).over(Window.partitionBy()))
+      .withColumn("p", when(col("rt") > 0, col("n").cast("double") / col("rt"))
+        .otherwise(lit(1.0) / col("k")))
+    val mat = grid.groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("p")))),
+        x => x.getField("p")).as("pmat"))
+    val folded = mat.select(col("k"),
+      aggregate(sequence(lit(1), lit(50)),
+        transform(sequence(lit(1), col("k")), _ => lit(1.0) / col("k")),
+        (a, _) => transform(sequence(lit(1), col("k")), j =>
+          aggregate(sequence(lit(1), col("k")), lit(0.0),
+            (s, i) => s + element_at(a, i) *
+              element_at(col("pmat"), (i - 1) * col("k") + j)))).as("pi"))
+    val emp = events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    states
+      .crossJoin(broadcast(folded))
+      .join(emp, states("s") === emp("event_type"))
+      .select(col("s").as("event_type"),
+        Parity.r6(element_at(col("pi"), col("idx"))).as("stationary"),
+        Parity.r6(col("cnt").cast("double") / col("tot")).as("empirical"))
+      .orderBy(col("event_type"))
   }
 
   /** First-order Markov transition counts over each user's event

@@ -807,7 +807,82 @@ object Statistics {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the 'R' and 'A'
+    * populations on l_quantity, with midrank tie handling and the
+    * tie-corrected normal approximation — the rank-based companion to
+    * [[statsKsTest]] (sensitive to location shift where KS is
+    * sensitive to any shape difference).
+    *
+    * Scale: same collapse as KS — one map-side-combinable value
+    * histogram (≤ 50 cells), cumulative window on the metadata
+    * relation only.
+    *
+    * Float parity needs NO rounding slack before output: midranks are
+    * exact multiples of ½ below 2⁵², so every product cr·ar and every
+    * partial sum is exactly representable — the rank-sum aggregation
+    * is order-INDEPENDENT (unlike a generic float sum), and the final
+    * z arithmetic is a fixed op sequence on bit-identical inputs. */
+  private def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_quantity"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"))
+      .withColumn("c", col("cr") + col("ca"))
+      .withColumn("cump", sum(col("c")).over(cum) - col("c"))
+      .withColumn("ar", col("cump") + (col("c") + 1) / lit(2.0))
+    val agg = hist.agg(
+      sum(col("cr")).as("n_r"), sum(col("ca")).as("n_a"),
+      sum(col("cr") * col("ar")).as("r1"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    val u = col("r1") - (col("n_r") * (col("n_r") + 1)) / lit(2.0)
+    val mu = (col("n_r") * col("n_a")) / lit(2.0)
+    val n = col("n_r") + col("n_a")
+    val sig2 = (col("n_r") * col("n_a")).cast("double") / lit(12.0) *
+      ((n + 1).cast("double") - col("tie").cast("double") / (n * (n - 1)).cast("double"))
+    val z = (u - mu) / sqrt(sig2)
+    agg.select(col("n_r"), col("n_a"), Parity.r6(u).as("u_stat"),
+      Parity.r6(z).as("z"), (abs(z) > lit(1.96)).as("reject_05"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_mannwhitney", Some(
+      """WITH h AS (
+        |  SELECT l_quantity,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+        | r AS (
+        |  SELECT cr, ca, cr + ca AS c,
+        |   CAST(sum(cr + ca) OVER (ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     - (cr + ca) AS cump
+        |  FROM h),
+        | a AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS n_r, CAST(sum(ca) AS BIGINT) AS n_a,
+        |   CAST(sum(cr * (cump + (c + 1) / 2.0)) AS DOUBLE) AS r1,
+        |   CAST(sum(c * c * c - c) AS BIGINT) AS tie
+        |  FROM r)
+        |SELECT n_r, n_a,
+        | floor((r1 - (n_r * (n_r + 1)) / 2.0) * 1000000 + 0.5) / 1000000 AS u_stat,
+        | floor(((r1 - (n_r * (n_r + 1)) / 2.0) - (n_r * n_a) / 2.0)
+        |   / sqrt(CAST(n_r * n_a AS DOUBLE) / 12.0
+        |      * (CAST(n_r + n_a + 1 AS DOUBLE)
+        |         - CAST(tie AS DOUBLE)
+        |           / CAST((n_r + n_a) * (n_r + n_a - 1) AS DOUBLE)))
+        |   * 1000000 + 0.5) / 1000000 AS z,
+        | abs(((r1 - (n_r * (n_r + 1)) / 2.0) - (n_r * n_a) / 2.0)
+        |   / sqrt(CAST(n_r * n_a AS DOUBLE) / 12.0
+        |      * (CAST(n_r + n_a + 1 AS DOUBLE)
+        |         - CAST(tie AS DOUBLE)
+        |           / CAST((n_r + n_a) * (n_r + n_a - 1) AS DOUBLE))))
+        |   > CAST(1.96 AS DOUBLE) AS reject_05
+        |FROM a""".stripMargin),
+      statsMannWhitney),
     QueryDef("stats_winsorize", Some(
       """WITH b AS (
         |  SELECT l_returnflag,
