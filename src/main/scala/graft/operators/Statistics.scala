@@ -849,7 +849,230 @@ object Statistics {
       Parity.r6(z).as("z"), (abs(z) > lit(1.96)).as("reject_05"))
   }
 
+  /** Gini concentration of l_quantity per return flag (Lorenz-curve
+    * inequality — "how skewed is the volume distribution", the
+    * concentration profile a curation pipeline runs on source/domain
+    * shares). Computed ENTIRELY from the per-group value histogram:
+    * for a distinct value v with count c and preceding cumulative
+    * count s, the sorted-position sum Σᵢ i·xᵢ contributes
+    * v·(c·s + c(c+1)/2) — an arithmetic series, no per-row rank ever
+    * materializes. G = 2·S₁/(n·T) − (n+1)/n.
+    *
+    * Float parity: l_quantity is integer-valued, so S₁, T and every
+    * partial are exact (products < 2⁵³, halves exact) — sums are
+    * order-independent, and the closing arithmetic is a fixed op
+    * sequence on identical bits. */
+  private def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = byFlag.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cump", sum(col("c")).over(cumW) - col("c"))
+    hist.groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("l_quantity") * col("c")).as("t"),
+        sum(col("l_quantity") *
+          (col("c") * col("cump") + (col("c") * (col("c") + 1)) / lit(2.0)))
+          .as("s1"))
+      .select(col("l_returnflag"), col("n"),
+        Parity.r6(lit(2.0) * col("s1") / (col("n") * col("t")) -
+          (col("n") + 1).cast("double") / col("n")).as("gini"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Mutual information (nats) between event_type and weekday, with
+    * marginal entropies and the normalized MI/√(H·H) score — the
+    * information-theoretic sibling of [[statsChi2]] on the same
+    * contingency cells (MI measures HOW MUCH the traffic mix depends
+    * on the weekday, not just whether). Cells with o = 0 contribute
+    * nothing and never appear (the cell relation comes from a groupBy
+    * of observed rows). All three Σ p·ln(·) sums run as sequential
+    * folds over sorted metadata lists (the [[statsChi2]] discipline);
+    * `ln` itself hash-matches cross-engine at r6 throughout this repo
+    * (text_tfidf precedent). */
+  private def statsMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.partitionBy(col("event_type"))
+    val byW = Window.partitionBy(col("wd"))
+    val whole = Window.partitionBy()
+    val cells = events(spark, dir)
+      .select(col("event_type"), weekday(col("ts")).cast("long").as("wd"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum(col("o")).over(byT))
+      .withColumn("ct", sum(col("o")).over(byW))
+      .withColumn("n", sum(col("o")).over(whole))
+    val miTerm = (col("o") / col("n")) *
+      log((col("o") * col("n")) / (col("rt") * col("ct")))
+    def foldSum(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (a, v) => a + v)
+    val folded = cells
+      .select(col("event_type"), col("wd"), col("rt"), col("ct"), col("n"),
+        miTerm.as("t"))
+      .agg(
+        sort_array(collect_list(struct(col("event_type"), col("wd"), col("t"))))
+          .as("mts"),
+        sort_array(collect_set(struct(col("event_type"),
+          (col("rt") / col("n")) * log(col("rt") / col("n")))))
+          .as("hxs"),
+        sort_array(collect_set(struct(col("wd"),
+          (col("ct") / col("n")) * log(col("ct") / col("n")))))
+          .as("hys"))
+      .select(
+        foldSum(transform(col("mts"), x => x.getField("t"))).as("mi"),
+        (-foldSum(transform(col("hxs"), x => x.getField("col2")))).as("hx"),
+        (-foldSum(transform(col("hys"), x => x.getField("col2")))).as("hy"))
+    folded.select(
+      Parity.r6(col("mi")).as("mi"),
+      Parity.r6(col("hx")).as("h_type"),
+      Parity.r6(col("hy")).as("h_weekday"),
+      Parity.r6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
+  }
+
+  /** DETERMINISTIC two-sample permutation test for the R-vs-A mean
+    * l_quantity difference — the hypothesis-testing completion of
+    * [[statsBootstrapCi]]'s resampling family, using the same
+    * md5-derived RNG-free randomization: replicate b reassigns each
+    * row to a pseudo-group by one bit of an odd-multiplier scramble of
+    * its 48-bit row hash, p = (1 + #{|d_b| ≥ |d_obs|}) / (B+1)
+    * (add-one Phipson-Smyth estimator). l_quantity is integer-valued
+    * ⇒ every group sum is exact, means/diffs are fixed op sequences,
+    * and the ≥ comparisons are on bit-identical doubles — the whole
+    * test is hash-exact cross-engine with NO rounding slack.
+    *
+    * Scale: the ×B explode map-side-combines straight to (b × group)
+    * partial sums — the bootstrap's no-data-copy argument verbatim. */
+  private def statsPermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val b = 64
+    val base = lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag"), col("l_quantity"),
+        conv(substring(md5(concat_ws(":", col("l_orderkey"),
+          col("l_linenumber"))), 1, 12), 16, 10).cast("long").as("h48"))
+    val obs = base.agg(
+      (sum(when(col("l_returnflag") === "R", col("l_quantity"))) /
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)) -
+        sum(when(col("l_returnflag") === "A", col("l_quantity"))) /
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))).as("d_obs"))
+    val g = ((col("h48") * (col("rep") * 2 + 1) +
+      col("rep") * lit(2654435761L)) % lit(281474976710656L)) <
+      lit(140737488355328L)
+    val reps = base
+      .select(col("l_quantity"), col("h48"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("g", g)
+      .groupBy(col("rep"))
+      .agg(
+        (sum(when(col("g"), col("l_quantity"))) /
+          sum(when(col("g"), 1L).otherwise(0L)) -
+          sum(when(!col("g"), col("l_quantity"))) /
+            sum(when(!col("g"), 1L).otherwise(0L))).as("d"))
+    reps.crossJoin(broadcast(obs))
+      .agg(
+        max(col("d_obs")).as("d_obs"),
+        sum(when(abs(col("d")) >= abs(col("d_obs")), 1L).otherwise(0L)).as("ge"))
+      .select(
+        Parity.r6(col("d_obs")).as("obs_diff"),
+        Parity.r6((col("ge") + 1).cast("double") / lit(65.0)).as("p_value"),
+        ((col("ge") + 1).cast("double") / lit(65.0) <=
+          lit(0.05)).as("reject_05"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_gini", Some(
+      """WITH h AS (
+        |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        | r AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |   CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c
+        |     AS cump
+        |  FROM h),
+        | a AS (
+        |  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |   CAST(sum(l_quantity * c) AS DOUBLE) AS t,
+        |   CAST(sum(l_quantity * (c * cump + (c * (c + 1)) / 2.0)) AS DOUBLE)
+        |     AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | floor((2.0 * s1 / (n * t) - CAST(n + 1 AS DOUBLE) / n)
+        |   * 1000000 + 0.5) / 1000000 AS gini
+        |FROM a ORDER BY l_returnflag""".stripMargin),
+      aggGini),
+    QueryDef("stats_mutual_information", Some(
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+        |   CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        | tot AS (
+        |  SELECT event_type, wd, o,
+        |   CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |   CAST(sum(o) OVER (PARTITION BY wd) AS BIGINT) AS ct,
+        |   CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        | mi AS (
+        |  SELECT list_reduce(
+        |    list((o / n) * ln((o * n) / (rt * ct)) ORDER BY event_type, wd),
+        |    (a, v) -> a + v) AS mi
+        |  FROM tot),
+        | mx AS (SELECT event_type, max(rt) AS rt, max(n) AS n FROM tot GROUP BY 1),
+        | my AS (SELECT wd, max(ct) AS ct, max(n) AS n FROM tot GROUP BY 1),
+        | hx AS (
+        |  SELECT -list_reduce(list((rt / n) * ln(rt / n) ORDER BY event_type),
+        |    (a, v) -> a + v) AS hx
+        |  FROM mx),
+        | hy AS (
+        |  SELECT -list_reduce(list((ct / n) * ln(ct / n) ORDER BY wd),
+        |    (a, v) -> a + v) AS hy
+        |  FROM my)
+        |SELECT floor(mi * 1000000 + 0.5) / 1000000 AS mi,
+        | floor(hx * 1000000 + 0.5) / 1000000 AS h_type,
+        | floor(hy * 1000000 + 0.5) / 1000000 AS h_weekday,
+        | floor(mi / sqrt(hx * hy) * 1000000 + 0.5) / 1000000 AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin),
+      statsMutualInfo),
+    QueryDef("stats_permutation_test", Some(
+      """WITH base AS (
+        |  SELECT l_returnflag, l_quantity,
+        |   CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |     CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) AS h48
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        | obs AS (
+        |  SELECT sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+        |     / CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |   - sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+        |     / CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS d_obs
+        |  FROM base),
+        | reps AS (
+        |  SELECT u.rep AS rep,
+        |   sum(CASE WHEN ((h48 * (2 * u.rep + 1) + u.rep * 2654435761)
+        |        % 281474976710656) < 140737488355328 THEN l_quantity END)
+        |    / CAST(sum(CASE WHEN ((h48 * (2 * u.rep + 1) + u.rep * 2654435761)
+        |        % 281474976710656) < 140737488355328 THEN 1 ELSE 0 END) AS BIGINT)
+        |   - sum(CASE WHEN NOT (((h48 * (2 * u.rep + 1) + u.rep * 2654435761)
+        |        % 281474976710656) < 140737488355328) THEN l_quantity END)
+        |    / CAST(sum(CASE WHEN NOT (((h48 * (2 * u.rep + 1) + u.rep * 2654435761)
+        |        % 281474976710656) < 140737488355328) THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS d
+        |  FROM base, unnest(range(0, 64)) AS u(rep)
+        |  GROUP BY 1),
+        | a AS (
+        |  SELECT max(obs.d_obs) AS d_obs,
+        |   CAST(sum(CASE WHEN abs(reps.d) >= abs(obs.d_obs) THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS ge
+        |  FROM reps CROSS JOIN obs)
+        |SELECT floor(d_obs * 1000000 + 0.5) / 1000000 AS obs_diff,
+        | floor(CAST(ge + 1 AS DOUBLE) / 65.0 * 1000000 + 0.5) / 1000000
+        |   AS p_value,
+        | CAST(ge + 1 AS DOUBLE) / 65.0 <= CAST(0.05 AS DOUBLE) AS reject_05
+        |FROM a""".stripMargin),
+      statsPermutationTest),
     QueryDef("stats_mannwhitney", Some(
       """WITH h AS (
         |  SELECT l_quantity,

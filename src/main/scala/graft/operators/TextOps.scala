@@ -686,7 +686,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf's-law fit over the corpus term-frequency distribution: OLS
+    * of ln(freq) on ln(rank) for the top-200 terms (slope ≈ −1 for
+    * natural text; a flat or broken slope is a classic synthetic /
+    * boilerplate corpus smell). The corpus reduces to term counts in
+    * one map-side-combinable agg; the top-200 cut is a distributed
+    * TakeOrdered (never a global sort), and the rank window + the
+    * regr_* merge aggregates run on those 200 metadata rows. Rounding
+    * per the agg_regression precedent (engine merge formulas differ in
+    * ulps, never in rounded digits at this scale). */
+  private def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = documents(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(200)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      .select(log(col("rank").cast(DoubleType)).as("lx"),
+        log(col("freq").cast(DoubleType)).as("ly"))
+      .agg(
+        Parity.r4(regr_slope(col("ly"), col("lx"))).as("slope"),
+        Parity.r4(regr_intercept(col("ly"), col("lx"))).as("intercept"),
+        Parity.r4(regr_r2(col("ly"), col("lx"))).as("r2"),
+        count(lit(1)).as("n_terms"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_zipf", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | tf AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(t) AS term FROM tk) GROUP BY 1),
+        | top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 200),
+        | r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+        |     AS DOUBLE)) AS lx,
+        |   ln(CAST(freq AS DOUBLE)) AS ly
+        |  FROM top)
+        |SELECT floor(regr_slope(ly, lx) * 10000 + 0.5) / 10000 AS slope,
+        | floor(regr_intercept(ly, lx) * 10000 + 0.5) / 10000 AS intercept,
+        | floor(regr_r2(ly, lx) * 10000 + 0.5) / 10000 AS r2,
+        | CAST(count(*) AS BIGINT) AS n_terms
+        |FROM r""".stripMargin),
+      textZipf),
     QueryDef("text_classifier_score", Some(
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
