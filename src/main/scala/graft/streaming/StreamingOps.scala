@@ -138,6 +138,26 @@ object StreamingOps {
       .drop("t_user")
   }
 
+  /** Sliding-window distinct users — the streaming twin of the batch
+    * `window_sliding_distinct` QueryDef, built on Spark 4's CHAINED
+    * stateful aggregations: stage 1 reduces the stream to one state
+    * row per (4 h/1 h window, user) — the same users×hours ≪ events
+    * pre-reduction the batch plan does — and stage 2 re-aggregates the
+    * stage-1 APPENDED results (emitted as their windows close) into
+    * per-window distinct counts. Both stages' state is watermark-
+    * bounded; a naive streaming countDistinct would be rejected by the
+    * planner outright, which is exactly why the batch op was written
+    * in this dedup-then-count form to begin with. */
+  def slidingDistinctUsers(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "4 hours", "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_users"))
+
   /** Idempotent micro-batch parquet sink via foreachBatch: each batch
     * lands in an epoch-addressed subdirectory, so a replayed batch (the
     * at-least-once failure mode) OVERWRITES its own previous attempt

@@ -213,4 +213,33 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"$t: merged-partial estimate $mergedEst != batch $est")
     }
   }
+
+  test("chained stateful aggs: streamed sliding distinct equals batch for closed windows") {
+    val batchEvents = Tables.events(spark, TestSpark.sf)
+    val schema = batchEvents.schema
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_sd"
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.slidingDistinctUsers(stream, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sd_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.table("sd_parity")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "4 hours", "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start"), col("n_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+
+    assert(emitted.subsetOf(batch),
+      s"stream emitted rows not in batch: ${emitted.diff(batch).take(3)}")
+    // the double watermark horizon may withhold the trailing windows
+    // of BOTH stages; everything older must have closed and matched
+    assert(emitted.size >= batch.size - 20,
+      s"stream emitted ${emitted.size} of ${batch.size} windows")
+  }
 }
