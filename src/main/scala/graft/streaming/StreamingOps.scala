@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.collection.mutable
+
 /** Structured Streaming variants of the event-time operators
   * (SURVEY.md §2.9 stretch): the same declarative expressions as
   * graft.operators.EventTime, applied to a streaming DataFrame —
@@ -157,6 +159,52 @@ object StreamingOps {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("window_start"), col("n_users"))
+
+  /** Running Misra-Gries heavy hitters per event_type — BOUNDED-STATE
+    * streaming top users where exact per-user counts would grow with
+    * |users| (the state-size failure mode of naive streaming top-k at
+    * 100 TB). State per key is the k-counter MG sketch (same update
+    * semantics as the batch `mg_topk` expression, MisraGries.scala:68:
+    * increment if present, insert while < k counters, else
+    * decrement-all and drop zeros — every item with true frequency
+    * > n/(k+1) is guaranteed a counter). Rows are folded in
+    * (ts, event_id) order within each micro-batch so a given feed
+    * schedule is deterministic; per-key per-batch buffering is bounded
+    * by the micro-batch. Emits the (approximate) top-counter list
+    * after each batch. */
+  def runningHeavyHitters(events: DataFrame, k: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("item"),
+        col("ts"), col("event_id"))
+      .as[(String, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Seq[String], Seq[Long])](
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val m = mutable.HashMap.empty[String, Long]
+        state.getOption.foreach(s => s.foreach { case (i, c) => m.update(i, c) })
+        rows.toSeq.sortBy(r => (r._3.getTime, r._4)).foreach { r =>
+          val item = r._2
+          m.get(item) match {
+            case Some(c) => m.update(item, c + 1)
+            case None if m.size < k => m.update(item, 1L)
+            case None =>
+              val keys = m.keys.toArray
+              val dead = mutable.ArrayBuffer.empty[String]
+              keys.foreach { key2 =>
+                val c = m(key2) - 1
+                if (c == 0) dead += key2 else m.update(key2, c)
+              }
+              dead.foreach(m.remove)
+          }
+        }
+        state.update(m.toMap)
+        val top = m.toSeq.sortBy { case (i, c) => (-c, i) }
+        (key, top.map(_._1), top.map(_._2))
+      }
+      .toDF("event_type", "items", "counts")
+  }
 
   /** Idempotent micro-batch parquet sink via foreachBatch: each batch
     * lands in an epoch-addressed subdirectory, so a replayed batch (the

@@ -242,4 +242,49 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(emitted.size >= batch.size - 20,
       s"stream emitted ${emitted.size} of ${batch.size} windows")
   }
+
+  test("running MG heavy hitters equal a reference fold and keep the frequency guarantee") {
+    val k = 8
+    val batchEvents = Tables.events(spark, TestSpark.sf)
+    val schema = batchEvents.schema
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_hh"
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.runningHeavyHitters(stream, k = k)
+      .writeStream.format("memory").queryName("hh_parity")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    // one source batch → one state emission per event_type (latest wins)
+    val emitted = spark.table("hh_parity").collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[String](1) zip r.getSeq[Long](2)).toMap).toMap
+
+    val rows = batchEvents
+      .select(col("event_type"), col("user_id").cast("string"),
+        col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime, r.getLong(3)))
+      .groupBy(_._1)
+
+    rows.foreach { case (t, rs) =>
+      // reference MG fold over the same (ts, event_id)-sorted order
+      var m = Map.empty[String, Long]
+      rs.sortBy(r => (r._3, r._4)).foreach { r =>
+        val item = r._2
+        if (m.contains(item)) m = m.updated(item, m(item) + 1)
+        else if (m.size < k) m = m.updated(item, 1L)
+        else m = m.map { case (x, c) => (x, c - 1) }.filter(_._2 > 0)
+      }
+      assert(emitted(t) == m, s"$t: streamed MG state != reference fold")
+      // the classic guarantee: true frequency > n/(k+1) ⇒ tracked
+      val freq = rs.groupBy(_._2).map { case (u, g) => (u, g.size.toLong) }
+      val n = rs.size.toLong
+      freq.filter(_._2 > n / (k + 1) + 1).keys.foreach { u =>
+        assert(emitted(t).contains(u),
+          s"$t: heavy user $u (freq ${freq(u)}, n $n) missing from MG state")
+      }
+    }
+  }
 }
