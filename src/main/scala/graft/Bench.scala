@@ -43,7 +43,8 @@ object Bench {
     "timeseries_holt", "stats_feature_scale", "stats_ks_test", "stats_chi2",
     "stats_winsorize", "window_sliding_distinct", "timeseries_holt_winters",
     "stats_mannwhitney", "events_markov_stationary", "agg_gini",
-    "stats_mutual_information", "stats_permutation_test", "text_zipf")
+    "stats_mutual_information", "stats_permutation_test", "text_zipf",
+    "pipeline_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -713,7 +713,86 @@ object TextOps {
         count(lit(1)).as("n_terms"))
   }
 
+  /** The DATASET CARD: per (lang, source) — doc and char counts, both
+    * token billings (whitespace + fixture-BPE subwords), exact-dup doc
+    * count (md5 collision anywhere in the corpus), and the
+    * text_quality_filter keep-rate. This is the one-stop summary a
+    * curation pipeline publishes next to a shipped dataset; it
+    * deliberately COMPOSES the repo's existing primitives (subword
+    * billing, dup hashing, the quality verdict) into a single grouped
+    * pass so the card can never drift from the operators it reports
+    * on.
+    *
+    * Scale: one doc-scan projection computes every per-doc field
+    * (subword count inline via the codegen'd expression — no
+    * distinct-words join); the dup set is a self-grouped md5 relation
+    * joined back on hash (AQE picks broadcast when rare, shuffle when
+    * not); the final rollup is one map-side-combinable hash agg on
+    * (lang, source). */
+  private def pipelineDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    registerBpe(spark)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val d = graft.Tables.fanout(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        toks.as("tk"), md5(col("text")).as("h"),
+        subwordCount(toks).as("sw"))
+    val dups = d.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), lit(1L).as("dup"))
+    val base = d.join(dups, Seq("h"), "left")
+      .na.fill(0L, Seq("dup"))
+      .withColumn("wsn", size(col("tk")).cast(LongType))
+      .withColumn("keep",
+        when(col("wsn") >= 20 &&
+          size(array_distinct(col("tk"))).cast(DoubleType) / col("wsn") >= 0.3 &&
+          size(filter(col("tk"), t => t.isin(stop: _*))).cast(DoubleType) /
+            col("wsn") <= 0.5, 1L).otherwise(0L))
+    base.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("wsn")).as("ws_tokens"),
+        sum(col("sw")).as("subword_tokens"),
+        sum(col("dup")).as("dup_docs"),
+        graft.Parity.r6(sum(col("keep")).cast(DoubleType) / count(lit(1)))
+          .as("keep_rate"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_dataset_card", Some(
+      s"""$bpeSegSql,
+        | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS sw
+        |   FROM e JOIN wt ON e.wd = wt.wd GROUP BY e.doc_id),
+        | q AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS tk,
+        |   md5(text) AS h
+        |  FROM documents),
+        | dup AS (SELECT h FROM q GROUP BY h HAVING count(*) > 1),
+        | base AS (
+        |  SELECT q.lang, q.source, q.n_chars,
+        |   CAST(len(tk) AS BIGINT) AS wsn,
+        |   coalesce(g.sw, 0) AS sw,
+        |   CASE WHEN q.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END AS is_dup,
+        |   CASE WHEN CAST(len(tk) AS BIGINT) >= 20
+        |     AND CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS BIGINT)
+        |       >= 0.3
+        |     AND CAST(len(list_filter(tk,
+        |         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |       / CAST(len(tk) AS BIGINT) <= 0.5
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM q LEFT JOIN g ON q.doc_id = g.doc_id)
+        |SELECT lang, source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(wsn) AS BIGINT) AS ws_tokens,
+        | CAST(sum(sw) AS BIGINT) AS subword_tokens,
+        | CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+        | floor(CAST(sum(keep) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+        |   AS keep_rate
+        |FROM base GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+      pipelineDatasetCard),
     QueryDef("text_zipf", Some(
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
