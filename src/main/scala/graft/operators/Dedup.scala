@@ -717,7 +717,101 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** EVAL HARNESS for the LSH banding scheme: precision / recall / F1
+    * of the band-candidate pairs against exact distinct-3-gram Jaccard
+    * ≥ 0.5 ground truth (the similarity level the b=4, r=2 banding is
+    * tuned to catch). This is the measurement a pipeline runs before
+    * trusting a dedup config on a new corpus — and because both sides
+    * are deterministic, the whole confusion matrix is oracle-checked,
+    * not just invariant-bounded.
+    *
+    * Scale: the predicted side is the production band join; the truth
+    * side's shingle self-join is the EVAL harness — O(Σ shingle-bucket
+    * collisions), run on a sample at corpus scale (the prefix-filtered
+    * `dedup_jaccard_prefix` is the production exact path). Counts fold
+    * relationally (full-outer + sums) — no driver-side set math. */
+  private def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(withSignature(spark, dir))
+    val pred = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val u = pred.withColumn("p", lit(1L))
+      .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(0L, Seq("p", "t"))
+    val prec = col("tp") / col("n_pred")
+    val rec = col("tp") / col("n_truth")
+    u.agg(
+      sum(col("p")).as("n_pred"), sum(col("t")).as("n_truth"),
+      sum(col("p") * col("t")).as("tp"))
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        when(col("n_pred") > 0, graft.Parity.r6(prec)).as("prec"),
+        when(col("n_truth") > 0, graft.Parity.r6(rec)).as("rec"),
+        when(col("tp") > 0,
+          graft.Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_minhash_eval", Some(minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id,
+        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([0, 1, 2, 3]) AS bi
+        |  FROM sig),
+        | pred AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id),
+        | sh2 AS (SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |   FROM tk WHERE len(t) >= 3)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | truth AS (
+        |  SELECT doc_a, doc_b FROM common
+        |   JOIN sizes sa ON sa.doc_id = doc_a
+        |   JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        | u AS (
+        |  SELECT coalesce(p.p, 0) AS p, coalesce(t.t, 0) AS t
+        |  FROM (SELECT doc_a, doc_b, 1 AS p FROM pred) p
+        |  FULL JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+        |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+        | a2 AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+        |   CAST(sum(t) AS BIGINT) AS n_truth,
+        |   CAST(sum(p * t) AS BIGINT) AS tp
+        |  FROM u)
+        |SELECT n_pred, n_truth, tp,
+        | CASE WHEN n_pred > 0
+        |  THEN floor((tp / n_pred) * 1000000 + 0.5) / 1000000 END AS prec,
+        | CASE WHEN n_truth > 0
+        |  THEN floor((tp / n_truth) * 1000000 + 0.5) / 1000000 END AS rec,
+        | CASE WHEN tp > 0
+        |  THEN floor((2 * (tp / n_pred) * (tp / n_truth)
+        |    / ((tp / n_pred) + (tp / n_truth))) * 1000000 + 0.5) / 1000000
+        |  END AS f1
+        |FROM a2""".stripMargin),
+      dedupMinhashEval),
     QueryDef("dedup_jaccard_prefix", Some(
       """WITH t0 AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
