@@ -44,7 +44,8 @@ object Bench {
     "stats_winsorize", "window_sliding_distinct", "timeseries_holt_winters",
     "stats_mannwhitney", "events_markov_stationary", "agg_gini",
     "stats_mutual_information", "stats_permutation_test", "text_zipf",
-    "pipeline_dataset_card", "dedup_minhash_eval")
+    "pipeline_dataset_card", "dedup_minhash_eval", "events_peak_detection",
+    "events_dwell_time")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

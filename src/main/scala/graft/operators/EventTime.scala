@@ -294,6 +294,80 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Peak detection on the daily event-count series: the TOP-5 strict
+    * local maxima ranked by prominence over the ±3-day rolling
+    * baseline (neighborhood mean excluding the day itself) — the spike
+    * finder a monitoring pipeline runs over ingest volumes. A ranked
+    * cut rather than a fixed "+10 %" bar: it reports the most
+    * spike-like days on ANY series (a threshold tuned to one corpus
+    * returns nothing on a smoother one). Daily counts are integer ⇒
+    * every comparison input is exact and the baseline is an
+    * integer/integer division — bit-identical, so the ranking
+    * hash-matches. Windows run on the metadata-sized day relation;
+    * the cut is a 5-row sort of that relation. */
+  private def eventsPeakDetection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.orderBy(col("day"))
+    val near = byDay.rowsBetween(-3, 3)
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("prv", lag(col("n"), 1).over(byDay))
+      .withColumn("nxt", lead(col("n"), 1).over(byDay))
+      // baseline = mean of the ±3-day neighborhood EXCLUDING the day:
+      // (window sum − n) / (window count − 1) — exact integer inputs
+      .withColumn("base",
+        (sum(col("n")).over(near) - col("n")).cast("double") /
+          (count(lit(1)).over(near) - 1))
+      .filter(col("prv").isNotNull && col("nxt").isNotNull &&
+        col("n") > col("prv") && col("n") > col("nxt") &&
+        col("n") > col("base"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        Parity.r6(col("base")).as("baseline"),
+        Parity.r6(col("n") - col("base")).as("prominence"))
+      .orderBy((col("n") - col("base")).desc, col("day"))
+      .limit(5)
+  }
+
+  /** Inter-event dwell-time distribution: per-user gaps between
+    * consecutive events (whole seconds), summarized as interpolated
+    * P50/P90/P99 + mean — the engagement-cadence profile behind
+    * session-gap tuning (a 30-min sessionize cutoff should sit far
+    * above P90). The per-user lag runs user-partitioned; percentiles
+    * come from the [[graft.operators.Statistics]] histogram recipe
+    * over DISTINCT integer gap values — a value-DOMAIN-bounded
+    * relation (≤ max observed gap in seconds), not a row-bounded one,
+    * so the cumulative window never sees the event stream. Gaps and
+    * counts are integers ⇒ only the final interpolation divides. */
+  private def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events(spark, dir)
+      .withColumn("prev", lag(unix_timestamp(col("ts")), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((unix_timestamp(col("ts")) - col("prev")).as("gap"))
+    val cum = Window.orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val hist = gaps.groupBy(col("gap")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    def pct(p: Double, name: String) = {
+      val pos = lit(p) * (col("n") - 1)
+      val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
+      val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
+      val lo = max(when(coversLo, col("gap")))
+      val hi = max(when(coversHi, col("gap")))
+      Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
+    }
+    hist.groupBy(col("n"))
+      .agg(pct(0.5, "p50_s"), pct(0.9, "p90_s"), pct(0.99, "p99_s"),
+        (sum(col("gap") * col("cnt")) / max(col("n"))).as("m"))
+      .select(col("n"), col("p50_s"), col("p90_s"), col("p99_s"),
+        Parity.r4(col("m")).as("mean_s"))
+  }
+
   private def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val stats = events(spark, dir)
       .groupBy(col("event_type"))
@@ -1228,6 +1302,44 @@ object EventTime {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin),
       eventsTransitions),
+
+    QueryDef("events_peak_detection", Some(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        | x AS (
+        |  SELECT day, n,
+        |   lag(n) OVER (ORDER BY day) AS prv,
+        |   lead(n) OVER (ORDER BY day) AS nxt,
+        |   CAST(sum(n) OVER (ORDER BY day
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) - n AS s7,
+        |   CAST(count(*) OVER (ORDER BY day
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) - 1 AS c7
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        | floor((s7 / c7) * 1000000 + 0.5) / 1000000 AS baseline,
+        | floor((n - s7 / c7) * 1000000 + 0.5) / 1000000 AS prominence
+        |FROM x
+        |WHERE prv IS NOT NULL AND nxt IS NOT NULL AND n > prv AND n > nxt
+        | AND n > s7 / c7
+        |ORDER BY (n - s7 / c7) DESC, day LIMIT 5""".stripMargin),
+      eventsPeakDetection),
+
+    QueryDef("events_dwell_time", Some(
+      """WITH g AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+        |   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        | g2 AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | floor(quantile_cont(gap, 0.5) * 10000 + 0.5) / 10000 AS p50_s,
+        | floor(quantile_cont(gap, 0.9) * 10000 + 0.5) / 10000 AS p90_s,
+        | floor(quantile_cont(gap, 0.99) * 10000 + 0.5) / 10000 AS p99_s,
+        | floor(CAST(sum(gap) AS BIGINT) / count(*) * 10000 + 0.5) / 10000
+        |   AS mean_s
+        |FROM g2""".stripMargin),
+      eventsDwellTime),
 
     QueryDef("events_markov_stationary", Some(
       """WITH seq AS (
