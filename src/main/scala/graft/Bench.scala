@@ -45,7 +45,8 @@ object Bench {
     "stats_mannwhitney", "events_markov_stationary", "agg_gini",
     "stats_mutual_information", "stats_permutation_test", "text_zipf",
     "pipeline_dataset_card", "dedup_minhash_eval", "events_peak_detection",
-    "events_dwell_time")
+    "events_dwell_time", "stats_benford", "text_ngram_novelty",
+    "events_pareto_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

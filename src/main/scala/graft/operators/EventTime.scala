@@ -368,6 +368,31 @@ object EventTime {
         Parity.r4(col("m")).as("mean_s"))
   }
 
+  /** Pareto concentration curve of user activity: at each distinct
+    * activity level (events per user, descending), the cumulative
+    * share of users vs cumulative share of events — reads off "x % of
+    * users generate y % of traffic" at level granularity. The stream
+    * collapses twice (per-user counts → activity histogram), so the
+    * cumulative windows run over a value-DOMAIN-bounded relation
+    * (≤ max events-per-user rows); all inputs integer ⇒ exact. */
+  private def eventsParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byActDesc = Window.orderBy(col("a").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val act = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("a"))
+    act.groupBy(col("a")).agg(count(lit(1)).as("u"))
+      .withColumn("cum_u", sum(col("u")).over(byActDesc))
+      .withColumn("cum_e", sum(col("a") * col("u")).over(byActDesc))
+      .withColumn("tot_u", sum(col("u")).over(whole))
+      .withColumn("tot_e", sum(col("a") * col("u")).over(whole))
+      .select(col("a").as("activity"), col("u").as("n_users"),
+        Parity.r6(col("cum_u") / col("tot_u")).as("user_share"),
+        Parity.r6(col("cum_e") / col("tot_e")).as("event_share"))
+      .orderBy(col("activity").desc)
+  }
+
   private def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val stats = events(spark, dir)
       .groupBy(col("event_type"))
@@ -1302,6 +1327,25 @@ object EventTime {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin),
       eventsTransitions),
+
+    QueryDef("events_pareto_share", Some(
+      """WITH act AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS a FROM events GROUP BY 1),
+        | h AS (SELECT a, CAST(count(*) AS BIGINT) AS u FROM act GROUP BY 1),
+        | c AS (
+        |  SELECT a, u,
+        |   CAST(sum(u) OVER (ORDER BY a DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_u,
+        |   CAST(sum(a * u) OVER (ORDER BY a DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_e,
+        |   CAST(sum(u) OVER () AS BIGINT) AS tot_u,
+        |   CAST(sum(a * u) OVER () AS BIGINT) AS tot_e
+        |  FROM h)
+        |SELECT a AS activity, u AS n_users,
+        | floor((cum_u / tot_u) * 1000000 + 0.5) / 1000000 AS user_share,
+        | floor((cum_e / tot_e) * 1000000 + 0.5) / 1000000 AS event_share
+        |FROM c ORDER BY activity DESC""".stripMargin),
+      eventsParetoShare),
 
     QueryDef("events_peak_detection", Some(
       """WITH daily AS (

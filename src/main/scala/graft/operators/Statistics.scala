@@ -982,7 +982,48 @@ object Statistics {
           lit(0.05)).as("reject_05"))
   }
 
+  /** Benford's-law first-digit audit of l_extendedprice — the classic
+    * fabricated-numbers smell test a data-quality pipeline runs on any
+    * money column. The first SIGNIFICANT digit is extracted via exact
+    * integer math: prices are 2-decimal, so cents =
+    * floor(x·100 + 0.5) is an exact BIGINT and its decimal string's
+    * first char IS the first significant digit (x ≥ 1) — no log10
+    * near-power-of-ten ulp hazard, no float formatting. Expected
+    * Benford mass is ln(1 + 1/d)/ln(10) computed identically on both
+    * engines. One map-side-combinable 9-cell hash agg. */
+  private def statsBenford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    lineitem(spark, dir)
+      .select(substring(floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long").cast("string"), 1, 1).cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(whole))
+      .select(col("d"), col("n"),
+        Parity.r6(col("n") / col("tot")).as("observed"),
+        Parity.r6(log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)))
+          .as("benford"),
+        Parity.r6(col("n") / col("tot") -
+          log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0))).as("dev"))
+      .orderBy(col("d"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_benford", Some(
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |  FROM lineitem),
+        | h AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        | t AS (SELECT d, n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM h)
+        |SELECT d, n,
+        | floor((n / tot) * 1000000 + 0.5) / 1000000 AS observed,
+        | floor((ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d) / ln(CAST(10 AS DOUBLE)))
+        |   * 1000000 + 0.5) / 1000000 AS benford,
+        | floor((n / tot - ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d)
+        |   / ln(CAST(10 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS dev
+        |FROM t ORDER BY d""".stripMargin),
+      statsBenford),
     QueryDef("agg_gini", Some(
       """WITH h AS (
         |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c

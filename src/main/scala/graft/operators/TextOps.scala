@@ -759,7 +759,55 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Per-doc n-gram NOVELTY against everything ingested before it
+    * (corpus order = doc_id): the share of a doc's distinct 3-grams
+    * whose FIRST corpus occurrence is this doc. The curve's decay is
+    * the diminishing-returns diagnostic behind "how much new text does
+    * the next crawl batch actually add" (and a per-doc near-dup
+    * smell: novelty ≈ 0 ⇒ the doc restates earlier content).
+    * First-occurrence is one min-aggregate on the shingle relation
+    * (map-side combinable), joined back shingle-keyed — the same
+    * no-pairwise shape as every dedup op here. */
+  private def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Tables.fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+        .as("s"))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        graft.Parity.r6(col("n_novel") / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_ngram_novelty", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |   FROM tk WHERE len(t) >= 3)),
+        | f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_novel,
+        | floor((CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |     AS BIGINT) / CAST(count(*) AS BIGINT)) * 1000000 + 0.5) / 1000000
+        |   AS novelty
+        |FROM sh JOIN f ON sh.s = f.s
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+      textNgramNovelty),
     QueryDef("pipeline_dataset_card", Some(
       s"""$bpeSegSql,
         | g AS (SELECT e.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS sw
