@@ -46,7 +46,8 @@ object Bench {
     "stats_mutual_information", "stats_permutation_test", "text_zipf",
     "pipeline_dataset_card", "dedup_minhash_eval", "events_peak_detection",
     "events_dwell_time", "stats_benford", "text_ngram_novelty",
-    "events_pareto_share")
+    "events_pareto_share", "agg_distinct_salted", "orders_backlog",
+    "agg_ship_lag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -488,7 +488,33 @@ object ScalePatterns {
       .orderBy(col("version"), col("is_current"))
   }
 
+  /** SALTED EXACT DISTINCT — the two-phase rewrite that saves a
+    * count(DISTINCT) whose group key is low-cardinality but whose
+    * groups are huge (3 returnflag groups × 200 M distinct parts each
+    * would funnel every distinct value of a group through ONE reducer
+    * in the naive plan). Phase 1 dedups (group, salt, value) where
+    * salt = hash(value) mod 16 — each value lands in exactly one salt,
+    * so the per-(group, salt) counts PARTITION the distinct set and
+    * their sum is the exact answer; reducer parallelism becomes
+    * groups × 16. Semantics-preserving ⇒ the oracle runs the plain
+    * count(DISTINCT). */
+  private def aggDistinctSalted(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        pmod(xxhash64(col("l_partkey")), lit(16)).as("salt"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pc")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_distinct_salted", Some(
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      aggDistinctSalted),
     QueryDef("scale_stats_collect", Some(
       """WITH s AS (
         |  SELECT count(*) AS n_rows,

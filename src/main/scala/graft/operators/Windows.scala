@@ -111,7 +111,102 @@ object Windows {
       .orderBy(col("key"))
   }
 
+  /** Order-backlog balance over time — the event-sourcing "open items
+    * at time t" pattern: daily placements minus daily completions
+    * (an order completes when its LAST line ships), full-outer-merged
+    * onto one day axis with a running difference. Both sides collapse
+    * to day histograms before any window (map-side combinable); the
+    * cumulative runs on the metadata-sized day relation. Orders with
+    * no lineitems never complete — they correctly stay in the
+    * backlog. All-integer ⇒ exact. */
+  private def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val placed = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("placed"))
+    val done = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .groupBy(to_date(col("last_ship")).as("day"))
+      .agg(count(lit(1)).as("done"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed.join(done, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("placed", "done"))
+      .withColumn("backlog",
+        sum(col("placed")).over(cum) - sum(col("done")).over(cum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("placed"), col("done"), col("backlog"))
+      .orderBy(col("day"))
+  }
+
+  /** Ship-lag distribution per order priority: interpolated P50/P90 of
+    * whole-day order-to-ship latency — the fulfilment-SLA profile. The
+    * fact join is key-partitioned (orderkey); lags are integer days,
+    * so the percentile histogram is value-domain-bounded per group and
+    * the [[Statistics]] interpolation recipe applies bit-exactly
+    * (oracle: quantile_cont). */
+  private def aggShipLag(spark: SparkSession, dir: String): DataFrame = {
+    val lags = lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast(LongType).as("lag"))
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val cumW = byP.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lags.groupBy(col("o_orderpriority"), col("lag"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byP))
+    def pct(p: Double, name: String) = {
+      val pos = lit(p) * (col("n") - 1)
+      val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
+      val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
+      val lo = max(when(coversLo, col("lag")))
+      val hi = max(when(coversHi, col("lag")))
+      Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
+    }
+    hist.groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"), pct(0.5, "p50_days"), pct(0.9, "p90_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("orders_backlog", Some(
+      """WITH placed AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS placed
+        |  FROM orders GROUP BY 1),
+        | done AS (
+        |  SELECT CAST(last_ship AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS done
+        |  FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |        FROM lineitem GROUP BY 1) GROUP BY 1),
+        | m AS (
+        |  SELECT coalesce(p.day, d.day) AS day,
+        |   coalesce(p.placed, 0) AS placed, coalesce(d.done, 0) AS done
+        |  FROM placed p FULL JOIN done d ON p.day = d.day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, placed, done,
+        | CAST(sum(placed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  - CAST(sum(done) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS backlog
+        |FROM m ORDER BY day""".stripMargin),
+      ordersBacklog),
+
+    QueryDef("agg_ship_lag", Some(
+      """WITH l AS (
+        |  SELECT o_orderpriority,
+        |   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |     CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | floor(quantile_cont(lag, 0.5) * 10000 + 0.5) / 10000 AS p50_days,
+        | floor(quantile_cont(lag, 0.9) * 10000 + 0.5) / 10000 AS p90_days
+        |FROM l GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      aggShipLag),
+
     QueryDef("window_rank", Some(
       """SELECT c_mktsegment, c_custkey, c_nationkey,
         | CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey) AS BIGINT) AS rn,
