@@ -47,7 +47,7 @@ object Bench {
     "pipeline_dataset_card", "dedup_minhash_eval", "events_peak_detection",
     "events_dwell_time", "stats_benford", "text_ngram_novelty",
     "events_pareto_share", "agg_distinct_salted", "orders_backlog",
-    "agg_ship_lag")
+    "agg_ship_lag", "sql_transitive_closure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -235,7 +235,50 @@ object TpchExtra {
         |ORDER BY s_name""".stripMargin)
   }
 
+  /** Transitive closure of the event-type transition graph through the
+    * SQL-text surface via Spark 4's WITH RECURSIVE — the recursive-CTE
+    * capability itself is the point (a reference user writes
+    * reachability this way, not as an unrolled driver loop like
+    * graph_reachability). The graph is cyclic, so the recursion is
+    * DEPTH-BOUNDED (paths ≤ 5 edges ≥ the k-node diameter) with a
+    * distinct-dedup outside — the UNION ALL + bound + dedup form runs
+    * identically on DuckDB. Recursion operates on the k² metadata edge
+    * relation; the event stream is touched once by the lead() window
+    * that derives the edges. */
+  private def sqlTransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_sql_events")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |   SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |   FROM graft_sql_events) WHERE dst IS NOT NULL),
+        | reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 AS depth FROM edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE r.depth < 5)
+        |SELECT DISTINCT src, dst FROM reach ORDER BY src, dst""".stripMargin)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_transitive_closure", Some(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |   SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |   FROM events) WHERE dst IS NOT NULL),
+        | reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 AS depth FROM edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE r.depth < 5)
+        |SELECT DISTINCT src, dst FROM reach ORDER BY src, dst""".stripMargin),
+      sqlTransitiveClosure),
     QueryDef("sql_q4_priority_late", Some(
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders
