@@ -41,7 +41,17 @@ object Statistics {
     * asymptotics — nothing lost). A value v with cumulative end
     * position `cum` (1-based) covers 0-based ranks [cum−cnt, cum−1];
     * the two boundary VALUES bracketing pos = p·(n−1) interpolate as
-    * lo + (hi−lo)·frac — bitwise-identical to DuckDB's quantile_cont. */
+    * lo + (hi−lo)·frac — bitwise-identical to DuckDB's quantile_cont.
+    *
+    * THIS IS THE DOCUMENTED NAIVE-EXACT TWIN of
+    * [[aggPercentileSelect]]: its per-group cumulative window caps
+    * reducer parallelism at #groups, so on a near-continuous measure
+    * at fleet scale the two-phase bin-selection path is the one to
+    * reach for (every production caller — e.g. [[statsWinsorize]] —
+    * uses [[binSelectQuantiles]]). Kept in the registry deliberately
+    * as the reference recipe the select path is verified against
+    * (identical oracle row), and plan-asserted as such in
+    * PlanAssertionSpec. */
   private def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byFlag = Window.partitionBy(col("l_returnflag"))
@@ -66,19 +76,25 @@ object Statistics {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Exact percentile via TWO-PHASE BIN SELECTION — the scale-safe
-    * exact path where [[aggPercentile]]'s per-group cumulative window
-    * (reducer parallelism = #groups) and the GK sketch (approximate)
-    * both fall short. Phase 1: fixed-width value-bin counts per group
-    * (ONE map-side-combinable hash-agg over the corpus), cumulative
-    * counts over the ~#bins METADATA rows locate the bin holding each
-    * target rank. Phase 2: only the located bins' rows (≈ n/#bins per
-    * group, broadcast-pruned semi-join) are exactly ranked with a
-    * (group, bin)-partitioned window — the full-group sort never
-    * happens, parallelism is groups × bins throughout. Same bracketing
-    * ranks + `lo + (hi−lo)·frac` interpolation as [[aggPercentile]]
-    * ⇒ bitwise-identical to DuckDB quantile_cont, same oracle. */
-  private def aggPercentileSelect(spark: SparkSession, dir: String): DataFrame = {
+  /** TWO-PHASE BIN SELECTION core — exact interpolated percentiles of
+    * `l_extendedprice` per `l_returnflag` for an arbitrary percentile
+    * set, the scale-safe exact path where [[aggPercentile]]'s
+    * per-group cumulative window (reducer parallelism = #groups) and
+    * the GK sketch (approximate) both fall short. Phase 1: fixed-width
+    * value-bin counts per group (ONE map-side-combinable hash-agg over
+    * the corpus), cumulative counts over the ~#bins METADATA rows
+    * locate the bin holding each target rank. Phase 2: only the
+    * located bins' rows (≈ n/#bins per group, broadcast-pruned
+    * semi-join) are exactly ranked with a (group, bin)-partitioned
+    * window — the full-group sort never happens, parallelism is
+    * groups × bins throughout. Bracketing ranks floor/ceil of
+    * pos = p·(n−1) + `lo + (hi−lo)·frac` interpolation ⇒
+    * bitwise-identical to DuckDB quantile_cont. Returns one row per
+    * (l_returnflag, p) with the UNROUNDED quantile `q` — callers pivot
+    * and apply their own Parity rounding. Shared by
+    * [[aggPercentileSelect]] and [[statsWinsorize]]'s bounds. */
+  private def binSelectQuantiles(spark: SparkSession, dir: String,
+      ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val binW = 1000.0
     val b = lineitem(spark, dir).select(col("l_returnflag"),
@@ -91,11 +107,11 @@ object Statistics {
         wBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_prev", col("cum") - col("c"))
       .withColumn("n", sum(col("c")).over(wFlag))
-    // the four 0-based bracketing ranks per group: floor/ceil of
-    // pos = p·(n−1) for p ∈ {0.5, 0.9}
+    // the 0-based bracketing ranks per group: floor/ceil of
+    // pos = p·(n−1) for each requested p
     val targets = cum.select(col("l_returnflag"), col("n")).distinct()
-      .select(col("l_returnflag"), explode(array(lit(0.5), lit(0.9))).as("p"),
-        col("n"))
+      .select(col("l_returnflag"),
+        explode(array(ps.map(lit(_)): _*)).as("p"), col("n"))
       .withColumn("pos", col("p") * (col("n") - 1))
       .select(col("l_returnflag"), col("p"), col("pos"),
         explode(array(floor(col("pos")).cast("long"),
@@ -117,13 +133,19 @@ object Statistics {
     vals.groupBy(col("l_returnflag"), col("p"), col("pos"))
       .agg(min(when(col("rk") === floor(col("pos")).cast("long"), col("v"))).as("vlo"),
         min(when(col("rk") === ceil(col("pos")).cast("long"), col("v"))).as("vhi"))
-      .withColumn("q",
-        col("vlo") + (col("vhi") - col("vlo")) * (col("pos") - floor(col("pos"))))
+      .select(col("l_returnflag"), col("p"),
+        (col("vlo") + (col("vhi") - col("vlo")) *
+          (col("pos") - floor(col("pos")))).as("q"))
+  }
+
+  /** Exact percentile via two-phase bin selection — see
+    * [[binSelectQuantiles]] for the recipe and scale argument. */
+  private def aggPercentileSelect(spark: SparkSession, dir: String): DataFrame =
+    binSelectQuantiles(spark, dir, Seq(0.5, 0.9))
       .groupBy(col("l_returnflag"))
       .agg(Parity.r4(max(when(col("p") === 0.5, col("q")))).as("p50"),
         Parity.r4(max(when(col("p") === 0.9, col("q")))).as("p90"))
       .orderBy(col("l_returnflag"))
-  }
 
   /** Sketch-based percentile (GK) — constant memory per group at any
     * scale, returns a member value not an interpolation ⇒ no oracle. */
@@ -770,34 +792,20 @@ object Statistics {
   /** Percentile winsorization: clamp `l_extendedprice` to its
     * per-group [p05, p95] — the outlier-taming companion to
     * [[statsFeatureScale]] (a z-score after THIS is what robust
-    * pipelines feed the model). Bounds come from the same exact
-    * interpolated-percentile histogram as [[aggPercentile]] (bitwise ≡
+    * pipelines feed the model). Bounds come from
+    * [[binSelectQuantiles]]'s two-phase bin selection (bitwise ≡
     * DuckDB quantile_cont, r4-rounded before use so both engines clamp
-    * against identical constants), collapse to 3 rows, and BROADCAST
-    * back onto the fact scan — clamping is one `least(greatest(…))`
-    * projection, no fact-side window. At extreme group cardinality the
-    * bounds subquery would swap in [[aggPercentileSelect]]'s two-phase
-    * bin recipe; the clamp side is scale-free either way. */
+    * against identical constants) — NOT from a cumulative window over
+    * the raw (flag, price) value histogram, whose near-row cardinality
+    * on a continuous measure would funnel the sort through #groups
+    * reducers at scale. The 3-row bounds BROADCAST back onto the fact
+    * scan — clamping is one `least(greatest(…))` projection, no
+    * fact-side window. */
   private def statsWinsorize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy(col("l_returnflag"))
-    val cumW = byFlag.orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(byFlag))
-    def pct(p: Double, name: String) = {
-      val pos = lit(p) * (col("n") - 1)
-      val coversLo = floor(pos) >= col("cum") - col("cnt") && floor(pos) < col("cum")
-      val coversHi = ceil(pos) >= col("cum") - col("cnt") && ceil(pos) < col("cum")
-      val lo = max(when(coversLo, col("l_extendedprice")))
-      val hi = max(when(coversHi, col("l_extendedprice")))
-      Parity.r4(lo + (hi - lo) * (min(pos) - floor(min(pos)))).as(name)
-    }
-    val bounds = hist.groupBy(col("l_returnflag"))
-      .agg(pct(0.05, "lo"), pct(0.95, "hi"))
+    val bounds = binSelectQuantiles(spark, dir, Seq(0.05, 0.95))
+      .groupBy(col("l_returnflag"))
+      .agg(Parity.r4(max(when(col("p") === 0.05, col("q")))).as("lo"),
+        Parity.r4(max(when(col("p") === 0.95, col("q")))).as("hi"))
     lineitem(spark, dir)
       .join(broadcast(bounds), "l_returnflag")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),

@@ -449,4 +449,45 @@ class PlanAssertionSpec extends AnyFunSuite {
       "cell counts must combine map-side before the (type, wd) shuffle")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("stats_winsorize: bounds come from bin selection — no window over the raw price histogram") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("stats_winsorize")(spark, TestSpark.sf).queryExecution
+    // no aggregate may key on the raw near-continuous measure: the
+    // phase-1 histogram groups on (flag, BIN), so its cardinality is
+    // value-range/binW, not row count
+    qe.sparkPlan.collect { case a: BaseAggregateExec => a }.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.references.exists(_.name == "l_extendedprice")),
+        s"aggregate keyed on raw l_extendedprice: ${a.groupingExpressions}")
+    }
+    // exact ranking happens only inside located (flag, bin) partitions —
+    // parallelism groups x bins, never #groups
+    val wins = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "expected the phase-2 local rank window partitioned by (flag, bin)")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        "flag-only windows may run only over the binned (metadata-sized) histogram")
+    }
+    // the 3-row bounds broadcast back; the clamp itself is a projection
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "winsorize bounds must broadcast onto the fact scan")
+  }
+
+  test("agg_percentile_select: bin-selection twin shares the naive oracle but not its shape") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val qe = SparkEntry.queries("agg_percentile_select")(spark, TestSpark.sf).queryExecution
+    qe.sparkPlan.collect { case a: BaseAggregateExec => a }.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.references.exists(_.name == "l_extendedprice")),
+        s"select path must bin, never group on the raw value: ${a.groupingExpressions}")
+    }
+    // the documented naive-exact twin DOES group on the raw value (that
+    // is its contract — reference recipe, capped parallelism): assert
+    // the distinction so the two cannot silently converge
+    val qeNaive = SparkEntry.queries("agg_percentile")(spark, TestSpark.sf).queryExecution
+    assert(qeNaive.sparkPlan.collect { case a: BaseAggregateExec => a }
+      .exists(_.groupingExpressions.exists(_.references.exists(_.name == "l_extendedprice"))),
+      "agg_percentile is the documented naive-exact twin keyed on the raw value")
+  }
 }
