@@ -277,6 +277,11 @@ object PipelineSpec {
       // the global rank over <= k·P survivors) so no single group's
       // full membership ever funnels through one task — the same
       // shape as sample_per_group (Curation.scala).
+      // CONTRACT: 'key' must identify rows uniquely within each group
+      // (the key value itself breaks md5 ties deterministically, so
+      // distinct keys always rank reproducibly; rows sharing the SAME
+      // key value are interchangeable under any ordering, so which of
+      // them is kept is undefined — pass a row-unique key).
       val by = strSeq(v, "by")
       val k = intOpt(v, "k").getOrElse(fail("sample_group needs 'k'", v))
       val keyE = str(v, "key")
@@ -286,10 +291,12 @@ object PipelineSpec {
         fail("sample_group needs a nonempty 'by' (global sampling is a scale hazard)", v)
       df => {
         import org.apache.spark.sql.expressions.Window
+        val tieKey = expr(keyE).cast("string")
         val local = Window
           .partitionBy((by.map(col) :+ spark_partition_id()): _*)
-          .orderBy(col("__sg_h"))
-        val global = Window.partitionBy(by.map(col): _*).orderBy(col("__sg_h"))
+          .orderBy(col("__sg_h"), tieKey)
+        val global = Window.partitionBy(by.map(col): _*)
+          .orderBy(col("__sg_h"), tieKey)
         val ranked = df
           .withColumn("__sg_h", md5(concat(lit(s"$seed:"), expr(keyE).cast("string"))))
           .withColumn("__sg_l", row_number().over(local))

@@ -47,21 +47,26 @@ case class BpeSubwords(child: Expression, vocab: Seq[String], extra: Seq[String]
     val n = words.numElements()
     var w = 0
     while (w < n) {
-      val s = words.getUTF8String(w).toString
-      var i = 0
-      while (i < s.length) {
-        val cand = byChar.get(s.charAt(i))
-        var m = 0
-        if (cand != null) {
-          var j = 0
-          while (m == 0 && j < cand.length) {
-            if (s.startsWith(cand(j), i)) m = cand(j).length
-            j += 1
+      // null elements contribute nothing (output declares
+      // containsNull=false; current callers feed split() output, but a
+      // nullable-element caller must get defined behavior, not an NPE)
+      if (!words.isNullAt(w)) {
+        val s = words.getUTF8String(w).toString
+        var i = 0
+        while (i < s.length) {
+          val cand = byChar.get(s.charAt(i))
+          var m = 0
+          if (cand != null) {
+            var j = 0
+            while (m == 0 && j < cand.length) {
+              if (s.startsWith(cand(j), i)) m = cand(j).length
+              j += 1
+            }
           }
+          if (m == 0) m = Character.charCount(s.codePointAt(i))
+          out += UTF8String.fromString(s.substring(i, i + m))
+          i += m
         }
-        if (m == 0) m = Character.charCount(s.codePointAt(i))
-        out += UTF8String.fromString(s.substring(i, i + m))
-        i += m
       }
       w += 1
     }

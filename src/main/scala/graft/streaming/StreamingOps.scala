@@ -230,16 +230,30 @@ object StreamingOps {
     * contribution instead of double-inserting (at-least-once replay
     * safe without a transactional format).
     *
+    * VERIFICATION TIERS, made explicit in the output schema
+    * (doc_a, doc_b, origin, verified, jac): within-batch hits have
+    * both texts on hand, so they are exact-Jaccard verified at
+    * `threshold` (band collisions below it are dropped) and emitted
+    * with verified=true and the measured jac; `origin="history"` hits
+    * probe a band index that stores NO text, so they are UNVERIFIED
+    * CANDIDATES — verified=false, jac=null — and b=4/r=2 banding has
+    * nontrivial false-positive odds at low similarity. Consumers
+    * treating the feed as dedup verdicts must re-verify history rows
+    * against the document store (or route them through the batch
+    * `dedup_incremental` path, which does exactly that).
+    *
     * At scale the index is the curated artifact: band-keyed, so the
     * probe is a shuffle equi-join sized by Σ bucket², identical to the
     * batch path's bound. Epoch subdirectories compact offline exactly
     * like any ingest table (`scale_compaction`).
     */
-  def dedupIngest(docs: DataFrame, indexDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
       val spark = batch.sparkSession
+      val stable = batch.toDF().localCheckpoint()
       val bands = graft.operators.Dedup.bandsOf(
-        graft.operators.Dedup.signatureOf(batch.toDF())).localCheckpoint()
+        graft.operators.Dedup.signatureOf(stable)).localCheckpoint()
       val idx = new java.io.File(indexDir)
       val histEpochs = if (idx.isDirectory)
         idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch=")
@@ -249,14 +263,15 @@ object StreamingOps {
         bands.as("n").join(hist.as("h"),
             col("n.band_idx") === col("h.band_idx") && col("n.band") === col("h.band"))
           .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"),
-            lit("history").as("origin"))
+            lit("history").as("origin"), lit(false).as("verified"),
+            lit(null).cast("double").as("jac"))
+          .distinct()
       }
-      val vsBatch = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          lit("batch").as("origin"))
-      vsHist.map(_.unionByName(vsBatch)).getOrElse(vsBatch).distinct()
+      // both texts are in the batch: exact-Jaccard verify at threshold
+      val vsBatch = graft.operators.Dedup.verifiedPairsOf(stable, threshold)
+        .select(col("doc_a"), col("doc_b"), lit("batch").as("origin"),
+          lit(true).as("verified"), col("jac"))
+      vsHist.map(_.unionByName(vsBatch)).getOrElse(vsBatch)
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       bands.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
     }

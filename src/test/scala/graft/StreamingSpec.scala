@@ -161,8 +161,16 @@ class StreamingSpec extends AnyFunSuite {
     val e0 = spark.read.parquet(s"$outDir/epoch=0")
     assert(e0.count() == 0, "unique first batch must flag nothing")
     val e1 = spark.read.parquet(s"$outDir/epoch=1")
-      .select("doc_a", "doc_b", "origin").as[(Long, Long, String)].collect().toSet
-    assert(e1 == Set((1L, 3L, "history"), (4L, 5L, "batch")), s"got $e1")
+      .select("doc_a", "doc_b", "origin", "verified").as[(Long, Long, String, Boolean)]
+      .collect().toSet
+    // batch hits are exact-Jaccard verified (texts on hand); history
+    // hits probe the text-free band index, so they stay candidates
+    assert(e1 == Set((1L, 3L, "history", false), (4L, 5L, "batch", true)), s"got $e1")
+    val jacs = spark.read.parquet(s"$outDir/epoch=1")
+      .select("origin", "jac").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(jacs("history").isEmpty, "unverified candidate must carry no jac")
+    assert(jacs("batch").exists(_.asInstanceOf[Double] >= 0.5))
     // the index now holds every epoch's bands: 5 docs × 4 bands
     assert(spark.read.parquet(idxDir).count() == 20)
   }

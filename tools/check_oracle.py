@@ -124,7 +124,19 @@ for name, sql in sorted(oracle.items()):
             "sf": os.path.basename(SF.rstrip("/")),
             "rows": nrows,
         }
-        ih = impl_fp.get(name, gate.get(name, {}).get("impl_sha256"))
+        ih = impl_fp.get(name)
+        if ih is None and impl_fp:
+            # impl_fp.json exists but this query has no fresh fingerprint:
+            # Verify's fingerprint path failed silently for it. Carrying the
+            # old hash forward would stamp this PASS with a fingerprint the
+            # run never computed — warn loudly and keep the stale hash only
+            # so ImplGateSpec still fails closed on real edits.
+            ih = gate.get(name, {}).get("impl_sha256")
+            print(f"WARN {name}: no fresh impl fingerprint in impl_fp.json — "
+                  f"Verify's fingerprint dump failed for this query; "
+                  f"{'reusing the PREVIOUS impl_sha256' if ih else 'recording no impl_sha256'}")
+        elif ih is None:
+            ih = gate.get(name, {}).get("impl_sha256")
         if ih:
             entry["impl_sha256"] = ih
         gate[name] = entry
