@@ -476,17 +476,23 @@ object TextOps {
     * survives) makes the final output exact and order-independent even
     * though intermediate sketch counts aren't — which is why this
     * sketch pipeline can carry a DuckDB oracle (plain GROUP BY/HAVING)
-    * that pure-sketch ops like agg_approx_distinct cannot. */
+    * that pure-sketch ops like agg_approx_distinct cannot.
+    *
+    * Exactly TWO corpus scans — the floor for exact heavy hitters
+    * (candidates are unknowable until the sketch pass ends): the total
+    * token count folds INTO the sketch pass as a sibling aggregate of
+    * the same scan, and the threshold rides along the broadcast
+    * candidate list into the recount — no third scan, no second
+    * driver round-trip. */
   private def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MisraGriesAgg.register(spark)
     val words = documents(spark, dir).select(explode(toks).as("word"))
-    val cand = words.agg(expr("mg_topk(word, 40)").as("mg"))
-      .select(explode(col("mg")).as("c"))
-      .select(col("c.item").as("word"))
-    val total = words.agg(count(lit(1)).as("total"))
+    val cand = words
+      .agg(expr("mg_topk(word, 40)").as("mg"), count(lit(1)).as("total"))
+      .select(explode(col("mg")).as("c"), col("total"))
+      .select(col("c.item").as("word"), col("total"))
     words.join(broadcast(cand), "word") // cand is distinct ⇒ inner ≡ semi
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("word"), col("total")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > col("total") / 41.0)
       .select(col("word"), col("cnt"))
       .orderBy(col("cnt").desc, col("word"))

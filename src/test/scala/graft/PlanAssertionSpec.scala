@@ -450,6 +450,19 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_heavy_hitters: two corpus scans exactly — total folds into the sketch pass") {
+    val qe = SparkEntry.queries("text_heavy_hitters")(spark, TestSpark.sf).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // sketch+total share one scan; the exact candidate recount is the
+    // second — a third scan means the grand total regressed to its own
+    // pass
+    assert(scans.size == 2, s"expected exactly 2 parquet scans, got ${scans.size}")
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "candidate list must broadcast into the recount")
+  }
+
   test("stats_winsorize: bounds come from bin selection — no window over the raw price histogram") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
