@@ -27,16 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default. Read nanos as raw long and convert to a µs timestamp
-    * (integer `div` — no double round-trip, which would lose precision
-    * above 2^53 ns). DuckDB reads the same column at µs precision, so
-    * both engines see identical truncated values (SURVEY.md §7.3 risk 2).
+  /** `events.ts` has shipped as two parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read nanos as raw long and integer-`div` to µs; no double
+    * round-trip, which would lose precision above 2^53 ns) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which loads as
+    * TIMESTAMP_NTZ — cast to the session-TZ type; every session here
+    * pins UTC so the cast is value-preserving). DuckDB reads the same
+    * column at µs precision either way, so both engines see identical
+    * values (SURVEY.md §7.3 risk 2). Branch on the LOADED dtype so the
+    * engine runs against either generation unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash (Rabin–Karp style) over a string's bytes:
@@ -27,8 +27,15 @@ case class RollingHash(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_hash"
 
+  // The hash is defined over BYTES, so both string (its UTF-8 bytes)
+  // and binary payloads are accepted — the multimodal column's
+  // byte-shingle fingerprinting reuses the same expression.
+  private def isBinary: Boolean = left.dataType == BinaryType
+
   override protected def nullSafeEval(str: Any, win: Any): Any = {
-    val bytes = str.asInstanceOf[UTF8String].getBytes
+    val bytes =
+      if (isBinary) str.asInstanceOf[Array[Byte]]
+      else str.asInstanceOf[UTF8String].getBytes
     val w = win.asInstanceOf[Int]
     if (w <= 0 || bytes.length < w) new GenericArrayData(Array.empty[Long])
     else {
@@ -60,8 +67,9 @@ case class RollingHash(left: Expression, right: Expression)
       val pow = ctx.freshName("pow")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
+      val getBytes = if (isBinary) str else s"$str.getBytes()"
       s"""
-         |byte[] $bytes = $str.getBytes();
+         |byte[] $bytes = $getBytes;
          |int $w = $win;
          |if ($w <= 0 || $bytes.length < $w) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);

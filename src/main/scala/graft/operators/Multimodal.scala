@@ -163,6 +163,58 @@ object Multimodal {
       .orderBy(col("vec_id"))
   }
 
+  /** Codec-free PERCEPTUAL fingerprint of the binary payload: 64-bit
+    * SimHash over the payload's byte-level 8-gram rolling hashes — the
+    * near-dup signature for media blobs that exact hashing (dedup_exact
+    * on md5) structurally misses: re-muxed / metadata-patched / few-byte
+    * -edited payloads share almost all byte shingles, so their
+    * fingerprints land within a small Hamming ball, while a real codec
+    * is never needed. (A production image pipeline would simhash
+    * DECODED perceptual features instead; the byte-shingle form is the
+    * codec-free lower rung that already catches container-level dups,
+    * and the banding machinery downstream is identical.)
+    *
+    * Scale: rolling_hash is one codegen'd O(n_bytes) pass per row;
+    * explode + simhash_agg map-side-combine to ONE 64-counter buffer
+    * per doc per partition, so the shuffle carries fingerprint partials,
+    * never byte shingles. Spark-only hash bits ⇒ no oracle; the
+    * pigeonhole recovery guarantee is planted-fixture-tested
+    * (InvariantSpec). */
+  private def mmSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingHash.register(spark)
+    graft.functions.SimHashAgg.register(spark)
+    documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"), explode(expr("rolling_hash(payload, 8)")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(h)").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual near-dup PAIRS for the multimodal column via the same
+    * pigeonhole banding join as dedup_simhash_pairs: 4×16-bit blocks —
+    * Hamming ≤ 3 forces ≥ 1 identical block, so candidates come from
+    * (block_idx, block) equi-joins (never all-pairs), then exact
+    * bit_count(xor) confirms. Extends the dedup family to binary
+    * payloads per the north star: byte shingles → simhash → banding. */
+  private def mmSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = mmSimhash(spark, dir)
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block_idx", "block")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block") === col("b.block") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_embed_quantize", Some(
       """WITH v AS (
@@ -220,6 +272,8 @@ object Multimodal {
       mmBatchSchedule),
 
     QueryDef("mm_decode_stub", None, mmDecodeStub),
-    QueryDef("mm_frame_sample", None, mmFrameSample)
+    QueryDef("mm_frame_sample", None, mmFrameSample),
+    QueryDef("mm_simhash", None, mmSimhash),
+    QueryDef("mm_simhash_pairs", None, mmSimhashPairs)
   )
 }

@@ -94,7 +94,13 @@ object Similarity {
     * lives on the bounded query side (|Q|×13 rows, broadcast); each
     * candidate has exactly one bucket, so probe buckets being distinct
     * means no (qid, cid) pair can duplicate. */
-  private def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+  /** The multi-probe candidate relation, exact-scored: (qid, cid, cs)
+    * for every candidate met in any of the 13 probed buckets. Pair-
+    * unique by construction (each candidate lives in exactly one
+    * bucket; probe buckets are distinct). Shared by the production
+    * top-3 ([[simAnnMultiprobe]]) and the config eval harness
+    * ([[simAnnEval]]). */
+  private def multiprobeScored(spark: SparkSession, dir: String): DataFrame = {
     val ps = planes(12, 64)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
@@ -112,14 +118,64 @@ object Similarity {
       explode(array(probeCols: _*)).as("pbucket"))
     val c = v.select(col("vec_id").as("cid"), col("e").as("ce"),
       col("nrm").as("cnrm"), col("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
     c.join(broadcast(probes), col("bucket") === col("pbucket") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm"))).as("cs"))
+  }
+
+  private def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    multiprobeScored(spark, dir)
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("cid"), col("cs"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** EVAL HARNESS for the ANN config (the sim-family mirror of
+    * dedup_minhash_eval): the confusion matrix of the multi-probe LSH
+    * retrieval against exact brute-force top-3 ground truth, folded
+    * relationally — the measurement a pipeline runs before trusting an
+    * ANN index config on a new corpus. Two stages are scored:
+    * shortlist recall (did the probed buckets even CONTAIN the true
+    * neighbors — the banding-level diagnostic; cand_tp / n_truth) and
+    * end-to-end top-3 precision/recall/F1 after exact rerank. Both
+    * sides are deterministic (literal hyperplanes, r6-rounded cosines),
+    * so unlike the k-means-seeded IVF variants the whole matrix is
+    * oracle-checked, not just invariant-bounded; the IVF/IVF-PQ recall
+    * contracts stay in InvariantSpec (data-dependent centroids can't
+    * be re-derived in SQL).
+    *
+    * Scale: the predicted side is the production probe join; the truth
+    * side's |Q|×|C| brute force is the EVAL harness, run on a bounded
+    * query sample exactly as here (|Q|=10). Counts fold with one
+    * left + one full-outer join — no driver-side set math. */
+  private def simAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = multiprobeScored(spark, dir)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    val cand = scored.select(col("qid"), col("cid"), lit(1L).as("c"))
+    val pred = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select(col("qid"), col("cid"), lit(1L).as("p"))
+    val truth = topkPairs(spark, dir, 3)
+      .select(col("qid"), col("cid"), lit(1L).as("t"))
+    val u = cand.join(pred, Seq("qid", "cid"), "left")
+      .join(truth, Seq("qid", "cid"), "full_outer")
+      .na.fill(0L, Seq("c", "p", "t"))
+    val prec = col("tp") / col("n_pred")
+    val rec = col("tp") / col("n_truth")
+    u.agg(
+      sum(col("c")).as("n_cand"), sum(col("p")).as("n_pred"),
+      sum(col("t")).as("n_truth"),
+      sum(col("c") * col("t")).as("cand_tp"),
+      sum(col("p") * col("t")).as("tp"))
+      .select(col("n_cand"), col("n_pred"), col("n_truth"), col("cand_tp"),
+        col("tp"),
+        when(col("n_truth") > 0,
+          Parity.r6(col("cand_tp") / col("n_truth"))).as("cand_recall"),
+        when(col("n_pred") > 0, Parity.r6(prec)).as("prec"),
+        when(col("n_truth") > 0, Parity.r6(rec)).as("rec"),
+        when(col("tp") > 0,
+          Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
   }
 
   private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {

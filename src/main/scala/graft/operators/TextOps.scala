@@ -649,6 +649,21 @@ object TextOps {
       .orderBy(col("origin"), col("doc_a"), col("doc_b"))
   }
 
+  /** (doc_id, b): the hashed-feature relation shared by the fixture
+    * scorer and the in-engine trainer — md5-hashed word uni+bigrams
+    * folded into B=64 buckets, one row per feature OCCURRENCE. */
+  private def hashedFeats(spark: SparkSession, dir: String): DataFrame = {
+    val bg = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(concat(col("tk"), bg)).as("feat"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("qc:"), col("feat"))), 1, 4), 16, 10)
+          .cast(LongType) % 64).as("b"))
+  }
+
   /** Apply a (fasttext-shaped) hashed-feature linear classifier to
     * every document — the model-apply step a curation pipeline runs at
     * full-corpus scale to score quality/toxicity/domain: features are
@@ -671,15 +686,7 @@ object TextOps {
     * per doc per partition (map-side combine); the model join is a
     * 64-row broadcast. No vocabulary-sized state anywhere. */
   private def textClassifierScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = transform(sequence(lit(1), size(col("tk")) - 1),
-      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
-    val feats = fanout(documents(spark, dir))
-      .select(col("doc_id"), toks.as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(concat(col("tk"), bg)).as("feat"))
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("qc:"), col("feat"))), 1, 4), 16, 10)
-          .cast(LongType) % 64).as("b"))
+    val feats = hashedFeats(spark, dir)
     val model = spark.range(64).select(col("id").as("b"),
       ((col("id") * 37) % 101 - 50).as("w"))
     feats.join(broadcast(model), "b")
@@ -689,6 +696,101 @@ object TextOps {
         Parity.r6(lit(1.0) / (lit(1.0) + exp((-col("sw")).cast(DoubleType) /
           (col("n_features") * 100).cast(DoubleType)))).as("score"),
         when(col("sw") >= 0, 1L).otherwise(0L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** In-engine training for the hashed-feature linear classifier: a
+    * FULL-BATCH perceptron (fixed-point subgradient descent, unit
+    * learning rate) distilling the fixture model's labels (teacher
+    * y = sign of the fixture margin). Every quantity is an exact
+    * BIGINT — doc margins are Σ count_b·w_b over integer weights, the
+    * per-iteration update is Σ over misclassified docs of y·count_b —
+    * so partial aggregates merge in ANY order bit-identically and the
+    * whole T-step trajectory is oracle-checkable (DuckDB re-derives it
+    * as T chained CTEs; the same reason timeseries_holt_winters is
+    * checkable, but with no float fold at all).
+    *
+    * Per iteration: one map-side-combinable aggregate to per-doc
+    * margins ((doc, y, margin) rows), one doc-keyed join back + bucket
+    * aggregate for the update. Driver state is the model itself — 64
+    * longs per step, the same bounded-artifact contract as the IVF
+    * centroids — persisted per corpus CONTENT so scoring reuses the
+    * trained weights instead of retraining (train-once, apply-many).
+    * At 100 TB the trainer would run on a deterministic hash-sample
+    * (the IVF recipe); the apply side is unchanged. */
+  private[operators] def fitClassifier(
+      spark: SparkSession, dir: String, iters: Int = 3): Seq[Array[Long]] = {
+    val base = new java.io.File(graft.Caches.dir("clsfit", dir, Seq("documents")))
+    val f = new java.io.File(base, s"weights_i$iters.csv")
+    if (f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toIndexedSeq.map(_.split(',').map(_.toLong))
+      finally src.close()
+    } else {
+      val cnt = hashedFeats(spark, dir)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val lab = cnt
+        .withColumn("wf", (col("b") * 37) % 101 - 50)
+        .groupBy(col("doc_id")).agg(sum(col("c") * col("wf")).as("sw"))
+        .select(col("doc_id"), when(col("sw") >= 0, 1L).otherwise(-1L).as("y"))
+      val d = cnt.join(lab, "doc_id")
+        .select(col("doc_id"), col("b"), col("c"), col("y"))
+        .localCheckpoint() // iterated over — don't re-tokenize per step
+      val w = Array.fill(64)(0L)
+      val steps = (1 to iters).map { _ =>
+        val wlit = map(Array.tabulate(64)(b =>
+          Seq(lit(b.toLong), lit(w(b)))).flatten.toIndexedSeq: _*)
+        val m = d.groupBy(col("doc_id"))
+          .agg(sum(col("c") * element_at(wlit, col("b"))).as("mg"),
+            min(col("y")).as("y"))
+        val upd = d
+          .join(m.filter(col("y") * col("mg") <= 0).select(col("doc_id")), "doc_id")
+          .groupBy(col("b")).agg(sum(col("y") * col("c")).as("g"))
+          .collect()
+        for (r <- upd) w(r.getLong(0).toInt) += r.getLong(1)
+        w.clone()
+      }
+      base.mkdirs()
+      val tmp = java.io.File.createTempFile("clsfit", ".tmp", base)
+      val pw = new java.io.PrintWriter(tmp)
+      try steps.foreach(s => pw.println(s.mkString(","))) finally pw.close()
+      if (!tmp.renameTo(f) && !f.exists())
+        sys.error(s"could not publish classifier weights to $f")
+      steps
+    }
+  }
+
+  /** The learned weight trajectory, (iter, bucket, weight) — all three
+    * perceptron steps so the oracle checks the whole optimization path,
+    * not just the endpoint. See [[fitClassifier]] for semantics. */
+  private def textClassifierFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fitClassifier(spark, dir).zipWithIndex.flatMap { case (ws, i) =>
+      ws.zipWithIndex.map { case (wv, b) => (i + 1L, b.toLong, wv) }
+    }.toDF("iter", "b", "w").orderBy(col("iter"), col("b"))
+  }
+
+  /** text_classifier_score consuming the TRAINED weights: per-doc
+    * margin under the fit model, its label, the teacher (fixture)
+    * label, and whether they agree — the student-vs-teacher audit a
+    * distillation pipeline publishes. All-integer (margins and labels
+    * threshold exact BIGINTs); the scoring join is the same explode →
+    * bucket → 64-entry broadcast map → per-doc agg as the fixture
+    * scorer. */
+  private def textClassifierFitScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = fitClassifier(spark, dir).last
+    val wlit = map(Array.tabulate(64)(b =>
+      Seq(lit(b.toLong), lit(w(b)))).flatten.toIndexedSeq: _*)
+    hashedFeats(spark, dir)
+      .select(col("doc_id"), element_at(wlit, col("b")).as("wl"),
+        ((col("b") * 37) % 101 - 50).as("wf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("wl")).as("margin"),
+        sum(col("wf")).as("sw"))
+      .select(col("doc_id"), col("n_features"), col("margin"),
+        when(col("margin") >= 0, 1L).otherwise(0L).as("label"),
+        when(col("sw") >= 0, 1L).otherwise(0L).as("teacher"))
+      .withColumn("agree", when(col("label") === col("teacher"), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
   }
 
@@ -794,6 +896,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle re-derivation of the perceptron trajectory: featurize +
+    * teacher labels, then one (margin → misclassified-update → new
+    * weights) CTE block per training step. All-BIGINT, so the chain is
+    * bit-exact regardless of either engine's aggregation order. */
+  private def clsFitIterSql(i: Int): String = {
+    val p = i - 1
+    s""" m$i AS (SELECT d.doc_id, CAST(sum(d.c * w$p.w) AS BIGINT) AS mg,
+       |   min(d.y) AS y
+       |  FROM d JOIN w$p ON d.b = w$p.b GROUP BY d.doc_id),
+       | g$i AS (SELECT d.b, CAST(sum(d.y * d.c) AS BIGINT) AS g
+       |  FROM d JOIN m$i ON d.doc_id = m$i.doc_id
+       |  WHERE m$i.y * m$i.mg <= 0 GROUP BY d.b),
+       | w$i AS (SELECT w$p.b, w$p.w + coalesce(g$i.g, 0) AS w
+       |  FROM w$p LEFT JOIN g$i ON w$p.b = g$i.b)""".stripMargin
+  }
+
+  private val clsFitChainSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      | f AS (
+      |  SELECT doc_id, unnest(t || list_transform(generate_series(1, len(t) - 1),
+      |    i -> concat_ws(' ', t[i], t[i+1]))) AS feat
+      |  FROM tk WHERE len(t) >= 2),
+      | h AS (
+      |  SELECT doc_id,
+      |   CAST(('0x' || substr(md5('qc:' || feat), 1, 4)) AS BIGINT) % 64 AS b
+      |  FROM f),
+      | cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM h GROUP BY 1, 2),
+      | model AS (SELECT range AS b, (range * 37) % 101 - 50 AS w FROM range(64)),
+      | lab AS (SELECT doc_id,
+      |   CASE WHEN CAST(sum(c * w) AS BIGINT) >= 0 THEN CAST(1 AS BIGINT)
+      |        ELSE CAST(-1 AS BIGINT) END AS y
+      |  FROM cnt JOIN model USING (b) GROUP BY doc_id),
+      | d AS (SELECT cnt.doc_id, cnt.b, cnt.c, lab.y
+      |  FROM cnt JOIN lab ON cnt.doc_id = lab.doc_id),
+      | w0 AS (SELECT range AS b, CAST(0 AS BIGINT) AS w FROM range(64)),
+      |""".stripMargin +
+      (1 to 3).map(clsFitIterSql).mkString(",\n")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_ngram_novelty", Some(
       """WITH tk AS (
@@ -887,6 +1030,27 @@ object TextOps {
         |   / CAST(100 * n_features AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS score,
         | CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS label
         |FROM s ORDER BY doc_id""".stripMargin), textClassifierScore),
+
+    QueryDef("text_classifier_fit", Some(
+      s"""$clsFitChainSql
+        |SELECT CAST(1 AS BIGINT) AS iter, b, w FROM w1
+        |UNION ALL SELECT CAST(2 AS BIGINT), b, w FROM w2
+        |UNION ALL SELECT CAST(3 AS BIGINT), b, w FROM w3
+        |ORDER BY iter, b""".stripMargin), textClassifierFit),
+
+    QueryDef("text_classifier_fit_score", Some(
+      s"""$clsFitChainSql,
+        | s AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |   CAST(sum(w3.w) AS BIGINT) AS margin,
+        |   CAST(sum(model.w) AS BIGINT) AS sw
+        |  FROM h JOIN w3 ON h.b = w3.b JOIN model ON h.b = model.b
+        |  GROUP BY h.doc_id)
+        |SELECT doc_id, n_features, margin,
+        | CASE WHEN margin >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS label,
+        | CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS teacher,
+        | CASE WHEN (margin >= 0) = (sw >= 0) THEN CAST(1 AS BIGINT) ELSE 0 END
+        |   AS agree
+        |FROM s ORDER BY doc_id""".stripMargin), textClassifierFitScore),
 
     QueryDef("text_bpe_tokenize", Some(
       s"""$bpeSegSql,

@@ -341,6 +341,53 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("mm simhash pigeonhole recovers planted byte-perturbed payloads (hamming <= 3)") {
+    // the multimodal twin of the text simhash planted test: payloads
+    // are the documents' bytes; plant (a) exact byte copies (hamming 0
+    // — unconditionally found) and (b) single-byte edits mid-payload
+    // (a 1-byte edit rewrites only the 8 byte-shingles crossing it, so
+    // long payloads land at small TRUE hamming); assert every planted
+    // pair whose true hamming is <= 3 surfaces. The <= 3 over 4
+    // disjoint 16-bit blocks guarantee is absolute — misses are
+    // banding-join bugs, never sampling noise.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_mm").getAbsolutePath
+    val src = Tables.documents(spark, sf)
+    val exact = src.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val edited = src.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("#"),
+          substring(col("text"), 22, 1 << 30)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    src.unionByName(exact).unionByName(edited).coalesce(1)
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val pairs = SparkEntry.queries("mm_simhash_pairs")(spark, planted)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { q0 =>
+      assert(pairs.contains((q0.toLong, q0 + 100000L)),
+        s"exact payload copy pair ($q0, ${q0 + 100000}) missed")
+    }
+    val sh = SparkEntry.queries("mm_simhash")(spark, planted)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recovered = (0 until 10).count { q0 =>
+      val h = java.lang.Long.bitCount(sh(q0.toLong) ^ sh(q0 + 200000L))
+      if (h <= 3)
+        assert(pairs.contains((q0.toLong, q0 + 200000L)),
+          s"edited pair ($q0, ${q0 + 200000}) at hamming $h missed — pigeonhole broken")
+      h <= 3
+    }
+    // the fingerprint must actually be perceptual: most 1-byte edits
+    // of a long payload stay within the hamming-3 ball (measured 10/10
+    // at sf0.001; floor leaves headroom for corpus regeneration)
+    assert(recovered >= 7,
+      s"only $recovered/10 single-byte edits landed within hamming 3 — " +
+        "byte-shingle simhash lost its locality")
+  }
+
   test("bidirectional containment pairs are jaccard pairs (C>=0.8 both ways => J>=2/3)") {
     // |A∩B| >= 0.8·max(|A|,|B|) in both directions forces
     // J = I/(|A|+|B|−I) >= 0.8/1.2 — comfortably over the jaccard
