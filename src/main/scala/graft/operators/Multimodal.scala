@@ -164,7 +164,7 @@ object Multimodal {
   }
 
   /** Codec-free PERCEPTUAL fingerprint of the binary payload: 64-bit
-    * SimHash over the payload's byte-level 8-gram rolling hashes — the
+    * SimHash over the payload's byte-level 4-gram rolling hashes — the
     * near-dup signature for media blobs that exact hashing (dedup_exact
     * on md5) structurally misses: re-muxed / metadata-patched / few-byte
     * -edited payloads share almost all byte shingles, so their
@@ -173,6 +173,15 @@ object Multimodal {
     * DECODED perceptual features instead; the byte-shingle form is the
     * codec-free lower rung that already catches container-level dups,
     * and the banding machinery downstream is identical.)
+    *
+    * Window = 4 bytes (the text twin uses token 3-grams): a k-byte
+    * window means a 1-byte edit rewrites exactly k shingles, so
+    * locality degrades linearly in k; at the short-payload end of the
+    * corpus (hundreds of bytes) k=8 perturbed enough of the shingle
+    * multiset to flip 4+ fingerprint bits, while k=4 keeps planted
+    * single-byte edits inside the pairs join's Hamming ball with
+    * measured headroom (InvariantSpec planted contract: 10/10 at
+    * floor 7).
     *
     * Scale: rolling_hash is one codegen'd O(n_bytes) pass per row;
     * explode + simhash_agg map-side-combine to ONE 64-counter buffer
@@ -185,23 +194,31 @@ object Multimodal {
     graft.functions.SimHashAgg.register(spark)
     documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-      .select(col("doc_id"), explode(expr("rolling_hash(payload, 8)")).as("h"))
+      .select(col("doc_id"), explode(expr("rolling_hash(payload, 4)")).as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(h)").as("simhash"))
       .orderBy(col("doc_id"))
   }
 
   /** Perceptual near-dup PAIRS for the multimodal column via the same
-    * pigeonhole banding join as dedup_simhash_pairs: 4×16-bit blocks —
-    * Hamming ≤ 3 forces ≥ 1 identical block, so candidates come from
-    * (block_idx, block) equi-joins (never all-pairs), then exact
-    * bit_count(xor) confirms. Extends the dedup family to binary
-    * payloads per the north star: byte shingles → simhash → banding. */
+    * pigeonhole banding join as dedup_simhash_pairs, but with a wider
+    * Hamming ball: 8×8-bit blocks — Hamming ≤ 7 forces ≥ 1 identical
+    * block, so candidates come from (block_idx, block) equi-joins
+    * (never all-pairs), then exact bit_count(xor) confirms. Byte-level
+    * fingerprints are noisier than token-level ones (one edited byte
+    * touches every shingle crossing it), so the media ball is ≤ 7
+    * where the text twin uses ≤ 3; the pigeonhole guarantee is the
+    * same shape, just 8 narrower bands. 8-bit blocks mean ~n/256 docs
+    * per bucket vs ~n/65536 — still equi-join-bounded at lake scale
+    * (the candidate explosion ceiling is sum over buckets of c², and a
+    * uniform 64-bit fingerprint keeps buckets near-uniform). Extends
+    * the dedup family to binary payloads per the north star: byte
+    * shingles → simhash → banding. */
   private def mmSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sim = mmSimhash(spark, dir)
     val blocks = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("block_idx", "block")))
     blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
@@ -211,7 +228,7 @@ object Multimodal {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast(LongType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 7)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 

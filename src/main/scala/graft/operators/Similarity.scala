@@ -605,6 +605,78 @@ object Similarity {
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnMultiprobe),
 
+    // both sides deterministic (literal planes, r6 cosines), so the
+    // full confusion matrix is oracle-checked: the predicted side is
+    // sim_ann_multiprobe's scored relation, the truth side is the
+    // same brute-force top-k sim_cosine_topk mirrors (k=3 here).
+    QueryDef("sim_ann_eval", Some {
+      val bucketSql = planes(12, 64).zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_inner_product(e, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (
+         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm,
+         |   $bucketSql AS bucket
+         |  FROM v),
+         | probes AS (
+         |  SELECT vec_id AS qid, e AS qe, nrm AS qnrm,
+         |   CASE WHEN i = 0 THEN bucket
+         |        ELSE xor(bucket, (1::BIGINT << (i - 1))) END AS pbucket
+         |  FROM n, unnest(range(0, 13)) AS g(i) WHERE vec_id < 10),
+         | scored AS (
+         |  SELECT p.qid, c.vec_id AS cid,
+         |   floor(list_inner_product(p.qe, c.e) / (p.qnrm * c.nrm) * 1000000 + 0.5)
+         |     / 1000000 AS cs
+         |  FROM probes p JOIN n c ON c.bucket = p.pbucket AND c.vec_id <> p.qid),
+         | cand AS (SELECT qid, cid, 1 AS c FROM scored),
+         | pred AS (
+         |  SELECT qid, cid, 1 AS p FROM (
+         |   SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+         |   FROM scored) WHERE rnk <= 3),
+         | truthp AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5)
+         |     / 1000000 AS cs
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | truth AS (
+         |  SELECT qid, cid, 1 AS t FROM (
+         |   SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+         |   FROM truthp) WHERE rnk <= 3),
+         | uni AS (
+         |  SELECT coalesce(cp.c, 0) AS c, coalesce(cp.p, 0) AS p,
+         |   coalesce(t.t, 0) AS t
+         |  FROM (SELECT cand.qid, cand.cid, cand.c, pred.p
+         |        FROM cand LEFT JOIN pred
+         |        ON cand.qid = pred.qid AND cand.cid = pred.cid) cp
+         |  FULL OUTER JOIN truth t ON cp.qid = t.qid AND cp.cid = t.cid),
+         | s AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_cand,
+         |   CAST(sum(p) AS BIGINT) AS n_pred,
+         |   CAST(sum(t) AS BIGINT) AS n_truth,
+         |   CAST(sum(c * t) AS BIGINT) AS cand_tp,
+         |   CAST(sum(p * t) AS BIGINT) AS tp
+         |  FROM uni)
+         |SELECT n_cand, n_pred, n_truth, cand_tp, tp,
+         | CASE WHEN n_truth > 0 THEN
+         |  floor(CAST(cand_tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+         | END AS cand_recall,
+         | CASE WHEN n_pred > 0 THEN
+         |  floor(CAST(tp AS DOUBLE) / n_pred * 1000000 + 0.5) / 1000000
+         | END AS prec,
+         | CASE WHEN n_truth > 0 THEN
+         |  floor(CAST(tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+         | END AS rec,
+         | CASE WHEN tp > 0 THEN
+         |  floor(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_truth)
+         |   / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_truth))
+         |   * 1000000 + 0.5) / 1000000
+         | END AS f1
+         |FROM s""".stripMargin
+    }, simAnnEval),
+
     QueryDef("sim_rp_project", Some {
       val rows = planes(16, 64).zipWithIndex.map { case (p, j) =>
         s"(CAST($j AS BIGINT), [${p.mkString(", ")}])"

@@ -341,14 +341,14 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
-  test("mm simhash pigeonhole recovers planted byte-perturbed payloads (hamming <= 3)") {
+  test("mm simhash pigeonhole recovers planted byte-perturbed payloads (hamming <= 7)") {
     // the multimodal twin of the text simhash planted test: payloads
     // are the documents' bytes; plant (a) exact byte copies (hamming 0
     // — unconditionally found) and (b) single-byte edits mid-payload
-    // (a 1-byte edit rewrites only the 8 byte-shingles crossing it, so
+    // (a 1-byte edit rewrites only the 4 byte-shingles crossing it, so
     // long payloads land at small TRUE hamming); assert every planted
-    // pair whose true hamming is <= 3 surfaces. The <= 3 over 4
-    // disjoint 16-bit blocks guarantee is absolute — misses are
+    // pair whose true hamming is <= 7 surfaces. The <= 7 over 8
+    // disjoint 8-bit blocks guarantee is absolute — misses are
     // banding-join bugs, never sampling noise.
     val planted = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_planted_mm").getAbsolutePath
@@ -375,16 +375,21 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recovered = (0 until 10).count { q0 =>
       val h = java.lang.Long.bitCount(sh(q0.toLong) ^ sh(q0 + 200000L))
-      if (h <= 3)
+      if (h <= 7)
         assert(pairs.contains((q0.toLong, q0 + 200000L)),
           s"edited pair ($q0, ${q0 + 200000}) at hamming $h missed — pigeonhole broken")
-      h <= 3
+      h <= 7
     }
     // the fingerprint must actually be perceptual: most 1-byte edits
-    // of a long payload stay within the hamming-3 ball (measured 10/10
-    // at sf0.001; floor leaves headroom for corpus regeneration)
+    // of a long payload stay within the hamming-7 ball. Floor 7 is a
+    // REGENERATION-ROBUST margin under a measured 10/10 (2026-08-13
+    // testdata generation; the pre-fix 8-gram/ball-3 form measured
+    // 3/10, so the floor separates the two regimes cleanly). If a
+    // future testdata regeneration trips this, re-measure per
+    // CLAUDE.md before touching the floor: the failure message prints
+    // the measured count.
     assert(recovered >= 7,
-      s"only $recovered/10 single-byte edits landed within hamming 3 — " +
+      s"only $recovered/10 single-byte edits landed within hamming 7 — " +
         "byte-shingle simhash lost its locality")
   }
 
