@@ -149,13 +149,17 @@ object TextOps {
       .otherwise(size(split(sub, " ")).cast(LongType))
   }
 
-  /** Subword tokenizer-apply over the corpus: per doc, the whitespace
-    * token count, the subword token count under the fixture merge
-    * table, and an md5 over the full in-order piece stream (so the
-    * oracle checks the exact segmentation, not just its length). */
-  private def textBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
-    registerBpe(spark)
-    graft.Tables.fanout(documents(spark, dir))
+  /** The STATELESS tokenizer-apply projection, shared verbatim by the
+    * batch query below and its Structured Streaming twin
+    * ([[graft.streaming.StreamingOps.bpeTokenize]];
+    * StreamBatchParitySpec asserts row-set equality): per doc, the
+    * whitespace token count, the subword count under the fixture merge
+    * table, and an md5 over the full in-order piece stream. No agg, no
+    * window — on a stream it needs no watermark and runs in append
+    * mode with zero state. */
+  private[graft] def bpeTokenizeCols(docs: DataFrame): DataFrame = {
+    registerBpe(docs.sparkSession)
+    docs
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast(LongType).as("ws_tokens"),
@@ -163,8 +167,15 @@ object TextOps {
       .select(col("doc_id"), col("ws_tokens"),
         size(col("ps")).cast(LongType).as("subword_tokens"),
         md5(concat_ws(" ", col("ps"))).as("sub_md5"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Subword tokenizer-apply over the corpus: per doc, the whitespace
+    * token count, the subword token count under the fixture merge
+    * table, and an md5 over the full in-order piece stream (so the
+    * oracle checks the exact segmentation, not just its length). */
+  private def textBpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeCols(graft.Tables.fanout(documents(spark, dir)))
+      .orderBy(col("doc_id"))
 
   /** BPE merge-TRAINING step: corpus-wide adjacent piece-pair counts
     * under the current vocab — the statistic a BPE trainer maximizes

@@ -275,4 +275,17 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       bands.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
     }
+
+  /** Tokenize-on-ingest: the batch `text_bpe_tokenize` projection
+    * (graft.operators.TextOps.bpeTokenizeCols) applied UNCHANGED to a
+    * streaming document source — per doc, whitespace token count,
+    * subword count under the fixture merges, and the md5 of the
+    * in-order piece stream. Fully stateless (no agg, no watermark;
+    * append mode), so the streaming plan is the batch plan minus the
+    * sort: token accounting lands incrementally as documents arrive,
+    * the ingest half of a training-data pipeline's token budget.
+    * StreamBatchParitySpec asserts row-set equality with the batch
+    * query on a replayed corpus. */
+  def bpeTokenize(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.bpeTokenizeCols(docs)
 }

@@ -287,4 +287,31 @@ class StreamBatchParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streamed BPE tokenize equals the batch text_bpe_tokenize row set") {
+    // stateless projection parity: the streaming op IS the batch
+    // projection (TextOps.bpeTokenizeCols), so a replayed corpus must
+    // produce the identical (doc_id, ws_tokens, subword_tokens,
+    // sub_md5) set — md5 over the in-order piece stream makes this an
+    // exact segmentation check, not just a count check.
+    val batchDocs = Tables.documents(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs"
+    batchDocs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir)
+    val q = StreamingOps.bpeTokenize(stream)
+      .writeStream.format("memory").queryName("bpe_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("bpe_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = SparkEntry.queries("text_bpe_tokenize")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch,
+      s"streamed BPE tokenize diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
