@@ -52,7 +52,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Committed by default (repo cwd): the stdout line is truncated to
+    // the harness's tail capture (~72 visible queries), which made the
+    // r8→r9 noise diagnosis needlessly slow — the full per-query map in
+    // a line-per-query committed artifact makes every round-over-round
+    // timing diff a one-line `git diff bench_results.json` read.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,8 +114,24 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // line-per-query so git diffs of the committed artifact are readable
+    val fullJson = {
+      val qLines = results.map { case (k, v) =>
+        "    \"" + k + "\": " +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString(",\n")
+      s"""{
+         |  "metric": "total",
+         |  "value": ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))},
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "n_queries": ${results.size},
+         |  "failed": $failedJson,
+         |  "queries": {
+         |$qLines
+         |  }
+         |}""".stripMargin
+    }
     // The full per-query detail goes to the file artifact; stdout gets a
     // COMPACT line (headline queries only) because the harness captures
     // only the tail of stdout — a 94-query map overflows the capture and
