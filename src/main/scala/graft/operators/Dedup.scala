@@ -147,15 +147,20 @@ object Dedup {
     * `simhash_agg` TypedImperativeAggregate (one tight loop per row —
     * see graft.functions.SimHashAgg for why not 64 sum(when(...))
     * columns). xxhash64 is Spark-native ⇒ no oracle. */
-  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered fingerprint core — the pairs self-join consumes this
+    * (a sort below a self-join is two wasted range exchanges); the
+    * standalone query adds the presentation sort. */
+  private def dedupSimhashCore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHashAgg.register(spark)
     fanout(documents(spark, dir))
       .select(col("doc_id"), explode(toks).as("word"))
       .withColumn("h", xxhash64(col("word")))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(h)").as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashCore(spark, dir).orderBy(col("doc_id"))
 
   /** The complete MinHash dedup pipeline, oracle-checked end-to-end:
     * LSH banding generates candidate pairs (no all-pairs), then exact
@@ -319,7 +324,7 @@ object Dedup {
     * `bit_count(xor)` filter confirms. Same no-all-pairs shape as the
     * MinHash banding join. */
   private def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = dedupSimhash(spark, dir)
+    val sim = dedupSimhashCore(spark, dir)
     val blocks = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))

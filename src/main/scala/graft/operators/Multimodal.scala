@@ -178,10 +178,10 @@ object Multimodal {
     * window means a 1-byte edit rewrites exactly k shingles, so
     * locality degrades linearly in k; at the short-payload end of the
     * corpus (hundreds of bytes) k=8 perturbed enough of the shingle
-    * multiset to flip 4+ fingerprint bits, while k=4 keeps planted
-    * single-byte edits inside the pairs join's Hamming ball with
-    * measured headroom (InvariantSpec planted contract: 10/10 at
-    * floor 7).
+    * multiset to flip 4+ fingerprint bits (measured planted recovery
+    * 3/10 at ball 3), while k=4 keeps planted single-byte edits at
+    * measured Hamming 0–3 — 10/10 inside the pairs join's ball 3
+    * (InvariantSpec planted contract, floor 7 with headroom).
     *
     * Scale: rolling_hash is one codegen'd O(n_bytes) pass per row;
     * explode + simhash_agg map-side-combine to ONE 64-counter buffer
@@ -189,7 +189,11 @@ object Multimodal {
     * never byte shingles. Spark-only hash bits ⇒ no oracle; the
     * pigeonhole recovery guarantee is planted-fixture-tested
     * (InvariantSpec). */
-  private def mmSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered fingerprint core — shared by the standalone query
+    * (which adds the presentation sort) and the pairs join (which must
+    * NOT inherit it: a sort below a self-join drags two full range
+    * exchanges of every fingerprint into the plan for nothing). */
+  private def mmSimhashCore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.RollingHash.register(spark)
     graft.functions.SimHashAgg.register(spark)
     documents(spark, dir)
@@ -197,28 +201,31 @@ object Multimodal {
       .select(col("doc_id"), explode(expr("rolling_hash(payload, 4)")).as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(h)").as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
+  private def mmSimhash(spark: SparkSession, dir: String): DataFrame =
+    mmSimhashCore(spark, dir).orderBy(col("doc_id"))
+
   /** Perceptual near-dup PAIRS for the multimodal column via the same
-    * pigeonhole banding join as dedup_simhash_pairs, but with a wider
-    * Hamming ball: 8×8-bit blocks — Hamming ≤ 7 forces ≥ 1 identical
-    * block, so candidates come from (block_idx, block) equi-joins
-    * (never all-pairs), then exact bit_count(xor) confirms. Byte-level
-    * fingerprints are noisier than token-level ones (one edited byte
-    * touches every shingle crossing it), so the media ball is ≤ 7
-    * where the text twin uses ≤ 3; the pigeonhole guarantee is the
-    * same shape, just 8 narrower bands. 8-bit blocks mean ~n/256 docs
-    * per bucket vs ~n/65536 — still equi-join-bounded at lake scale
-    * (the candidate explosion ceiling is sum over buckets of c², and a
-    * uniform 64-bit fingerprint keeps buckets near-uniform). Extends
-    * the dedup family to binary payloads per the north star: byte
-    * shingles → simhash → banding. */
+    * pigeonhole banding join as dedup_simhash_pairs: 4×16-bit blocks —
+    * Hamming ≤ 3 forces ≥ 1 identical block, so candidates come from
+    * (block_idx, block) equi-joins (never all-pairs), then exact
+    * bit_count(xor) confirms. The 4-byte shingle window upstream makes
+    * ball 3 sufficient: planted single-byte edits measure Hamming 0–3
+    * (10/10 recovered; the old 8-byte window needed 4+ bits and missed
+    * 7/10). The ball deliberately stays TIGHT — text corpora share so
+    * many byte 4-grams that fingerprints correlate across unrelated
+    * docs (measured at sf0.1: 2.8k pairs at ball 3 vs 230k at ball 7,
+    * i.e. a wide ball floods the output with boilerplate pairs AND
+    * explodes the 8-bit-band candidate volume Σc² on skewed buckets).
+    * 16-bit bands keep buckets ~n/65536 — equi-join-bounded at lake
+    * scale. Extends the dedup family to binary payloads per the north
+    * star: byte shingles → simhash → banding. */
   private def mmSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = mmSimhash(spark, dir)
+    val sim = mmSimhashCore(spark, dir)
     val blocks = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL))): _*))
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("block_idx", "block")))
     blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
@@ -228,7 +235,7 @@ object Multimodal {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast(LongType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 3)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 

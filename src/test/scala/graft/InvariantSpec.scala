@@ -341,14 +341,14 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
-  test("mm simhash pigeonhole recovers planted byte-perturbed payloads (hamming <= 7)") {
+  test("mm simhash pigeonhole recovers planted byte-perturbed payloads (hamming <= 3)") {
     // the multimodal twin of the text simhash planted test: payloads
     // are the documents' bytes; plant (a) exact byte copies (hamming 0
     // — unconditionally found) and (b) single-byte edits mid-payload
     // (a 1-byte edit rewrites only the 4 byte-shingles crossing it, so
     // long payloads land at small TRUE hamming); assert every planted
-    // pair whose true hamming is <= 7 surfaces. The <= 7 over 8
-    // disjoint 8-bit blocks guarantee is absolute — misses are
+    // pair whose true hamming is <= 3 surfaces. The <= 3 over 4
+    // disjoint 16-bit blocks guarantee is absolute — misses are
     // banding-join bugs, never sampling noise.
     val planted = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_planted_mm").getAbsolutePath
@@ -375,21 +375,21 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recovered = (0 until 10).count { q0 =>
       val h = java.lang.Long.bitCount(sh(q0.toLong) ^ sh(q0 + 200000L))
-      if (h <= 7)
+      if (h <= 3)
         assert(pairs.contains((q0.toLong, q0 + 200000L)),
           s"edited pair ($q0, ${q0 + 200000}) at hamming $h missed — pigeonhole broken")
-      h <= 7
+      h <= 3
     }
-    // the fingerprint must actually be perceptual: most 1-byte edits
-    // of a long payload stay within the hamming-7 ball. Floor 7 is a
-    // REGENERATION-ROBUST margin under a measured 10/10 (2026-08-13
-    // testdata generation; the pre-fix 8-gram/ball-3 form measured
-    // 3/10, so the floor separates the two regimes cleanly). If a
-    // future testdata regeneration trips this, re-measure per
-    // CLAUDE.md before touching the floor: the failure message prints
-    // the measured count.
+    // the fingerprint must actually be perceptual: with the 4-byte
+    // shingle window, 1-byte edits stay within the hamming-3 ball.
+    // Floor 7 is a REGENERATION-ROBUST margin under a measured 10/10
+    // (2026-08-13 testdata generation, per-pair hammings 0,0,1,3,1,1,
+    // 1,0,1,1; the old 8-byte window measured 3/10, so the floor
+    // separates the regimes cleanly). If a future testdata
+    // regeneration trips this, re-measure per CLAUDE.md before
+    // touching the floor: the failure message prints the count.
     assert(recovered >= 7,
-      s"only $recovered/10 single-byte edits landed within hamming 7 — " +
+      s"only $recovered/10 single-byte edits landed within hamming 3 — " +
         "byte-shingle simhash lost its locality")
   }
 
