@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Headline queries for the compact stdout line — one representative
-    * per operator family, sized so the JSON line stays well under the
-    * harness's 2000-char stdout-tail capture. */
+  /** Plan-drift tripwire set (consumed by PlanShapes/PlanDriftSpec):
+    * one representative per operator family. Since round 10 the
+    * compact stdout line carries the 40 slowest queries instead, so
+    * this set no longer affects the harness capture — grow it freely
+    * when a new family lands. */
   val headline: Set[String] = Set(
     "q1_pricing_summary", "sql_q3_shipping", "sql_q5_local_supplier",
     "sql_q18_large_orders", "sql_scalar_subquery",
@@ -47,7 +49,10 @@ object Bench {
     "pipeline_dataset_card", "dedup_minhash_eval", "events_peak_detection",
     "events_dwell_time", "stats_benford", "text_ngram_novelty",
     "events_pareto_share", "agg_distinct_salted", "orders_backlog",
-    "agg_ship_lag", "sql_transitive_closure")
+    "agg_ship_lag", "sql_transitive_closure",
+    // round-10 additions: new/changed this round
+    "sim_ann_eval", "text_classifier_fit_score", "mm_simhash_pairs",
+    "dedup_simhash_pairs", "sim_ann_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
