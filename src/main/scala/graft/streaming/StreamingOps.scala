@@ -288,4 +288,39 @@ object StreamingOps {
     * query on a replayed corpus. */
   def bpeTokenize(docs: DataFrame): DataFrame =
     graft.operators.TextOps.bpeTokenizeCols(docs)
+
+  /** Score-on-ingest: the fixture quality classifier
+    * (`text_classifier_score` semantics — md5-hashed word uni+bigrams
+    * into 64 buckets, integer centiweights, logistic link) applied to
+    * a streaming document source. The BATCH query uses the distributed
+    * shape (explode → broadcast model join → per-doc agg: right when a
+    * doc's features should never sit in one task); the streaming twin
+    * computes the identical integer sum as a PER-ROW array fold
+    * (`transform` + `aggregate` over the feature array), so it is
+    * completely stateless — no shuffle, no watermark, append mode —
+    * and a doc is scored in the micro-batch it arrives in.
+    * StreamBatchParitySpec asserts exact row-set equality (the sum is
+    * an exact BIGINT either way; the only floats are the shared final
+    * division + exp, identical expressions on identical inputs). */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val bg = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), concat(col("tk"), bg).as("feats"))
+      .select(col("doc_id"), size(col("feats")).cast(LongType).as("n_features"),
+        aggregate(
+          transform(col("feats"), f =>
+            conv(substring(md5(concat(lit("qc:"), f)), 1, 4), 16, 10)
+              .cast(LongType) % 64),
+          lit(0L), (acc, b) => acc + (b * 37) % 101 - 50).as("sw"))
+      .select(col("doc_id"), col("n_features"),
+        graft.Parity.r6(lit(1.0) / (lit(1.0) +
+          exp((-col("sw")).cast(DoubleType) /
+            (col("n_features") * 100).cast(DoubleType)))).as("score"),
+        when(col("sw") >= 0, 1L).otherwise(0L).as("label"))
+  }
 }

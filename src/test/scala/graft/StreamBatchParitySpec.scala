@@ -314,4 +314,31 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream-only ${(streamed -- batch).take(3)}, " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  test("streamed classifier score equals the batch text_classifier_score row set") {
+    // different plan shapes, identical semantics: the batch query
+    // scores via explode -> broadcast model join -> per-doc agg, the
+    // streaming twin via a stateless per-row array fold. The bucket
+    // weight sum is an exact BIGINT either way, so equality is exact,
+    // including the r6-rounded logistic score.
+    val batchDocs = Tables.documents(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_cls"
+    batchDocs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir)
+    val q = StreamingOps.classifierScore(stream)
+      .writeStream.format("memory").queryName("cls_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val streamed = spark.table("cls_parity").collect().map(key).toSet
+    val batch = SparkEntry.queries("text_classifier_score")(spark, TestSpark.sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"streamed classifier score diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
