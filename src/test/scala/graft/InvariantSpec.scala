@@ -393,6 +393,25 @@ class InvariantSpec extends AnyFunSuite {
         "byte-shingle simhash lost its locality")
   }
 
+  test("mm simhash pairs stay selective on the raw corpus (no ball-width regression)") {
+    // the flip side of the planted-recovery contract: a near-dup
+    // signal must also REJECT. Text corpora share so many byte 4-grams
+    // that fingerprints correlate across unrelated docs, so widening
+    // the Hamming ball floods the output (round 10 measured ball 7 =
+    // 9% of ALL doc pairs at sf0.1 — noise, not dedup). Raw-corpus
+    // pairs at ball 3: measured 55 at sf0.001 (500 docs, 124,750
+    // possible pairs = 0.04%). The 1% ceiling leaves two orders of
+    // magnitude regeneration headroom while any ball-widening (or
+    // fingerprint-collapse) regression blows straight past it.
+    val n = Tables.documents(spark, sf).count()
+    val pairs = q("mm_simhash_pairs").count()
+    val frac = pairs.toDouble / (n.toDouble * (n - 1) / 2)
+    info(f"raw-corpus pair fraction: $frac%.5f ($pairs of ${n * (n - 1) / 2})")
+    assert(frac <= 0.01,
+      f"mm_simhash_pairs lost selectivity: $pairs pairs = $frac%.4f of all " +
+        "pairs — fingerprints collapsed or the Hamming ball widened")
+  }
+
   test("trained classifier agrees with its teacher on a held-out md5 split") {
     // the _fit/_fit_score oracles pin the exact weight trajectory
     // (hash parity = determinism), but a blind gate re-run would wave
