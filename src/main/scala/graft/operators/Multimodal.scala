@@ -1,16 +1,20 @@
 package graft.operators
 
 import graft.{Parity, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.10 / builder brief):
   * image/audio/video payloads modeled as opaque `binary` columns with
-  * typed metadata. No media codecs ship in this environment, so the
-  * decode step is a clearly-marked DETERMINISTIC STUB — but the
-  * Spark-side plumbing (binary schema, batch-iterator processing,
-  * partition-parallel decode, typed output schema) is real and tested.
+  * typed metadata. IMAGE decode is REAL since round 10 — the JDK's
+  * `javax.imageio` readers (PNG/JPEG/BMP/GIF) need no external codec
+  * libraries ([[Multimodal.decodeImages]], exactness-tested on planted
+  * encoded fixtures). Video/audio containers have no JDK demuxer, so
+  * that decode step remains a clearly-marked DETERMINISTIC STUB — and
+  * either way the Spark-side plumbing (binary schema, batch-iterator
+  * processing, partition-parallel decode, typed output schema) is real
+  * and tested.
   *
   * Scale: decode runs in `mapPartitions` — one iterator per partition,
   * the Scala analogue of `mapInPandas` batch processing: codec state is
@@ -24,6 +28,66 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, format: String)
+  /** Output row of the REAL image decoder ([[decodeImages]]). */
+  final case class ImageMeta(doc_id: Long, ok: Boolean, format: String,
+      width: Int, height: Int, avg_luma: Double)
+
+  /** Container sniff from magic bytes — codec-free, exact. */
+  private[graft] def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else "unknown"
+
+  /** REAL image decode — `javax.imageio` ships IN THE JDK (PNG, JPEG,
+    * BMP, GIF, WBMP readers; no external codec libraries), so the
+    * decode step itself is no longer environment-bound for images.
+    * Same mapPartitions batch contract as the declared stub: reader
+    * state amortizes per partition, rows stream through, parallelism
+    * is the file-split count; per row emit dimensions and mean
+    * BT.601 luminance (the cheap brightness feature a filtering
+    * pipeline thresholds on). Non-image payloads (or truncated bytes)
+    * yield ok=false rows rather than failing the partition — at lake
+    * scale a poisoned blob must never kill the job. Exactness is
+    * contract-tested on planted ImageIO-encoded fixtures
+    * (ImageDecodeSpec): lossless formats (PNG/BMP) round-trip
+    * dimensions AND per-pixel luminance bit-exactly. Video/audio
+    * remain stub-only (`mm_decode_stub`) — no container demuxers in
+    * the JDK. */
+  private[graft] def decodeImages(docs: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) ImageMeta(r.doc_id, ok = false, sniffFormat(r.payload), 0, 0, 0.0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(r.doc_id, ok = true, sniffFormat(r.payload), w, h,
+              sum / (w.toLong * h))
+          }
+        } catch {
+          case _: Exception =>
+            ImageMeta(r.doc_id, ok = false, sniffFormat(r.payload), 0, 0, 0.0)
+        }
+      }
+    }
+  }
 
   /** Binary metadata extraction — oracle-checked (byte length + hex
     * prefix are codec-independent). */
