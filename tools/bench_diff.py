@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison over the committed artifact.
+
+Usage:
+  python3 tools/bench_diff.py              # working tree vs HEAD~1
+  python3 tools/bench_diff.py <ref>        # working tree vs <ref>
+  python3 tools/bench_diff.py <refA> <refB>
+
+Reads bench_results.json (full 263-query map) from each side and prints
+total drift plus the queries that moved most, with a noise hint: the
+r8/r9 episode showed identical bytecode drifting 25% run-over-run, so
+only flag a query when BOTH the ratio and the absolute delta are large.
+"""
+import json
+import subprocess
+import sys
+
+ARTIFACT = "bench_results.json"
+
+
+def load(ref):
+    if ref is None:
+        with open(ARTIFACT) as f:
+            return json.load(f)
+    out = subprocess.run(["git", "show", f"{ref}:{ARTIFACT}"],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.exit(f"no {ARTIFACT} at {ref}: {out.stderr.strip()}")
+    return json.loads(out.stdout)
+
+
+def main():
+    args = sys.argv[1:]
+    if len(args) == 0:
+        new, old, labels = load(None), load("HEAD~1"), ("worktree", "HEAD~1")
+    elif len(args) == 1:
+        new, old, labels = load(None), load(args[0]), ("worktree", args[0])
+    else:
+        new, old, labels = load(args[1]), load(args[0]), (args[1], args[0])
+
+    qn, qo = new["queries"], old["queries"]
+    print(f"total: {old['value']:.1f}s ({labels[1]}) -> {new['value']:.1f}s "
+          f"({labels[0]})  [{new['n_queries']} vs {old['n_queries']} queries]")
+    for name, side in (("added", set(qn) - set(qo)), ("removed", set(qo) - set(qn))):
+        if side:
+            print(f"{name}: {', '.join(sorted(side))}")
+
+    common = sorted(set(qn) & set(qo),
+                    key=lambda k: abs(qn[k] - qo[k]), reverse=True)
+    flagged = [k for k in common
+               if abs(qn[k] - qo[k]) >= 0.75
+               and max(qn[k], qo[k]) >= 2.0 * max(min(qn[k], qo[k]), 0.05)]
+    print(f"\nlargest moves (flagged = >=0.75s AND >=2x — below that is "
+          f"in-bench noise at this SF):")
+    for k in common[:15]:
+        mark = " <-- FLAG" if k in flagged else ""
+        print(f"  {qo[k]:7.3f} -> {qn[k]:7.3f}  {k}{mark}")
+
+
+if __name__ == "__main__":
+    main()
