@@ -74,6 +74,42 @@ class ImageDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("planted animated GIF decodes to exact per-frame rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    // solid-color frames: GIF palette quantization keeps a single color
+    // bit-exact, so per-frame luminance asserts exactly
+    val grays = Seq(40, 120, 200)
+    val frames = grays.map { g =>
+      val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+
+    val rows = Seq(MediaRow(20L, bos.toByteArray),
+      MediaRow(21L, "junk".getBytes("UTF-8"))) // contributes zero rows
+    val got = Multimodal.decodeFrames(rows.toDS().repartition(2))
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 3, s"expected 3 frames, got ${got.toSeq}")
+    got.zip(grays).zipWithIndex.foreach { case ((m, g), i) =>
+      assert(m.doc_id == 20L && m.frame_idx == i)
+      assert(m.width == 24 && m.height == 16)
+      // solid gray g: luma = g * (0.299 + 0.587 + 0.114) exactly as the
+      // decoder folds it
+      val expected = (0.299 * g + 0.587 * g + 0.114 * g)
+      assert(m.avg_luma == expected,
+        s"frame $i: luma ${m.avg_luma} != planted $expected")
+    }
+  }
+
   test("poisoned blobs yield ok=false rows, never task failures") {
     val spark2 = spark
     import spark2.implicits._
