@@ -302,6 +302,94 @@ object StreamingOps {
     * StreamBatchParitySpec asserts exact row-set equality (the sum is
     * an exact BIGINT either way; the only floats are the shared final
     * division + exp, identical expressions on identical inputs). */
+  final case class AsofEv(tsMs: Long, id: Long)
+  final case class AsofRow(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, is_trade: Boolean)
+  final case class AsofState(quotes: Seq[AsofEv], trades: Seq[AsofEv])
+  final case class AsofOut(purchase_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, click_id: Option[Long],
+      click_ts: Option[java.sql.Timestamp])
+
+  /** Stream-stream BACKWARD AS-OF join (the temporal enrich Flink
+    * calls a temporal join; Structured Streaming has no native
+    * operator for it): each trade-side event is enriched with the
+    * LATEST quote-side event at-or-before its timestamp, per key —
+    * batch `join_asof` semantics on two live streams.
+    *
+    * Correctness leans entirely on the watermark: a trade at t is
+    * emitted only once the watermark passes t, at which point every
+    * quote with ts ≤ t has arrived (later ones would be dropped as
+    * late), so "latest quote ≤ t" is final — the same
+    * emit-when-complete discipline as windowed aggregation, applied to
+    * a join. Both inputs are unioned with a side tag into ONE keyed
+    * stateful operator (the standard multi-input-state pattern).
+    *
+    * State is bounded per key: the in-flight trades inside the
+    * watermark horizon, the quotes at-or-above the watermark, and
+    * exactly ONE quote below it (the latest — the only one a future
+    * trade can still match; older quotes are provably dead and
+    * pruned). Event-time timeouts both flush matured trades and GC
+    * idle keys. StreamBatchParitySpec replays a corpus and asserts
+    * EXACT equality with the batch as-of join for every trade below
+    * the final watermark. */
+  def asofEnrich(trades: DataFrame, quotes: DataFrame,
+      watermark: String = "10 minutes"): Dataset[AsofOut] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val t = trades.select(col("user_id"), col("ts"), col("event_id"),
+      lit(true).as("is_trade"))
+    val q = quotes.select(col("user_id"), col("ts"), col("event_id"),
+      lit(false).as("is_trade"))
+    val unioned = t.unionByName(q).withWatermark("ts", watermark).as[AsofRow]
+
+    def flush(uid: Long, st: AsofState, wm: Long): (Seq[AsofOut], AsofState) = {
+      val (ready, pending) = st.trades.partition(_.tsMs < wm)
+      val outs = ready.sortBy(e => (e.tsMs, e.id)).map { tr =>
+        // latest quote at-or-before the trade; ties by id (mirrors the
+        // batch ORDER BY cts DESC, cid DESC)
+        val m = st.quotes.filter(_.tsMs <= tr.tsMs)
+          .sortBy(e => (e.tsMs, e.id)).lastOption
+        AsofOut(tr.id, uid, new java.sql.Timestamp(tr.tsMs), m.map(_.id),
+          m.map(x => new java.sql.Timestamp(x.tsMs)))
+      }
+      val (dead, live) = st.quotes.partition(_.tsMs < wm)
+      val keep = dead.sortBy(e => (e.tsMs, e.id)).lastOption.toSeq ++ live
+      (outs, AsofState(keep, pending))
+    }
+
+    def fn(uid: Long, rows: Iterator[AsofRow],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+      val st1 =
+        if (state.hasTimedOut) st0
+        else {
+          val rs = rows.toSeq
+          AsofState(
+            st0.quotes ++ rs.filter(!_.is_trade)
+              .map(r => AsofEv(r.ts.getTime, r.event_id)),
+            st0.trades ++ rs.filter(_.is_trade)
+              .map(r => AsofEv(r.ts.getTime, r.event_id)))
+        }
+      val (outs, st2) = flush(uid, st1, wm)
+      if (st2.trades.isEmpty && st2.quotes.isEmpty) state.remove()
+      else {
+        state.update(st2)
+        // wake when the oldest pending trade matures; with no pending
+        // trades, a far-future timer GCs the idle quote cache
+        val next =
+          if (st2.trades.nonEmpty) st2.trades.map(_.tsMs).min + 1
+          else wm + 24L * 3600000
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      outs.iterator
+    }
+
+    unioned.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   def classifierScore(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val tk = filter(split(col("text"), " "), t => t =!= "")

@@ -341,4 +341,57 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream-only ${(streamed -- batch).take(3)}, " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  test("stream-stream as-of join equals the batch backward as-of for matured trades") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batchEvents = Tables.events(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_asof"
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = StreamingOps.asofEnrich(
+        trades = stream.filter(col("event_type") === "purchase"),
+        quotes = stream.filter(col("event_type") === "click"),
+        watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.table("asof_parity")
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // batch truth: latest click at-or-before each purchase, ties by id
+    // (the join_asof family's backward semantics), restricted to
+    // purchases the final watermark matured
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wmCutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("cts").desc, col("cid").desc)
+    val expected = batchEvents.filter(col("event_type") === "purchase")
+      .filter(col("ts") < wmCutoff)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .join(batchEvents.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"),
+            col("event_id").as("cid")),
+        col("user_id") === col("cu") && col("cts") <= col("ts"), "left")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("purchase_id"), coalesce(col("cid"), lit(-1L)).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(expected.nonEmpty, "degenerate fixture: no matured purchases")
+    val missing = expected.keySet -- emitted.keySet
+    assert(missing.isEmpty,
+      s"trades matured by the watermark but never emitted: ${missing.take(5)}")
+    val wrong = expected.collect {
+      case (p, c) if emitted(p) != c => (p, c, emitted(p))
+    }
+    assert(wrong.isEmpty,
+      s"as-of matches diverged (purchase, batch click, streamed click): ${wrong.take(5)}")
+  }
 }
