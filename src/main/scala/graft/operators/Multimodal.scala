@@ -104,16 +104,22 @@ object Multimodal {
   private[graft] def decodeFrames(docs: Dataset[MediaRow]): Dataset[FrameMeta] = {
     import docs.sparkSession.implicits._
     docs.flatMap { r =>
+      // the ImageInputStream is disk-backed by default (FileCache) —
+      // close it and dispose the reader in finally, or every poisoned
+      // blob (valid header, corrupt frames) leaks an fd + temp file
+      var iis: javax.imageio.stream.ImageInputStream = null
+      var reader: javax.imageio.ImageReader = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        if (!readers.hasNext) Iterator.empty
         else {
-          val reader = readers.next()
+          reader = readers.next()
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val out = (0 until n).map { i =>
+          // materialize before the finally closes the reader
+          (0 until n).map { i =>
             val img = reader.read(i)
             val w = img.getWidth
             val h = img.getHeight
@@ -130,11 +136,14 @@ object Multimodal {
               y += 1
             }
             FrameMeta(r.doc_id, i, w, h, sum / (w.toLong * h))
-          }
-          reader.dispose(); iis.close()
-          out.iterator
+          }.iterator
         }
-      } catch { case _: Exception => Iterator.empty }
+      } catch {
+        case _: Exception => Iterator.empty
+      } finally {
+        if (reader != null) try reader.dispose() catch { case _: Exception => () }
+        if (iis != null) try iis.close() catch { case _: Exception => () }
+      }
     }
   }
 

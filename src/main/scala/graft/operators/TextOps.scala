@@ -749,7 +749,8 @@ object TextOps {
       spark: SparkSession, dir: String,
       epochs: Int = ClsFitEpochs): Seq[Array[Long]] = {
     val base = new java.io.File(graft.Caches.dir("clsfit", dir, Seq("documents")))
-    val f = new java.io.File(base, s"weights_seq_e$epochs.csv")
+    // both tunables in the name: a cap change must miss the cache too
+    val f = new java.io.File(base, s"weights_seq_e${epochs}_c$ClsFitSampleCap.csv")
     if (f.exists()) {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().toIndexedSeq.map(_.split(',').map(_.toLong))

@@ -289,19 +289,6 @@ object StreamingOps {
   def bpeTokenize(docs: DataFrame): DataFrame =
     graft.operators.TextOps.bpeTokenizeCols(docs)
 
-  /** Score-on-ingest: the fixture quality classifier
-    * (`text_classifier_score` semantics — md5-hashed word uni+bigrams
-    * into 64 buckets, integer centiweights, logistic link) applied to
-    * a streaming document source. The BATCH query uses the distributed
-    * shape (explode → broadcast model join → per-doc agg: right when a
-    * doc's features should never sit in one task); the streaming twin
-    * computes the identical integer sum as a PER-ROW array fold
-    * (`transform` + `aggregate` over the feature array), so it is
-    * completely stateless — no shuffle, no watermark, append mode —
-    * and a doc is scored in the micro-batch it arrives in.
-    * StreamBatchParitySpec asserts exact row-set equality (the sum is
-    * an exact BIGINT either way; the only floats are the shared final
-    * division + exp, identical expressions on identical inputs). */
   final case class AsofEv(tsMs: Long, id: Long)
   final case class AsofRow(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, is_trade: Boolean)
@@ -328,10 +315,14 @@ object StreamingOps {
     * watermark horizon, the quotes at-or-above the watermark, and
     * exactly ONE quote below it (the latest — the only one a future
     * trade can still match; older quotes are provably dead and
-    * pruned). Event-time timeouts both flush matured trades and GC
-    * idle keys. StreamBatchParitySpec replays a corpus and asserts
-    * EXACT equality with the batch as-of join for every trade below
-    * the final watermark. */
+    * pruned). Event-time timeouts flush matured trades, and keys idle
+    * past a 24 h event-time TTL are removed ENTIRELY — cached latest
+    * quote included — so total state is bounded by active keys, not
+    * lifetime keys. That is the standard temporal-join TTL tradeoff:
+    * a trade arriving after > TTL of silence on its key loses a match
+    * older than the TTL. StreamBatchParitySpec replays a corpus and
+    * asserts EXACT equality with the batch as-of join for every trade
+    * below the final watermark. */
   def asofEnrich(trades: DataFrame, quotes: DataFrame,
       watermark: String = "10 minutes"): Dataset[AsofOut] = {
     val spark = trades.sparkSession
@@ -342,18 +333,27 @@ object StreamingOps {
       lit(false).as("is_trade"))
     val unioned = t.unionByName(q).withWatermark("ts", watermark).as[AsofRow]
 
+    val idleTtlMs = 24L * 3600000
+
     def flush(uid: Long, st: AsofState, wm: Long): (Seq[AsofOut], AsofState) = {
       val (ready, pending) = st.trades.partition(_.tsMs < wm)
+      // one sort of each side per flush, then a monotone merge-scan:
+      // trades ascending, quote pointer only ever advances — O(T + Q)
+      // matching after the O(Q log Q) sort (not a sort per trade)
+      val sortedQuotes = st.quotes.sortBy(e => (e.tsMs, e.id)).toIndexedSeq
+      var qi = 0
+      var best: Option[AsofEv] = None
       val outs = ready.sortBy(e => (e.tsMs, e.id)).map { tr =>
         // latest quote at-or-before the trade; ties by id (mirrors the
         // batch ORDER BY cts DESC, cid DESC)
-        val m = st.quotes.filter(_.tsMs <= tr.tsMs)
-          .sortBy(e => (e.tsMs, e.id)).lastOption
-        AsofOut(tr.id, uid, new java.sql.Timestamp(tr.tsMs), m.map(_.id),
-          m.map(x => new java.sql.Timestamp(x.tsMs)))
+        while (qi < sortedQuotes.length && sortedQuotes(qi).tsMs <= tr.tsMs) {
+          best = Some(sortedQuotes(qi)); qi += 1
+        }
+        AsofOut(tr.id, uid, new java.sql.Timestamp(tr.tsMs), best.map(_.id),
+          best.map(x => new java.sql.Timestamp(x.tsMs)))
       }
-      val (dead, live) = st.quotes.partition(_.tsMs < wm)
-      val keep = dead.sortBy(e => (e.tsMs, e.id)).lastOption.toSeq ++ live
+      val (dead, live) = sortedQuotes.partition(_.tsMs < wm)
+      val keep = dead.lastOption.toSeq ++ live
       (outs, AsofState(keep, pending))
     }
 
@@ -372,14 +372,23 @@ object StreamingOps {
               .map(r => AsofEv(r.ts.getTime, r.event_id)))
         }
       val (outs, st2) = flush(uid, st1, wm)
-      if (st2.trades.isEmpty && st2.quotes.isEmpty) state.remove()
+      // Idle-key GC: with no in-flight trades and no quote newer than
+      // the TTL horizon, drop the key entirely — including its cached
+      // latest quote. This bounds state by ACTIVE keys at the
+      // documented cost (the temporal-join TTL tradeoff): a trade
+      // arriving after > TTL of key silence loses a match older than
+      // the TTL. Without this, every key ever seen would pin one quote
+      // row forever.
+      val idle = st2.trades.isEmpty &&
+        st2.quotes.forall(_.tsMs < wm - idleTtlMs)
+      if (idle) state.remove()
       else {
         state.update(st2)
         // wake when the oldest pending trade matures; with no pending
-        // trades, a far-future timer GCs the idle quote cache
+        // trades, at the TTL horizon to GC the idle quote cache
         val next =
           if (st2.trades.nonEmpty) st2.trades.map(_.tsMs).min + 1
-          else wm + 24L * 3600000
+          else st2.quotes.map(_.tsMs).max + idleTtlMs
         state.setTimeoutTimestamp(math.max(next, wm + 1))
       }
       outs.iterator
@@ -390,6 +399,19 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Score-on-ingest: the fixture quality classifier
+    * (`text_classifier_score` semantics — md5-hashed word uni+bigrams
+    * into 64 buckets, integer centiweights, logistic link) applied to
+    * a streaming document source. The BATCH query uses the distributed
+    * shape (explode → broadcast model join → per-doc agg: right when a
+    * doc's features should never sit in one task); the streaming twin
+    * computes the identical integer sum as a PER-ROW array fold
+    * (`transform` + `aggregate` over the feature array), so it is
+    * completely stateless — no shuffle, no watermark, append mode —
+    * and a doc is scored in the micro-batch it arrives in.
+    * StreamBatchParitySpec asserts exact row-set equality (the sum is
+    * an exact BIGINT either way; the only floats are the shared final
+    * division + exp, identical expressions on identical inputs). */
   def classifierScore(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val tk = filter(split(col("text"), " "), t => t =!= "")

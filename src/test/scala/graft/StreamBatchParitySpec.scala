@@ -359,10 +359,15 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
 
-    val emitted = spark.table("asof_parity")
+    val emittedRows = spark.table("asof_parity")
       .select(col("purchase_id"), col("click_id"))
       .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // append-mode exactly-once: a purchase must emit at most once
+    // (toMap would silently mask a double emission)
+    val dups = emittedRows.groupBy(_._1).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"purchases emitted more than once: ${dups.take(5)}")
+    val emitted = emittedRows.toMap
 
     // batch truth: latest click at-or-before each purchase, ties by id
     // (the join_asof family's backward semantics), restricted to

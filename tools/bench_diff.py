@@ -52,7 +52,10 @@ def main():
                and max(qn[k], qo[k]) >= 2.0 * max(min(qn[k], qo[k]), 0.05)]
     print(f"\nlargest moves (flagged = >=0.75s AND >=2x — below that is "
           f"in-bench noise at this SF):")
-    for k in common[:15]:
+    # every flagged query prints, even when absolute-delta ranking
+    # would push it below the top-15 noise rows
+    shown = [k for k in common if k in common[:15] or k in flagged]
+    for k in shown:
         mark = " <-- FLAG" if k in flagged else ""
         print(f"  {qo[k]:7.3f} -> {qn[k]:7.3f}  {k}{mark}")
 
