@@ -193,4 +193,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n") == 2)
     assert(rows(1).getAs[Long]("n") == 1)
   }
+
+  test("as-of join: watermark-matured match, then idle-key TTL drops the quote cache") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val msT = MemoryStream[Ev] // trades
+    val msQ = MemoryStream[Ev] // quotes
+    val q = StreamingOps.asofEnrich(msT.toDF(), msQ.toDF(),
+        watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("t_asof").outputMode("append").start()
+
+    // day 1: quote then trade for user 1; a user-2 quote pushes the
+    // watermark past the trade → it matures, matched to quote 100
+    msQ.addData(Ev(100, t("2024-01-01 10:00:00"), 1, "click", 0))
+    msT.addData(Ev(200, t("2024-01-01 11:00:00"), 1, "purchase", 0))
+    q.processAllAvailable()
+    msQ.addData(Ev(101, t("2024-01-01 13:00:00"), 2, "click", 0))
+    q.processAllAvailable()
+    val first = spark.table("t_asof").collect()
+    assert(first.length == 1 && first(0).getAs[Long]("purchase_id") == 200)
+    assert(first(0).getAs[Long]("click_id") == 100, s"${first.toSeq}")
+
+    // push the watermark > 24h past user 1's last quote: the idle key
+    // is GC'd entirely, cached quote included
+    msQ.addData(Ev(102, t("2024-01-02 12:00:00"), 2, "click", 0))
+    q.processAllAvailable()
+
+    // a user-1 trade after the TTL: the pre-TTL quote is gone, so the
+    // match is (documented tradeoff) lost — emitted with click NULL
+    msT.addData(Ev(201, t("2024-01-02 13:00:00"), 1, "purchase", 0))
+    q.processAllAvailable()
+    msQ.addData(Ev(103, t("2024-01-02 15:00:00"), 2, "click", 0))
+    drain(q)
+    val rows = spark.table("t_asof").collect()
+      .map(r => r.getAs[Long]("purchase_id") -> Option(r.getAs[Any]("click_id")))
+      .toMap
+    assert(rows.size == 2, s"${rows}")
+    assert(rows(201L).isEmpty,
+      s"TTL'd key still matched an expired quote: ${rows(201L)}")
+  }
 }
