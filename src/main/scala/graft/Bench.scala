@@ -52,7 +52,8 @@ object Bench {
     "agg_ship_lag", "sql_transitive_closure",
     // round-10 additions: new/changed this round
     "sim_ann_eval", "text_classifier_fit_score", "mm_simhash_pairs",
-    "dedup_simhash_pairs", "sim_ann_multiprobe")
+    "dedup_simhash_pairs", "sim_ann_multiprobe",
+    "stats_welch_ttest", "stats_anova", "sim_maxsim_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -515,6 +515,59 @@ object Similarity {
       .orderBy(col("vec_id"), col("j"))
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) reranking — the
+    * multi-vector retrieval pattern: each 64-dim embedding is treated
+    * as 4 independent 16-dim token slots, and
+    * score(q, c) = Σ_{query slot i} max_{cand slot j} cos(qᵢ, cⱼ) — a
+    * finer-grained match than single-vector cosine (a candidate
+    * matching each query slot with a DIFFERENT slot of its own
+    * outranks one matching all slots moderately; the single pooled
+    * vector cannot tell them apart).
+    *
+    * The production shape: slots explode ONCE to 4×|C| narrow rows
+    * (slot id + 16-dim slice + slice norm), the bounded query side
+    * (|Q|×4 rows) broadcasts, and the 4×4 slot products per (q, c)
+    * pair reduce with ONE (qid, cid, qslot) max-agg + ONE (qid, cid)
+    * sum-agg — both map-side-combinable hash aggs; the only window is
+    * the final per-query top-3. At fleet scale the candidate side
+    * would first be cut by an ANN shortlist (simAnnMultiprobe) and
+    * MaxSim reranks the shortlist — the shape here IS that rerank.
+    *
+    * Float parity: slice dots are sequential folds (bitwise equal to
+    * list_inner_product); slot maxima are r6-rounded (max is
+    * order-independent), and the 4-term sum of r6 multiples re-snaps
+    * deterministically under the final r6 — the float-sum error
+    * (≈4 ulp of 4.0) is 9 orders below the 5e-7 rounding slack. */
+  private def simMaxsimRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val v = fanout(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val slotCols = (0 until 4).map(i => struct(lit(i.toLong).as("slot"),
+      slice(col("e"), i * 16 + 1, 16).as("sub")))
+    val slots = v
+      .select(col("vec_id"), explode(array(slotCols: _*)).as("sl"))
+      .select(col("vec_id"), col("sl.slot").as("slot"), col("sl.sub").as("sub"))
+      .withColumn("nrm", sqrt(expr("dot_product(sub, sub)")))
+    val q = slots.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("slot").as("qslot"),
+        col("sub").as("qsub"), col("nrm").as("qnrm"))
+    val c = slots.select(col("vec_id").as("cid"), col("sub").as("csub"),
+      col("nrm").as("cnrm"))
+    val best = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("qslot"),
+        Parity.r6(expr("dot_product(qsub, csub)") / (col("qnrm") * col("cnrm")))
+          .as("cs"))
+      .groupBy(col("qid"), col("cid"), col("qslot"))
+      .agg(max(col("cs")).as("mx"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("cid"))
+    best.groupBy(col("qid"), col("cid"))
+      .agg(Parity.r6(sum(col("mx"))).as("maxsim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("maxsim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   private val topkCte =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -531,6 +584,34 @@ object Similarity {
       |""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_maxsim_rerank", Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | s AS (
+        |  SELECT vec_id, u.slot AS slot,
+        |   e[u.slot * 16 + 1 : u.slot * 16 + 16] AS sub
+        |  FROM v, unnest(range(0, 4)) AS u(slot)),
+        | n AS (
+        |  SELECT vec_id, slot, sub, sqrt(list_inner_product(sub, sub)) AS nrm
+        |  FROM s),
+        | p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.slot AS qslot,
+        |   floor(list_inner_product(q.sub, c.sub) / (q.nrm * c.nrm)
+        |     * 1000000 + 0.5) / 1000000 AS cs
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        | b AS (SELECT qid, cid, qslot, max(cs) AS mx FROM p GROUP BY 1, 2, 3),
+        | sc AS (
+        |  SELECT qid, cid, floor(sum(mx) * 1000000 + 0.5) / 1000000 AS maxsim
+        |  FROM b GROUP BY 1, 2),
+        | r AS (
+        |  SELECT qid, cid, maxsim,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, cid)
+        |     AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT qid, rnk, cid, maxsim FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin), simMaxsimRerank),
+
     QueryDef("sim_cosine_topk", Some(topkCte +
       """SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin), simCosineTopk),

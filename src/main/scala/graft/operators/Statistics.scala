@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Parity, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Statistical aggregates, percentiles, pivot, and the SQL-text entry
@@ -1016,7 +1016,197 @@ object Statistics {
       .orderBy(col("d"))
   }
 
+  /** Welch's unequal-variance t-test on purchase value between two
+    * md5-split variants — the continuous-metric companion to the
+    * proportion z-test (events_abtest_ztest): the readout for a
+    * revenue/latency experiment where per-variant variances cannot be
+    * assumed equal. EXACT-INTEGER moment discipline: value is 2-decimal
+    * by data contract, so cents = floor(v·100 + ½) makes every
+    * per-variant count / sum / sum-of-squares an exact BIGINT — the
+    * aggregation is order-INDEPENDENT (no float-merge divergence to
+    * round away) and mean/variance/t/df are then a fixed IEEE op
+    * sequence on bit-identical inputs, mirrored textually in the
+    * oracle. Welch–Satterthwaite df uses explicit x·x products (pow is
+    * not guaranteed correctly rounded cross-engine; ·, /, √ are).
+    *
+    * Scale: ONE conditional global hash-agg over the purchase slice —
+    * map-side-combinable partials folding to a single 6-long row; no
+    * window, no join (the abtest-ztest discipline). Every ratio is
+    * guarded behind n>1 / positive-variance predicates (ANSI 0/0
+    * trap), mirrored as CASE WHEN. */
+  private def statsWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(concat(lit("tt:"), col("event_id").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("variant"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val g = p.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("s_a"),
+      sum(when(col("variant") === 0, col("cents") * col("cents")).otherwise(0L))
+        .as("q_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("s_b"),
+      sum(when(col("variant") === 1, col("cents") * col("cents")).otherwise(0L))
+        .as("q_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a").cast("double") / na / lit(100.0)
+    val mb = col("s_b").cast("double") / nb / lit(100.0)
+    val va = (col("q_a").cast("double") / lit(10000.0) - na * ma * ma) /
+      (na - lit(1.0))
+    val vb = (col("q_b").cast("double") / lit(10000.0) - nb * mb * mb) /
+      (nb - lit(1.0))
+    val sa2 = va / na; val sb2 = vb / nb
+    val se2 = sa2 + sb2
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    val t = when(ok && se2 > 0, (ma - mb) / sqrt(se2))
+    val df = when(ok && se2 > 0,
+      (se2 * se2) / (sa2 * sa2 / (na - lit(1.0)) + sb2 * sb2 / (nb - lit(1.0))))
+    g.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, Parity.r6(ma)).as("mean_a"),
+      when(col("n_b") > 0, Parity.r6(mb)).as("mean_b"),
+      when(col("n_a") > 1, Parity.r4(va)).as("var_a"),
+      when(col("n_b") > 1, Parity.r4(vb)).as("var_b"),
+      Parity.r6(t).as("t"), Parity.r4(df).as("df"),
+      (abs(t) > lit(1.96)).as("reject_05"))
+  }
+
+  /** One-way ANOVA of event value across the five event types — "does
+    * the metric differ across segments AT ALL", the k-group
+    * generalization [[statsWelchTtest]]'s two-variant split can't
+    * answer. Same exact-integer discipline: per-group n/Σcents/Σcents²
+    * are exact BIGINTs (order-independent), the grand totals are exact
+    * BIGINT sums of them, and the k per-group SSB/SSW terms — each a
+    * fixed op sequence on exact inputs — reduce with a SEQUENTIAL fold
+    * over the event_type-sorted ≤k-row metadata list (the statsChi2
+    * discipline; list_reduce ORDER BY on the oracle side), so both
+    * sums are bit-identical cross-engine before any rounding.
+    *
+    * Scale: one map-side-combinable hash-agg over the corpus collapses
+    * everything to k metadata rows; the fold runs on that k-row list
+    * only. F = (SSB/(k−1))/(SSW/(n−k)); η² = SSB/(SSB+SSW). */
+  private def statsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    val folded = g.agg(
+      sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"),
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("event_type"), col("n"), col("s"),
+        col("q")))).as("gs"))
+    val gm = col("s_tot").cast("double") / col("n_tot").cast("double") / lit(100.0)
+    def m(x: Column): Column =
+      x.getField("s").cast("double") / x.getField("n").cast("double") / lit(100.0)
+    val ssb = aggregate(col("gs"), lit(0.0), (a, x) =>
+      a + x.getField("n").cast("double") * ((m(x) - gm) * (m(x) - gm)))
+    val ssw = aggregate(col("gs"), lit(0.0), (a, x) =>
+      a + (x.getField("q").cast("double") / lit(10000.0) -
+        x.getField("n").cast("double") * m(x) * m(x)))
+    val fStat = when(col("k") > 1 && col("n_tot") > col("k") && ssw > 0.0,
+      (ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n_tot") - col("k")).cast("double")))
+    val eta2 = when(ssb + ssw > 0.0, ssb / (ssb + ssw))
+    folded.select(col("k"), col("n_tot").as("n"),
+      Parity.r2(ssb).as("ssb"), Parity.r2(ssw).as("ssw"),
+      Parity.r6(fStat).as("f_stat"), Parity.r6(eta2).as("eta2"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_welch_ttest", Some(
+      """WITH p AS (
+        |  SELECT CAST(('0x' || substr(md5('tt:' || CAST(event_id AS VARCHAR)), 1, 2))
+        |     AS BIGINT) % 2 AS variant,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | g AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q_a,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q_b
+        |  FROM p),
+        | m AS (
+        |  SELECT n_a, n_b, q_a, q_b,
+        |   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS ma,
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mb
+        |  FROM g),
+        | v AS (
+        |  SELECT n_a, n_b, ma, mb,
+        |   (CAST(q_a AS DOUBLE) / 10000.0 - CAST(n_a AS DOUBLE) * ma * ma)
+        |     / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |   (CAST(q_b AS DOUBLE) / 10000.0 - CAST(n_b AS DOUBLE) * mb * mb)
+        |     / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        |  FROM m),
+        | s AS (
+        |  SELECT n_a, n_b, ma, mb, va, vb,
+        |   va / CAST(n_a AS DOUBLE) AS sa2, vb / CAST(n_b AS DOUBLE) AS sb2
+        |  FROM v),
+        | t AS (
+        |  SELECT n_a, n_b, ma, mb, va, vb,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND sa2 + sb2 > 0
+        |    THEN (ma - mb) / sqrt(sa2 + sb2) END AS t,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND sa2 + sb2 > 0
+        |    THEN ((sa2 + sb2) * (sa2 + sb2))
+        |      / (sa2 * sa2 / (CAST(n_a AS DOUBLE) - 1.0)
+        |        + sb2 * sb2 / (CAST(n_b AS DOUBLE) - 1.0)) END AS df
+        |  FROM s)
+        |SELECT n_a, n_b,
+        | CASE WHEN n_a > 0 THEN floor(ma * 1000000 + 0.5) / 1000000 END AS mean_a,
+        | CASE WHEN n_b > 0 THEN floor(mb * 1000000 + 0.5) / 1000000 END AS mean_b,
+        | CASE WHEN n_a > 1 THEN floor(va * 10000 + 0.5) / 10000 END AS var_a,
+        | CASE WHEN n_b > 1 THEN floor(vb * 10000 + 0.5) / 10000 END AS var_b,
+        | floor(t * 1000000 + 0.5) / 1000000 AS t,
+        | floor(df * 10000 + 0.5) / 10000 AS df,
+        | abs(t) > CAST(1.96 AS DOUBLE) AS reject_05
+        |FROM t""".stripMargin),
+      statsWelchTtest),
+
+    QueryDef("stats_anova", Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        | g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(cents) AS BIGINT) AS s,
+        |   CAST(sum(cents * cents) AS BIGINT) AS q
+        |  FROM c GROUP BY 1),
+        | t AS (
+        |  SELECT event_type, n, s, q,
+        |   CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+        |   CAST(sum(s) OVER () AS BIGINT) AS s_tot
+        |  FROM g),
+        | u AS (
+        |  SELECT event_type, n, q, n_tot,
+        |   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+        |   CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 100.0 AS gm
+        |  FROM t),
+        | terms AS (
+        |  SELECT event_type, n_tot,
+        |   CAST(n AS DOUBLE) * ((m - gm) * (m - gm)) AS tb,
+        |   CAST(q AS DOUBLE) / 10000.0 - CAST(n AS DOUBLE) * m * m AS tw
+        |  FROM u),
+        | f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, max(n_tot) AS n_tot,
+        |   list_reduce(list(tb ORDER BY event_type), (a, v) -> a + v) AS ssb,
+        |   list_reduce(list(tw ORDER BY event_type), (a, v) -> a + v) AS ssw
+        |  FROM terms)
+        |SELECT k, n_tot AS n,
+        | floor(ssb * 100 + 0.5) / 100 AS ssb,
+        | floor(ssw * 100 + 0.5) / 100 AS ssw,
+        | CASE WHEN k > 1 AND n_tot > k AND ssw > 0.0 THEN
+        |  floor((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_tot - k AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 END AS f_stat,
+        | CASE WHEN ssb + ssw > 0.0 THEN
+        |  floor(ssb / (ssb + ssw) * 1000000 + 0.5) / 1000000 END AS eta2
+        |FROM f""".stripMargin),
+      statsAnova),
+
     QueryDef("stats_benford", Some(
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
