@@ -53,7 +53,8 @@ object Bench {
     // round-10 additions: new/changed this round
     "sim_ann_eval", "text_classifier_fit_score", "mm_simhash_pairs",
     "dedup_simhash_pairs", "sim_ann_multiprobe",
-    "stats_welch_ttest", "stats_anova", "sim_maxsim_rerank")
+    "stats_welch_ttest", "stats_anova", "sim_maxsim_rerank",
+    "stats_ols_multi", "stats_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

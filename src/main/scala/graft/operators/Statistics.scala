@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Statistical aggregates, percentiles, pivot, and the SQL-text entry
   * surface (SURVEY.md §3.4 lifecycle item 3).
@@ -1115,7 +1116,235 @@ object Statistics {
       Parity.r6(fStat).as("f_stat"), Parity.r6(eta2).as("eta2"))
   }
 
+  /** Two-predictor OLS (price ~ quantity + discount) per return flag,
+    * solved in closed form from the normal equations via Cramer's rule
+    * — the multiple-regression step up from the built-in regr_slope
+    * pair (agg_regression), done without any iterative solver: ONE
+    * map-side-combinable hash-agg collects the 9 cross-moments and the
+    * 3×3 solve happens on that metadata row. EXACT-INTEGER moments:
+    * quantity is integral, discount/price 2-decimal, so every Σ is an
+    * exact BIGINT (Σy² alone needs 128 bits at fleet scale — Spark
+    * sums it as Decimal(38,0), DuckDB as HUGEINT; both cast to the
+    * same nearest double). The scaled double moments are then each ONE
+    * division from exact integers, and determinants/coefficients/R²
+    * are a fixed IEEE op sequence mirrored textually — bit-identical
+    * cross-engine regardless of the cancellation in the moment
+    * formulas. det≠0 and SST>0 guards mirrored as CASE WHEN. */
+  private def statsOlsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val b = lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x2c"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("yc"))
+    val g = b.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2c")).as("s2c"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2c")).as("s12c"),
+      sum(col("x2c") * col("x2c")).as("s22c"),
+      sum(col("yc")).as("syc"),
+      sum(col("x1") * col("yc")).as("s1yc"),
+      sum(col("x2c") * col("yc")).as("s2yc"),
+      sum((col("yc") * col("yc")).cast(DecimalType(38, 0))).as("syyc"))
+    val nd = col("n").cast("double")
+    val f1 = col("s1").cast("double")
+    val f2 = col("s2c").cast("double") / lit(100.0)
+    val f11 = col("s11").cast("double")
+    val f12 = col("s12c").cast("double") / lit(100.0)
+    val f22 = col("s22c").cast("double") / lit(10000.0)
+    val fy = col("syc").cast("double") / lit(100.0)
+    val f1y = col("s1yc").cast("double") / lit(100.0)
+    val f2y = col("s2yc").cast("double") / lit(10000.0)
+    val fyy = col("syyc").cast("double") / lit(10000.0)
+    val det = nd * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2) +
+      f2 * (f1 * f12 - f11 * f2)
+    val det0 = fy * (f11 * f22 - f12 * f12) - f1 * (f1y * f22 - f12 * f2y) +
+      f2 * (f1y * f12 - f11 * f2y)
+    val det1 = nd * (f1y * f22 - f12 * f2y) - fy * (f1 * f22 - f12 * f2) +
+      f2 * (f1 * f2y - f1y * f2)
+    val det2 = nd * (f11 * f2y - f1y * f12) - f1 * (f1 * f2y - f1y * f2) +
+      fy * (f1 * f12 - f11 * f2)
+    val b0 = when(abs(det) > 0.0, det0 / det)
+    val b1 = when(abs(det) > 0.0, det1 / det)
+    val b2 = when(abs(det) > 0.0, det2 / det)
+    val sst = fyy - fy * fy / nd
+    val r2s = when(sst > 0.0,
+      lit(1.0) - (fyy - (b0 * fy + b1 * f1y + b2 * f2y)) / sst)
+    g.select(col("l_returnflag"), col("n"),
+      Parity.r2(b0).as("b0"), Parity.r4(b1).as("b1"), Parity.r2(b2).as("b2"),
+      Parity.r6(r2s).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Robust outlier detection per return flag — median/MAD location
+    * and scale (immune to the very outliers they hunt, unlike
+    * mean/stddev z-scores) with the Hampel robust-z cut at 3.5, plus
+    * the top-3 most extreme rows per group as evidence. The curation
+    * use: price/length anomaly screens on corpora where heavy tails
+    * would drag a classical z-score's own baseline.
+    *
+    * Scale discipline: median and MAD both come from the per-group
+    * VALUE HISTOGRAM (one map-side-combinable hash-agg; the dev
+    * histogram reuses it — no second corpus scan), interpolated with
+    * the agg_percentile formula (bitwise = DuckDB quantile_cont); the
+    * outlier count folds over histogram rows. Only the top-3 window
+    * touches raw rows, partitioned by group AFTER a broadcast join of
+    * the 3-row med/mad relation. Ranking compares unrounded |z| —
+    * bit-identical inputs ⇒ identical order; ties break on row id. */
+  private def statsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def q50(hist: DataFrame, grp: String, v: String, cnt: String): DataFrame = {
+      val byG = Window.partitionBy(col(grp))
+      val cumW = byG.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = hist
+        .withColumn("cum", sum(col(cnt)).over(cumW))
+        .withColumn("nn", sum(col(cnt)).over(byG))
+      val pos = lit(0.5) * (col("nn") - 1)
+      val coversLo = floor(pos) >= col("cum") - col(cnt) && floor(pos) < col("cum")
+      val coversHi = ceil(pos) >= col("cum") - col(cnt) && ceil(pos) < col("cum")
+      h.groupBy(col(grp)).agg(
+        (max(when(coversLo, col(v))) +
+          (max(when(coversHi, col(v))) - max(when(coversLo, col(v)))) *
+            (min(pos) - floor(min(pos)))).as("q"),
+        max(col("nn")).as("n_rows"))
+    }
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = q50(hist, "l_returnflag", "v", "cnt")
+      .select(col("l_returnflag"), col("q").as("med"), col("n_rows").as("n"))
+    val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = q50(devHist, "l_returnflag", "dev", "cnt")
+      .select(col("l_returnflag"), col("q").as("mad"))
+    val stats = med.join(broadcast(mad), Seq("l_returnflag"))
+    val zOf = (v: Column, m: Column, s: Column) =>
+      lit(0.6745) * (v - m) / s
+    val nOut = hist.join(broadcast(stats), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("mad") > 0.0 &&
+        abs(zOf(col("v"), col("med"), col("mad"))) > 3.5, col("cnt"))
+        .otherwise(0L)).as("n_outliers"))
+    val full = stats.join(broadcast(nOut), Seq("l_returnflag"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+    lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+      .join(broadcast(full), Seq("l_returnflag"))
+      .withColumn("z", when(col("mad") > 0.0,
+        zOf(col("v"), col("med"), col("mad"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+        col("l_linenumber"), col("v"), Parity.r6(col("z")).as("z"),
+        Parity.r4(col("med")).as("med"), Parity.r4(col("mad")).as("mad"),
+        col("n"), col("n_outliers"))
+      .orderBy(col("l_returnflag"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_ols_multi", Some(
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |   CAST(l_quantity AS BIGINT) AS x1,
+        |   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2c,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+        |  FROM lineitem),
+        | g AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2c) AS BIGINT) AS s2c,
+        |   CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |   CAST(sum(x1 * x2c) AS BIGINT) AS s12c,
+        |   CAST(sum(x2c * x2c) AS BIGINT) AS s22c,
+        |   CAST(sum(yc) AS BIGINT) AS syc,
+        |   CAST(sum(x1 * yc) AS BIGINT) AS s1yc,
+        |   CAST(sum(x2c * yc) AS BIGINT) AS s2yc,
+        |   sum(yc * yc) AS syyc
+        |  FROM b GROUP BY 1),
+        | d AS (
+        |  SELECT l_returnflag, n,
+        |   CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS f1,
+        |   CAST(s2c AS DOUBLE) / 100.0 AS f2, CAST(s11 AS DOUBLE) AS f11,
+        |   CAST(s12c AS DOUBLE) / 100.0 AS f12,
+        |   CAST(s22c AS DOUBLE) / 10000.0 AS f22,
+        |   CAST(syc AS DOUBLE) / 100.0 AS fy,
+        |   CAST(s1yc AS DOUBLE) / 100.0 AS f1y,
+        |   CAST(s2yc AS DOUBLE) / 10000.0 AS f2y,
+        |   CAST(syyc AS DOUBLE) / 10000.0 AS fyy
+        |  FROM g),
+        | m AS (
+        |  SELECT l_returnflag, n, nd, fy, f1y, f2y, fyy,
+        |   nd * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2)
+        |     + f2 * (f1 * f12 - f11 * f2) AS det,
+        |   fy * (f11 * f22 - f12 * f12) - f1 * (f1y * f22 - f12 * f2y)
+        |     + f2 * (f1y * f12 - f11 * f2y) AS det0,
+        |   nd * (f1y * f22 - f12 * f2y) - fy * (f1 * f22 - f12 * f2)
+        |     + f2 * (f1 * f2y - f1y * f2) AS det1,
+        |   nd * (f11 * f2y - f1y * f12) - f1 * (f1 * f2y - f1y * f2)
+        |     + fy * (f1 * f12 - f11 * f2) AS det2
+        |  FROM d),
+        | c AS (
+        |  SELECT l_returnflag, n, nd, fy, f1y, f2y, fyy,
+        |   CASE WHEN abs(det) > 0.0 THEN det0 / det END AS b0,
+        |   CASE WHEN abs(det) > 0.0 THEN det1 / det END AS b1,
+        |   CASE WHEN abs(det) > 0.0 THEN det2 / det END AS b2
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        | floor(b0 * 100 + 0.5) / 100 AS b0,
+        | floor(b1 * 10000 + 0.5) / 10000 AS b1,
+        | floor(b2 * 100 + 0.5) / 100 AS b2,
+        | CASE WHEN fyy - fy * fy / nd > 0.0 THEN
+        |  floor((1.0 - (fyy - (b0 * fy + b1 * f1y + b2 * f2y))
+        |      / (fyy - fy * fy / nd)) * 1000000 + 0.5) / 1000000 END AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin),
+      statsOlsMulti),
+
+    QueryDef("stats_mad_outliers", Some(
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        | mad AS (
+        |  SELECT l.l_returnflag,
+        |   quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        |  GROUP BY 1),
+        | stats AS (
+        |  SELECT med.l_returnflag, med.med, med.n, mad.mad
+        |  FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag),
+        | cnt AS (
+        |  SELECT l.l_returnflag,
+        |   CAST(sum(CASE WHEN s.mad > 0.0
+        |     AND abs(CAST(0.6745 AS DOUBLE) * (l.l_extendedprice - s.med) / s.mad)
+        |       > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+        |  GROUP BY 1),
+        | z AS (
+        |  SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        |   l.l_extendedprice AS v,
+        |   CASE WHEN s.mad > 0.0 THEN
+        |    CAST(0.6745 AS DOUBLE) * (l.l_extendedprice - s.med) / s.mad END AS z,
+        |   s.med, s.mad, s.n, c.n_outliers
+        |  FROM lineitem l
+        |   JOIN stats s ON l.l_returnflag = s.l_returnflag
+        |   JOIN cnt c ON l.l_returnflag = c.l_returnflag),
+        | r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, v, z, med, mad, n,
+        |   n_outliers,
+        |   CAST(row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY abs(z) DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk
+        |  FROM z)
+        |SELECT l_returnflag, rnk, l_orderkey, l_linenumber, v,
+        | floor(z * 1000000 + 0.5) / 1000000 AS z,
+        | floor(med * 10000 + 0.5) / 10000 AS med,
+        | floor(mad * 10000 + 0.5) / 10000 AS mad,
+        | n, n_outliers
+        |FROM r WHERE rnk <= 3
+        |ORDER BY l_returnflag, rnk""".stripMargin),
+      statsMadOutliers),
+
     QueryDef("stats_welch_ttest", Some(
       """WITH p AS (
         |  SELECT CAST(('0x' || substr(md5('tt:' || CAST(event_id AS VARCHAR)), 1, 2))

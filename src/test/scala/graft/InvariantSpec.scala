@@ -721,6 +721,46 @@ class InvariantSpec extends AnyFunSuite {
     assert(found >= 6, s"IVF-PQ missed planted near-dups: only $found/10 recovered")
   }
 
+  test("maxsim ranks a slot-rotated copy first where pooled cosine cannot see it") {
+    // the late-interaction contract: a candidate whose 4 token slots
+    // are a PERMUTATION of the query's slots (here: rotate the 64-dim
+    // vector by one 16-dim slot) matches every query slot exactly
+    // under max — maxsim = 4·cos(sub, sub) = 4.0 deterministically —
+    // while its POOLED cosine vs the query is that of two independent
+    // random vectors (≈ N(0, 1/64)), nowhere near the top. This is
+    // the capability MaxSim exists for; both directions are asserted
+    // so a regression to pooled scoring (or a slot-slicing bug that
+    // misaligns slices) fails loudly.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_maxsim").getAbsolutePath
+    val src = Tables.embeddings(spark, sf)
+    val rot = src.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        concat(slice(col("embedding"), 17, 48), slice(col("embedding"), 1, 16))
+          .as("embedding"),
+        col("label"))
+    src.unionByName(rot).coalesce(1).write.mode("overwrite")
+      .parquet(s"$planted/embeddings.parquet")
+    val mx = SparkEntry.queries("sim_maxsim_rerank")(spark, planted)
+      .filter(col("rnk") === 1)
+      .select("qid", "cid", "maxsim").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    (0 until 10).foreach { q0 =>
+      val (cid, s) = mx(q0.toLong)
+      assert(cid == q0 + 2000L,
+        s"query $q0: rank-1 is $cid, not the slot-rotated partner")
+      assert(s >= 3.999998,
+        s"query $q0: maxsim $s below the exact-slot-match score")
+    }
+    val cosTop = SparkEntry.queries("sim_cosine_topk")(spark, planted)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val visible = (0 until 10).count(q0 => cosTop.contains((q0.toLong, q0 + 2000L)))
+    info(s"pooled cosine sees the rotated partner in top-5 for $visible/10 queries")
+    assert(visible <= 2,
+      s"pooled cosine ranks the rotated copy top-5 for $visible/10 queries — " +
+        "the fixture no longer discriminates late interaction from pooling")
+  }
+
   test("two-phase tdigest re-aggregation stays within 2% rank error per event type") {
     val est = q("agg_tdigest_reaggregate").collect()
       .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3))).toMap
