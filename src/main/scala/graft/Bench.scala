@@ -54,7 +54,8 @@ object Bench {
     "sim_ann_eval", "text_classifier_fit_score", "mm_simhash_pairs",
     "dedup_simhash_pairs", "sim_ann_multiprobe",
     "stats_welch_ttest", "stats_anova", "sim_maxsim_rerank",
-    "stats_ols_multi", "stats_mad_outliers")
+    "stats_ols_multi", "stats_mad_outliers",
+    "timeseries_changepoint", "sim_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -294,6 +294,50 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Changepoint localization (binary segmentation, one split) on the
+    * per-type daily count series: t* = argmax over interior split
+    * points of √(t(n−t)/n)·|mean_left − mean_right| — the statistic
+    * that localizes WHERE a level shift happened, where
+    * [[eventsCusum]] only charts drift against a global target (the
+    * data-quality question after an ingest change: "which day did
+    * this source's volume move"). Daily counts are integers, cumsums
+    * exact BIGINTs; each candidate split's statistic is a fixed IEEE
+    * sequence on exact inputs, so the argmax (tie-broken by day) is
+    * bit-deterministic cross-engine with rounding only on output.
+    *
+    * Scale: ONE map-side-combinable hash-agg collapses the corpus to
+    * the (type, day) metadata relation; every window below runs
+    * per-type on ~90 rows. */
+  private def timeseriesChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val ord = byType.orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val splits = daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("st", sum(col("cnt")).over(cum))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("sn", sum(col("cnt")).over(byType))
+      .filter(col("t") < col("n"))
+    val meanL = col("st").cast("double") / col("t").cast("double")
+    val meanR = (col("sn") - col("st")).cast("double") /
+      (col("n") - col("t")).cast("double")
+    val z = sqrt((col("t") * (col("n") - col("t"))).cast("double") /
+      col("n").cast("double")) * abs(meanL - meanR)
+    splits.withColumn("z", z)
+      .withColumn("rn", row_number().over(byType.orderBy(col("z").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("t").as("t_left"), col("n").as("n_days"),
+        Parity.r6(meanL).as("mean_left"), Parity.r6(meanR).as("mean_right"),
+        Parity.r6(col("z")).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Peak detection on the daily event-count series: the TOP-5 strict
     * local maxima ranked by prominence over the ±3-day rolling
     * baseline (neighborhood mean excluding the day itself) — the spike
@@ -1169,6 +1213,40 @@ object EventTime {
         |SELECT strftime(day, '%Y-%m-%d') AS day, mean_value, cusum,
         | abs(cusum) = max(abs(cusum)) OVER () AS is_peak
         |FROM c ORDER BY day""".stripMargin), eventsCusum),
+
+    QueryDef("timeseries_changepoint", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | c AS (
+        |  SELECT event_type, day, cnt,
+        |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |     AS BIGINT) AS t,
+        |   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st,
+        |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |   CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+        |  FROM daily),
+        | s AS (
+        |  SELECT event_type, day, t, n,
+        |   CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_l,
+        |   CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_r,
+        |   sqrt(CAST(t * (n - t) AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * abs(CAST(st AS DOUBLE) / CAST(t AS DOUBLE)
+        |       - CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE)) AS z
+        |  FROM c WHERE t < n),
+        | r AS (
+        |  SELECT event_type, day, t, n, mean_l, mean_r, z,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY z DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+        | t AS t_left, n AS n_days,
+        | floor(mean_l * 1000000 + 0.5) / 1000000 AS mean_left,
+        | floor(mean_r * 1000000 + 0.5) / 1000000 AS mean_right,
+        | floor(z * 1000000 + 0.5) / 1000000 AS z
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
+      timeseriesChangepoint),
 
     QueryDef("events_anomaly", Some(
       """WITH s AS (

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * typed metadata. IMAGE decode is REAL since round 10 — the JDK's
   * `javax.imageio` readers (PNG/JPEG/BMP/GIF) need no external codec
   * libraries ([[Multimodal.decodeImages]], exactness-tested on planted
-  * encoded fixtures). Video/audio containers have no JDK demuxer, so
-  * that decode step remains a clearly-marked DETERMINISTIC STUB — and
-  * either way the Spark-side plumbing (binary schema, batch-iterator
-  * processing, partition-parallel decode, typed output schema) is real
-  * and tested.
+  * encoded fixtures) — and so is AUDIO decode for uncompressed
+  * WAV/AIFF 16-bit PCM via `javax.sound.sampled`
+  * ([[Multimodal.decodeAudio]], sample-exact on planted fixtures).
+  * Compressed audio (MP3/AAC) and video containers have no JDK
+  * decoder, so those decode steps remain a clearly-marked
+  * DETERMINISTIC STUB — and either way the Spark-side plumbing
+  * (binary schema, batch-iterator processing, partition-parallel
+  * decode, typed output schema) is real and tested.
   *
   * Scale: decode runs in `mapPartitions` — one iterator per partition,
   * the Scala analogue of `mapInPandas` batch processing: codec state is
@@ -41,7 +44,82 @@ object Multimodal {
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else "unknown"
+
+  /** Output row of the REAL audio decoder ([[decodeAudio]]). */
+  final case class AudioMeta(doc_id: Long, ok: Boolean, format: String,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      rms: Double, peak: Double)
+
+  /** REAL audio decode for WAV/PCM — `javax.sound.sampled` ships IN
+    * THE JDK (WAV/AIFF/AU parsers, signed-PCM decode; no external
+    * codec libraries), the audio analogue of [[decodeImages]]: per
+    * payload emit the stream parameters and the two features an
+    * audio-curation filter thresholds on — RMS level and absolute
+    * peak, both over samples normalized to [−1, 1). 16-bit signed PCM
+    * (the dominant WAV layout) is decoded sample-exactly with explicit
+    * endianness from the container header; other encodings report
+    * their parameters with ok=false rather than guessing. Undecodable
+    * or truncated payloads also yield ok=false rows — the
+    * poisoned-blob contract again; a bad byte string must never kill
+    * the partition. Compressed codecs (MP3/AAC/Opus) have no JDK
+    * decoder and stay behind the declared stub. Sample-exactness is
+    * contract-tested on planted AudioSystem-written fixtures
+    * (AudioDecodeSpec): a constant-amplitude signal round-trips
+    * rms == peak == amp/32768 bit-exactly, a sine hits A/√2 to 1e-3.
+    *
+    * Same mapPartitions batch shape as the image path: decoder state
+    * amortizes per partition, rows stream through, parallelism is the
+    * file-split count. */
+  private[graft] def decodeAudio(docs: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        var ais: javax.sound.sampled.AudioInputStream = null
+        try {
+          ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val pcm16 = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16
+          if (!pcm16)
+            AudioMeta(r.doc_id, ok = false, sniffFormat(r.payload),
+              fmt.getSampleRate.toInt, ch, bits, 0L, 0.0, 0.0)
+          else {
+            val data = ais.readAllBytes()
+            val nSamples = data.length / 2
+            var i = 0
+            var sumSq = 0.0
+            var peak = 0.0
+            while (i + 1 < data.length) {
+              val s =
+                if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              val v = s / 32768.0
+              sumSq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 2
+            }
+            AudioMeta(r.doc_id, ok = true, sniffFormat(r.payload),
+              fmt.getSampleRate.toInt, ch, bits,
+              if (ch > 0) nSamples.toLong / ch else 0L,
+              if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak)
+          }
+        } catch {
+          case _: Exception =>
+            AudioMeta(r.doc_id, ok = false, sniffFormat(r.payload), 0, 0, 0, 0L,
+              0.0, 0.0)
+        } finally {
+          if (ais != null) try ais.close() catch { case _: Exception => () }
+        }
+      }
+    }
+  }
 
   /** REAL image decode — `javax.imageio` ships IN THE JDK (PNG, JPEG,
     * BMP, GIF, WBMP readers; no external codec libraries), so the

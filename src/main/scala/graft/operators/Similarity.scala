@@ -568,6 +568,83 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified top-3 — the
+    * redundancy-aware selection a curation pipeline runs where plain
+    * top-k returns three near-copies of the same document: greedily
+    * pick argmax of λ·rel(q,c) − (1−λ)·max_{s∈selected} cos(c,s),
+    * λ = 0.7, over an 8-candidate relevance shortlist per query. The
+    * greedy recursion is unrolled to its three steps as joins over
+    * METADATA-scale relations (shortlist ≤ |Q|×8 rows, pairwise cos
+    * ≤ |Q|×8×7): each step is a broadcast equi-join + one window
+    * argmax, never an iterative driver loop. At fleet scale the
+    * shortlist comes from the ANN path (simAnnMultiprobe) exactly as
+    * the MaxSim rerank does; the brute-force shortlist here is the
+    * bounded-|Q| eval shape.
+    *
+    * Float parity: rel and pairwise cos are r6-rounded (sequential-dot
+    * discipline); each step's score is the same fixed op sequence on
+    * those rounded values in both engines, so the per-step argmax
+    * (tie-broken by cid) is bit-deterministic; scores re-round r6 on
+    * output. */
+  private def simMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val lam = lit(0.7); val oneMinusLam = lit(0.3)
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val c = v.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cnrm"))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val short = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("ce"), col("cnrm"),
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm")))
+          .as("rel"))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= 8)
+    val a = short.select(col("qid").as("pqid"), col("cid").as("acid"),
+      col("ce").as("ae"), col("cnrm").as("anrm"))
+    val b = short.select(col("qid").as("bqid"), col("cid").as("bcid"),
+      col("ce").as("be"), col("cnrm").as("bnrm"))
+    val pc = a.join(b, col("pqid") === col("bqid") && col("acid") =!= col("bcid"))
+      .select(col("pqid"), col("acid"), col("bcid"),
+        Parity.r6(expr("dot_product(ae, be)") / (col("anrm") * col("bnrm")))
+          .as("cs"))
+    val s1 = short.filter(col("rnk") === 1)
+      .select(col("qid"), col("cid").as("s1cid"), col("rel").as("s1rel"))
+    val wScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    val st2 = short.join(broadcast(s1), Seq("qid"))
+      .filter(col("cid") =!= col("s1cid"))
+      .join(pc, col("qid") === col("pqid") && col("cid") === col("acid") &&
+        col("s1cid") === col("bcid"))
+      .withColumn("score", lam * col("rel") - oneMinusLam * col("cs"))
+      .withColumn("rn", row_number().over(wScore))
+    val s2 = st2.filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("s2cid"), col("rel").as("s2rel"),
+        col("score").as("s2score"))
+    val pc2 = pc.select(col("pqid").as("p2qid"), col("acid").as("a2cid"),
+      col("bcid").as("b2cid"), col("cs").as("cs2"))
+    val st3 = short.join(broadcast(s1), Seq("qid"))
+      .join(broadcast(s2.select(col("qid"), col("s2cid"))), Seq("qid"))
+      .filter(col("cid") =!= col("s1cid") && col("cid") =!= col("s2cid"))
+      .join(pc, col("qid") === col("pqid") && col("cid") === col("acid") &&
+        col("s1cid") === col("bcid"))
+      .join(pc2, col("qid") === col("p2qid") && col("cid") === col("a2cid") &&
+        col("s2cid") === col("b2cid"))
+      .withColumn("score",
+        lam * col("rel") - oneMinusLam * greatest(col("cs"), col("cs2")))
+      .withColumn("rn", row_number().over(wScore))
+    val s3 = st3.filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("s3cid"), col("rel").as("s3rel"),
+        col("score").as("s3score"))
+    val r1 = s1.select(col("qid"), lit(1L).as("rnk"), col("s1cid").as("cid"),
+      col("s1rel").as("rel"), Parity.r6(lam * col("s1rel")).as("score"))
+    val r2 = s2.select(col("qid"), lit(2L).as("rnk"), col("s2cid").as("cid"),
+      col("s2rel").as("rel"), Parity.r6(col("s2score")).as("score"))
+    val r3 = s3.select(col("qid"), lit(3L).as("rnk"), col("s3cid").as("cid"),
+      col("s3rel").as("rel"), Parity.r6(col("s3score")).as("score"))
+    r1.unionByName(r2).unionByName(r3).orderBy(col("qid"), col("rnk"))
+  }
+
   private val topkCte =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -611,6 +688,66 @@ object Similarity {
         |  FROM sc)
         |SELECT qid, rnk, cid, maxsim FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin), simMaxsimRerank),
+
+    QueryDef("sim_mmr_diversify", Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+        | sc AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.e AS ce, c.nrm AS cnrm,
+        |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm)
+        |     * 1000000 + 0.5) / 1000000 AS rel
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        | ranked AS (
+        |  SELECT qid, cid, ce, cnrm, rel,
+        |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+        |  FROM sc),
+        | short AS (SELECT * FROM ranked WHERE rnk <= 8),
+        | pc AS (
+        |  SELECT a.qid AS pqid, a.cid AS acid, b.cid AS bcid,
+        |   floor(list_inner_product(a.ce, b.ce) / (a.cnrm * b.cnrm)
+        |     * 1000000 + 0.5) / 1000000 AS cs
+        |  FROM short a JOIN short b ON a.qid = b.qid AND a.cid <> b.cid),
+        | s1 AS (SELECT qid, cid AS s1cid, rel AS s1rel FROM short WHERE rnk = 1),
+        | st2 AS (
+        |  SELECT s.qid, s.cid, s.rel,
+        |   CAST(0.7 AS DOUBLE) * s.rel - CAST(0.3 AS DOUBLE) * p.cs AS score,
+        |   row_number() OVER (PARTITION BY s.qid ORDER BY
+        |     CAST(0.7 AS DOUBLE) * s.rel - CAST(0.3 AS DOUBLE) * p.cs DESC,
+        |     s.cid) AS rn
+        |  FROM short s
+        |   JOIN s1 ON s.qid = s1.qid AND s.cid <> s1.s1cid
+        |   JOIN pc p ON p.pqid = s.qid AND p.acid = s.cid AND p.bcid = s1.s1cid),
+        | s2 AS (SELECT qid, cid AS s2cid, rel AS s2rel, score AS s2score
+        |        FROM st2 WHERE rn = 1),
+        | st3 AS (
+        |  SELECT s.qid, s.cid, s.rel,
+        |   CAST(0.7 AS DOUBLE) * s.rel
+        |     - CAST(0.3 AS DOUBLE) * greatest(p1.cs, p2.cs) AS score,
+        |   row_number() OVER (PARTITION BY s.qid ORDER BY
+        |     CAST(0.7 AS DOUBLE) * s.rel
+        |       - CAST(0.3 AS DOUBLE) * greatest(p1.cs, p2.cs) DESC, s.cid) AS rn
+        |  FROM short s
+        |   JOIN s1 ON s.qid = s1.qid
+        |   JOIN s2 ON s.qid = s2.qid
+        |   JOIN pc p1 ON p1.pqid = s.qid AND p1.acid = s.cid
+        |     AND p1.bcid = s1.s1cid
+        |   JOIN pc p2 ON p2.pqid = s.qid AND p2.acid = s.cid
+        |     AND p2.bcid = s2.s2cid
+        |  WHERE s.cid <> s1.s1cid AND s.cid <> s2.s2cid),
+        | s3 AS (SELECT qid, cid AS s3cid, rel AS s3rel, score AS s3score
+        |        FROM st3 WHERE rn = 1)
+        |SELECT qid, rnk, cid, rel,
+        | floor(score * 1000000 + 0.5) / 1000000 AS score
+        |FROM (
+        | SELECT qid, CAST(1 AS BIGINT) AS rnk, s1cid AS cid, s1rel AS rel,
+        |  CAST(0.7 AS DOUBLE) * s1rel AS score FROM s1
+        | UNION ALL
+        | SELECT qid, CAST(2 AS BIGINT), s2cid, s2rel, s2score FROM s2
+        | UNION ALL
+        | SELECT qid, CAST(3 AS BIGINT), s3cid, s3rel, s3score FROM s3)
+        |ORDER BY qid, rnk""".stripMargin), simMmrDiversify),
 
     QueryDef("sim_cosine_topk", Some(topkCte +
       """SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 5

@@ -95,46 +95,57 @@ object Statistics {
     * and apply their own Parity rounding. Shared by
     * [[aggPercentileSelect]] and [[statsWinsorize]]'s bounds. */
   private def binSelectQuantiles(spark: SparkSession, dir: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double]): DataFrame =
+    binSelectQuantilesOn(lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", ps, 1000.0)
+
+  /** The generalized two-phase bin-selection core: exact interpolated
+    * quantiles of `vc` per `grp` over ANY input relation (round 10 —
+    * factored out of the lineitem-specific [[binSelectQuantiles]] so
+    * derived measures like [[statsMadOutliers]]'s deviation column get
+    * the same scale-safe path). Same recipe and guarantees as the
+    * original: phase-1 fixed-width bin counts + metadata-row cumsums
+    * locate the bracketing bins, phase-2 exactly ranks only the
+    * located bins' rows, interpolation is bitwise quantile_cont. */
+  private[operators] def binSelectQuantilesOn(df: DataFrame, grp: String,
+      vc: String, ps: Seq[Double], binW: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val binW = 1000.0
-    val b = lineitem(spark, dir).select(col("l_returnflag"),
-      col("l_extendedprice").as("v"),
-      floor(col("l_extendedprice") / binW).cast("long").as("bin"))
-    val wBin = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
-    val wFlag = Window.partitionBy(col("l_returnflag"))
-    val cum = b.groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("c"))
+    val b = df.select(col(grp), col(vc).as("v"),
+      floor(col(vc) / binW).cast("long").as("bin"))
+    val wBin = Window.partitionBy(col(grp)).orderBy(col("bin"))
+    val wFlag = Window.partitionBy(col(grp))
+    val cum = b.groupBy(col(grp), col("bin")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
         wBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_prev", col("cum") - col("c"))
       .withColumn("n", sum(col("c")).over(wFlag))
     // the 0-based bracketing ranks per group: floor/ceil of
     // pos = p·(n−1) for each requested p
-    val targets = cum.select(col("l_returnflag"), col("n")).distinct()
-      .select(col("l_returnflag"),
+    val targets = cum.select(col(grp), col("n")).distinct()
+      .select(col(grp),
         explode(array(ps.map(lit(_)): _*)).as("p"), col("n"))
       .withColumn("pos", col("p") * (col("n") - 1))
-      .select(col("l_returnflag"), col("p"), col("pos"),
+      .select(col(grp), col("p"), col("pos"),
         explode(array(floor(col("pos")).cast("long"),
           ceil(col("pos")).cast("long"))).as("rk"))
-    val located = targets.join(cum, Seq("l_returnflag"))
+    val located = targets.join(cum, Seq(grp))
       .filter(col("rk") >= col("cum_prev") && col("rk") < col("cum"))
-      .select(col("l_returnflag"), col("p"), col("pos"), col("rk"),
+      .select(col(grp), col("p"), col("pos"), col("rk"),
         col("bin"), col("cum_prev"))
     // phase 2: open ONLY the located bins; global rank = bin offset +
     // exact local rank inside the (group, bin) partition
-    val wLocal = Window.partitionBy(col("l_returnflag"), col("bin")).orderBy(col("v"))
+    val wLocal = Window.partitionBy(col(grp), col("bin")).orderBy(col("v"))
     val vals = b.join(
-        broadcast(located.select(col("l_returnflag"), col("bin")).distinct()),
-        Seq("l_returnflag", "bin"))
+        broadcast(located.select(col(grp), col("bin")).distinct()),
+        Seq(grp, "bin"))
       .withColumn("lrk", row_number().over(wLocal).cast("long") - 1)
-      .join(broadcast(located), Seq("l_returnflag", "bin"))
+      .join(broadcast(located), Seq(grp, "bin"))
       .filter(col("lrk") === col("rk") - col("cum_prev"))
-      .select(col("l_returnflag"), col("p"), col("pos"), col("rk"), col("v"))
-    vals.groupBy(col("l_returnflag"), col("p"), col("pos"))
+      .select(col(grp), col("p"), col("pos"), col("rk"), col("v"))
+    vals.groupBy(col(grp), col("p"), col("pos"))
       .agg(min(when(col("rk") === floor(col("pos")).cast("long"), col("v"))).as("vlo"),
         min(when(col("rk") === ceil(col("pos")).cast("long"), col("v"))).as("vhi"))
-      .select(col("l_returnflag"), col("p"),
+      .select(col(grp), col("p"),
         (col("vlo") + (col("vhi") - col("vlo")) *
           (col("pos") - floor(col("pos")))).as("q"))
   }
@@ -1182,57 +1193,65 @@ object Statistics {
     * use: price/length anomaly screens on corpora where heavy tails
     * would drag a classical z-score's own baseline.
     *
-    * Scale discipline: median and MAD both come from the per-group
-    * VALUE HISTOGRAM (one map-side-combinable hash-agg; the dev
-    * histogram reuses it — no second corpus scan), interpolated with
-    * the agg_percentile formula (bitwise = DuckDB quantile_cont); the
-    * outlier count folds over histogram rows. Only the top-3 window
-    * touches raw rows, partitioned by group AFTER a broadcast join of
-    * the 3-row med/mad relation. Ranking compares unrounded |z| —
-    * bit-identical inputs ⇒ identical order; ties break on row id. */
+    * Scale discipline (the [[binSelectQuantilesOn]] path — the
+    * measure is ~97% unique, so a value-histogram cumulative window
+    * would cap reducer parallelism at #groups): median and MAD are
+    * both two-phase bin selections (the MAD one over the
+    * broadcast-derived deviation column), the outlier count is one
+    * conditional map-side-combinable agg, and the top-3 window runs
+    * only over the rows of the top deviation BINS holding ≥ 3 rows
+    * per group (|z| is monotone in dev, so the cut provably contains
+    * the top-3) — never a per-group sort of raw rows. Ranking
+    * compares unrounded z — bit-identical inputs ⇒ identical order;
+    * ties break on row id. */
   private def statsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def q50(hist: DataFrame, grp: String, v: String, cnt: String): DataFrame = {
-      val byG = Window.partitionBy(col(grp))
-      val cumW = byG.orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val h = hist
-        .withColumn("cum", sum(col(cnt)).over(cumW))
-        .withColumn("nn", sum(col(cnt)).over(byG))
-      val pos = lit(0.5) * (col("nn") - 1)
-      val coversLo = floor(pos) >= col("cum") - col(cnt) && floor(pos) < col("cum")
-      val coversHi = ceil(pos) >= col("cum") - col(cnt) && ceil(pos) < col("cum")
-      h.groupBy(col(grp)).agg(
-        (max(when(coversLo, col(v))) +
-          (max(when(coversHi, col(v))) - max(when(coversLo, col(v)))) *
-            (min(pos) - floor(min(pos)))).as("q"),
-        max(col("nn")).as("n_rows"))
-    }
-    val hist = lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val med = q50(hist, "l_returnflag", "v", "cnt")
-      .select(col("l_returnflag"), col("q").as("med"), col("n_rows").as("n"))
-    val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"), abs(col("v") - col("med")).as("dev"))
-      .agg(sum(col("cnt")).as("cnt"))
-    val mad = q50(devHist, "l_returnflag", "dev", "cnt")
-      .select(col("l_returnflag"), col("q").as("mad"))
-    val stats = med.join(broadcast(mad), Seq("l_returnflag"))
-    val zOf = (v: Column, m: Column, s: Column) =>
-      lit(0.6745) * (v - m) / s
-    val nOut = hist.join(broadcast(stats), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"))
-      .agg(sum(when(col("mad") > 0.0 &&
-        abs(zOf(col("v"), col("med"), col("mad"))) > 3.5, col("cnt"))
-        .otherwise(0L)).as("n_outliers"))
-    val full = stats.join(broadcast(nOut), Seq("l_returnflag"))
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
-    lineitem(spark, dir)
+    import spark.implicits._
+    val li = lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("v"))
-      .join(broadcast(full), Seq("l_returnflag"))
+    // med and mad are ≤#groups-row metadata: collect them (the
+    // bounded-collect discipline — same as statsWinsorize's bounds)
+    // and re-inject as literal relations, otherwise each downstream
+    // consumer re-executes the whole two-phase bin-select subplan
+    // under its join (measured 22 s vs 1 s at sf0.1)
+    val med = binSelectQuantilesOn(li, "l_returnflag", "v", Seq(0.5), 1000.0)
+      .select(col("l_returnflag"), col("q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("l_returnflag", "med")
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = binSelectQuantilesOn(dev, "l_returnflag", "dev", Seq(0.5), 1000.0)
+      .select(col("l_returnflag"), col("q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("l_returnflag", "mad")
+    val zOf = (v: Column, m: Column, s: Column) => lit(0.6745) * (v - m) / s
+    // ONE (flag, dev-bin) aggregation carries bin counts AND the exact
+    // per-bin outlier tally (med/mad are literals by now, so the
+    // Hampel predicate folds into the same map-side combine)
+    val devBins = dev.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), floor(col("dev") / 1000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("mad") > 0.0 &&
+          abs(zOf(col("v"), col("med"), col("mad"))) > 3.5, 1L)
+          .otherwise(0L)).as("co"))
+    val n = devBins.groupBy(col("l_returnflag"))
+      .agg(sum(col("c")).as("n"), sum(col("co")).as("n_outliers"))
+    // the smallest bin index whose top-down cumulative count reaches 3:
+    // rows above it cannot fill the podium, rows at-or-above contain it
+    val wTop = Window.partitionBy(col("l_returnflag")).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = devBins.withColumn("cumtop", sum(col("c")).over(wTop))
+      .filter(col("cumtop") >= 3)
+      .groupBy(col("l_returnflag")).agg(max(col("bin")).as("cutbin"))
+    val full = med.join(broadcast(mad), Seq("l_returnflag"))
+      .join(broadcast(n), Seq("l_returnflag"))
+      .join(broadcast(cutoff), Seq("l_returnflag"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+    li.join(broadcast(full), Seq("l_returnflag"))
+      .filter(floor(abs(col("v") - col("med")) / 1000.0).cast("long") >=
+        col("cutbin"))
       .withColumn("z", when(col("mad") > 0.0,
         zOf(col("v"), col("med"), col("mad"))))
       .withColumn("rnk", row_number().over(w).cast("long"))
