@@ -294,6 +294,40 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** TIME-BOUNDED funnel — signup → click → purchase where each step
+    * must land within 72 h of the previous one (the standard product
+    * question events_funnel's unbounded ordering can't answer: a
+    * purchase a year after the click is not conversion). Each stage is
+    * a per-user conditional min over an equi-join on user_id against
+    * the previous stage's one-row-per-user relation, with the 72 h
+    * bound a residual predicate on that bounded join — no range-join
+    * fanout. Output is the funnel rollup: stage counts (exact) and
+    * step rates, n>0-guarded and mirrored as CASE WHEN. Timestamp
+    * arithmetic is exact µs on both engines. */
+  private def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 72 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 72 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val a1 = s1.agg(count(lit(1)).as("n_signup"))
+    val a2 = s2.agg(count(lit(1)).as("n_click_72h"))
+    val a3 = s3.agg(count(lit(1)).as("n_purchase_72h"))
+    a1.crossJoin(a2).crossJoin(a3)
+      .select(col("n_signup"), col("n_click_72h"), col("n_purchase_72h"),
+        when(col("n_signup") > 0, Parity.r6(col("n_click_72h").cast("double") /
+          col("n_signup").cast("double"))).as("rate_click"),
+        when(col("n_click_72h") > 0,
+          Parity.r6(col("n_purchase_72h").cast("double") /
+            col("n_click_72h").cast("double"))).as("rate_purchase"))
+  }
+
   /** Changepoint localization (binary segmentation, one split) on the
     * per-type daily count series: t* = argmax over interior split
     * points of √(t(n−t)/n)·|mean_left − mean_right| — the statistic
@@ -1213,6 +1247,36 @@ object EventTime {
         |SELECT strftime(day, '%Y-%m-%d') AS day, mean_value, cusum,
         | abs(cusum) = max(abs(cusum)) OVER () AS is_peak
         |FROM c ORDER BY day""".stripMargin), eventsCusum),
+
+    QueryDef("events_funnel_windowed", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_signup
+        |    AND e.ts <= t_signup + INTERVAL 72 HOUR
+        |  GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_click
+        |    AND e.ts <= t_click + INTERVAL 72 HOUR
+        |  GROUP BY 1),
+        | c AS (SELECT
+        |   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_72h,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_72h)
+        |SELECT n_signup, n_click_72h, n_purchase_72h,
+        | CASE WHEN n_signup > 0 THEN
+        |  floor(CAST(n_click_72h AS DOUBLE) / CAST(n_signup AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 END AS rate_click,
+        | CASE WHEN n_click_72h > 0 THEN
+        |  floor(CAST(n_purchase_72h AS DOUBLE) / CAST(n_click_72h AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 END AS rate_purchase
+        |FROM c""".stripMargin),
+      eventsFunnelWindowed),
 
     QueryDef("timeseries_changepoint", Some(
       """WITH daily AS (

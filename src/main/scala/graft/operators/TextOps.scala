@@ -998,7 +998,103 @@ object TextOps {
       |  FROM st JOIN nn ON true JOIN samp s ON s.p = (st.step % nn.n) + 1
       |  WHERE st.step < 20 * nn.n)""".stripMargin
 
+  /** RAKE keyword extraction — the classic unsupervised keyphrase
+    * scorer: candidate phrases are the maximal stopword-free token
+    * runs, each word scores deg/freq over the whole corpus (deg =
+    * Σ length of the phrases it appears in — words that live in long
+    * collocations outrank equally-frequent loners), and a phrase
+    * scores the sum of its words; top-3 phrases per document. The
+    * keyword/topic tagger a curation pipeline runs where TF-IDF
+    * ([[textTfidf]]) ranks single terms only.
+    *
+    * Scale: phrase segmentation is a per-document cumulative count
+    * over the token relation (partition = doc, the standard text-op
+    * parallelism here), phrase length a (doc, phrase)-partitioned
+    * count; the corpus-wide word table is vocabulary-sized and
+    * broadcasts back. Float parity: wscore is ONE division of exact
+    * BIGINTs; the phrase sum folds sequentially in position order
+    * (list_reduce ORDER BY mirror), so scores are bit-identical
+    * before the output rounding; ranking ties break on phrase text
+    * then segment id. */
+  private def textRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val tk = documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tk
+      .withColumn("grp",
+        sum(when(col("tok").isin(stop: _*), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("tok").isin(stop: _*))
+    val wPhrase = Window.partitionBy(col("doc_id"), col("grp"))
+    val m2 = marked.withColumn("plen", count(lit(1)).over(wPhrase))
+    val wordScore = m2.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+    val ph = m2.join(broadcast(wordScore), Seq("tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("plen")).as("n_words"),
+        sort_array(collect_list(struct(col("pos"), col("tok"), col("wscore"))))
+          .as("wl"))
+      .select(col("doc_id"), col("grp"), col("n_words"),
+        concat_ws(" ", transform(col("wl"), x => x.getField("tok"))).as("phrase"),
+        aggregate(transform(col("wl"), x => x.getField("wscore")), lit(0.0),
+          (acc, x) => acc + x).as("pscore"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pscore").desc, col("phrase"), col("grp"))
+    ph.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("n_words"),
+        Parity.r6(col("pscore")).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_rake_keywords", Some(
+      """WITH tk0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | tk AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+        |  FROM tk0, unnest(generate_series(1, len(t))) AS u(i)),
+        | g AS (
+        |  SELECT doc_id, pos, tok,
+        |   CAST(sum(CASE WHEN list_contains(['the','a','of','and','to','in'], tok)
+        |     THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM tk),
+        | m AS (
+        |  SELECT * FROM g
+        |  WHERE NOT list_contains(['the','a','of','and','to','in'], tok)),
+        | m2 AS (
+        |  SELECT doc_id, pos, tok, grp,
+        |   CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+        |  FROM m),
+        | ws AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+        |   CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM m2 GROUP BY 1),
+        | sc AS (
+        |  SELECT tok, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+        |  FROM ws),
+        | ph AS (
+        |  SELECT m2.doc_id, m2.grp, min(m2.plen) AS n_words,
+        |   string_agg(m2.tok, ' ' ORDER BY m2.pos) AS phrase,
+        |   list_reduce(list(sc.wscore ORDER BY m2.pos), (a, v) -> a + v) AS pscore
+        |  FROM m2 JOIN sc ON m2.tok = sc.tok
+        |  GROUP BY 1, 2),
+        | r AS (
+        |  SELECT doc_id, phrase, n_words, pscore,
+        |   CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY pscore DESC, phrase, grp) AS BIGINT) AS rnk
+        |  FROM ph)
+        |SELECT doc_id, rnk, phrase, n_words,
+        | floor(pscore * 1000000 + 0.5) / 1000000 AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      textRakeKeywords),
+
     QueryDef("text_ngram_novelty", Some(
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
