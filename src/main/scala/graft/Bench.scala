@@ -56,7 +56,8 @@ object Bench {
     "stats_welch_ttest", "stats_anova", "sim_maxsim_rerank",
     "stats_ols_multi", "stats_mad_outliers",
     "timeseries_changepoint", "sim_mmr_diversify",
-    "events_funnel_windowed", "text_rake_keywords")
+    "events_funnel_windowed", "text_rake_keywords",
+    "timeseries_seasonal_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

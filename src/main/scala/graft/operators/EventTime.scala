@@ -372,6 +372,65 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Seasonal robust anomaly screen — residuals vs the weekday
+    * baseline, scored with median/MAD robust-z: the monitoring
+    * question "which days were abnormal FOR THEIR WEEKDAY", where
+    * [[eventsPeakDetection]] flags raw spikes (a quiet Sunday is
+    * normal; the same volume on a Tuesday is an incident) and a
+    * mean/stddev z-score would let the anomalies drag their own
+    * baseline. Top-3 most anomalous days per type, with the Hampel
+    * |rz| > 3.5 verdict attached.
+    *
+    * Scale: ONE map-side-combinable hash-agg collapses the corpus to
+    * the (type, day) metadata relation; the weekday baseline is a
+    * window over it, and the residual med/MAD run through the shared
+    * [[Statistics.binSelectQuantilesOn]] core with the ≤#types-row
+    * results collected as literals (the statsMadOutliers discipline).
+    * Everything after the first agg touches only metadata rows. */
+  private def timeseriesSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wWd = Window.partitionBy(col("event_type"), col("wd"))
+    val base = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wd", weekday(col("day")).cast("long"))
+      .withColumn("expected",
+        sum(col("cnt")).over(wWd).cast("double") /
+          count(lit(1)).over(wWd).cast("double"))
+      .withColumn("resid", col("cnt").cast("double") - col("expected"))
+    val med = Statistics.binSelectQuantilesOn(
+        base.select(col("event_type"), col("resid")),
+        "event_type", "resid", Seq(0.5), 10.0)
+      .select(col("event_type"), col("q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("event_type", "med_resid")
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("rdev", abs(col("resid") - col("med_resid")))
+    val mad = Statistics.binSelectQuantilesOn(
+        dev.select(col("event_type"), col("rdev")),
+        "event_type", "rdev", Seq(0.5), 10.0)
+      .select(col("event_type"), col("q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("event_type", "mad")
+    val rz = when(col("mad") > 0.0,
+      lit(0.6745) * (col("resid") - col("med_resid")) / col("mad"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("rz")).desc, col("day"))
+    base.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("rz", rz)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        Parity.r6(col("expected")).as("expected"),
+        Parity.r6(col("resid")).as("resid"),
+        Parity.r6(col("rz")).as("rz"),
+        (abs(col("rz")) > lit(3.5)).as("is_outlier"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** Peak detection on the daily event-count series: the TOP-5 strict
     * local maxima ranked by prominence over the ±3-day rolling
     * baseline (neighborhood mean excluding the day itself) — the spike
@@ -1311,6 +1370,53 @@ object EventTime {
         | floor(z * 1000000 + 0.5) / 1000000 AS z
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
       timeseriesChangepoint),
+
+    QueryDef("timeseries_seasonal_anomaly", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | d2 AS (
+        |  SELECT event_type, day, cnt, CAST(isodow(day) - 1 AS BIGINT) AS wd
+        |  FROM daily),
+        | b AS (
+        |  SELECT event_type, day, cnt,
+        |   CAST(sum(cnt) OVER (PARTITION BY event_type, wd) AS DOUBLE)
+        |     / CAST(count(*) OVER (PARTITION BY event_type, wd) AS DOUBLE)
+        |     AS expected,
+        |   CAST(cnt AS DOUBLE) -
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, wd) AS DOUBLE)
+        |     / CAST(count(*) OVER (PARTITION BY event_type, wd) AS DOUBLE)
+        |     AS resid
+        |  FROM d2),
+        | med AS (
+        |  SELECT event_type, quantile_cont(resid, 0.5) AS med_resid
+        |  FROM b GROUP BY 1),
+        | dev AS (
+        |  SELECT b.event_type, abs(b.resid - m.med_resid) AS rdev
+        |  FROM b JOIN med m ON b.event_type = m.event_type),
+        | mad AS (
+        |  SELECT event_type, quantile_cont(rdev, 0.5) AS mad
+        |  FROM dev GROUP BY 1),
+        | z AS (
+        |  SELECT b.event_type, b.day, b.cnt, b.expected, b.resid,
+        |   CASE WHEN mad.mad > 0.0 THEN
+        |    CAST(0.6745 AS DOUBLE) * (b.resid - med.med_resid) / mad.mad
+        |   END AS rz
+        |  FROM b JOIN med ON b.event_type = med.event_type
+        |   JOIN mad ON b.event_type = mad.event_type),
+        | r AS (
+        |  SELECT event_type, day, cnt, expected, resid, rz,
+        |   CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY abs(rz) DESC, day) AS BIGINT) AS rnk
+        |  FROM z)
+        |SELECT event_type, rnk, strftime(day, '%Y-%m-%d') AS day, cnt,
+        | floor(expected * 1000000 + 0.5) / 1000000 AS expected,
+        | floor(resid * 1000000 + 0.5) / 1000000 AS resid,
+        | floor(rz * 1000000 + 0.5) / 1000000 AS rz,
+        | abs(rz) > CAST(3.5 AS DOUBLE) AS is_outlier
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin),
+      timeseriesSeasonalAnomaly),
 
     QueryDef("events_anomaly", Some(
       """WITH s AS (

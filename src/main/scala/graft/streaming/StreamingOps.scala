@@ -399,6 +399,107 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class FunRow(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class FunEv(tsMs: Long, kind: Int)
+  final case class FunState(pending: Seq[FunEv], tSignup: Option[Long],
+      tClick: Option[Long], tPurchase: Option[Long])
+  final case class FunnelOut(user_id: Long, funnel_stage: Int,
+      t_signup: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp])
+
+  /** FUNNEL-ON-INGEST — the live form of the batch windowed funnel
+    * (`events_funnel_windowed`): per user, signup → click → purchase
+    * where each step must land within `stepMs` of the previous, with
+    * a stage-advance row emitted as soon as the watermark proves the
+    * transition final. The conversion monitor a growth team watches
+    * in near-real-time instead of recomputing the batch rollup.
+    *
+    * Correctness leans on the asofEnrich discipline: events buffer in
+    * state until the watermark passes them, then replay through the
+    * funnel automaton in EVENT-TIME order — so "first signup", "first
+    * qualifying click after it", "first qualifying purchase" are
+    * decided on the same total order the batch query's min()s see,
+    * and a matured transition can never be revised (anything that
+    * could revise it would be below the watermark, i.e. dropped-late).
+    *
+    * State is bounded per key: the un-matured events inside the
+    * watermark horizon plus three optional timestamps. Keys are
+    * REMOVED outright the moment the funnel can no longer move: on
+    * conversion (stage 3), on an empty automaton (clicks with no
+    * signup can never qualify — the step windows only look forward),
+    * or when the watermark closes the current step's 72 h window.
+    * Event-time timeouts wake the key exactly at its next deadline.
+    * StreamBatchParitySpec replays the corpus and asserts per-user
+    * stage equality with the batch recipe for every user whose events
+    * all matured below the final watermark. */
+  def funnelTrack(events: DataFrame, watermark: String = "10 minutes",
+      stepMs: Long = 72L * 3600000): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val in = events.filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark).as[FunRow]
+
+    def stageOf(s: FunState): Int =
+      if (s.tPurchase.isDefined) 3 else if (s.tClick.isDefined) 2
+      else if (s.tSignup.isDefined) 1 else 0
+
+    def fn(uid: Long, rows: Iterator[FunRow],
+        state: GroupState[FunState]): Iterator[FunnelOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(FunState(Nil, None, None, None))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(pending = st0.pending ++ rows.map(r =>
+          FunEv(r.ts.getTime, r.event_type match {
+            case "signup" => 0
+            case "click" => 1
+            case _ => 2
+          })))
+      val (ready, pending) = withNew.pending.partition(_.tsMs < wm)
+      var s = withNew.copy(pending = pending)
+      val before = stageOf(withNew)
+      // replay matured events in event-time order (signup before click
+      // on a tie — harmless under the strict > bounds, deterministic)
+      for (e <- ready.sortBy(e => (e.tsMs, e.kind))) e.kind match {
+        case 0 => if (s.tSignup.isEmpty) s = s.copy(tSignup = Some(e.tsMs))
+        case 1 => if (s.tClick.isEmpty && s.tSignup.exists(t =>
+          e.tsMs > t && e.tsMs <= t + stepMs)) s = s.copy(tClick = Some(e.tsMs))
+        case _ => if (s.tPurchase.isEmpty && s.tClick.exists(t =>
+          e.tsMs > t && e.tsMs <= t + stepMs)) s = s.copy(tPurchase = Some(e.tsMs))
+      }
+      val after = stageOf(s)
+      val outs =
+        if (after > before) Seq(FunnelOut(uid, after,
+          s.tSignup.map(new java.sql.Timestamp(_)),
+          s.tClick.map(new java.sql.Timestamp(_)),
+          s.tPurchase.map(new java.sql.Timestamp(_))))
+        else Nil
+      // a funnel that can never advance again is dead state
+      val frozen = s.pending.isEmpty && (after match {
+        case 3 => true
+        case 0 => true // only forward-looking steps: orphan clicks/purchases can never qualify
+        case 1 => s.tSignup.exists(t => wm > t + stepMs)
+        case _ => s.tClick.exists(t => wm > t + stepMs)
+      })
+      if (frozen) state.remove()
+      else {
+        state.update(s)
+        val next =
+          if (s.pending.nonEmpty) s.pending.map(_.tsMs).min + 1
+          else if (after == 1) s.tSignup.get + stepMs + 1
+          else if (after == 2) s.tClick.get + stepMs + 1
+          else wm + 1
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      outs.iterator
+    }
+
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Score-on-ingest: the fixture quality classifier
     * (`text_classifier_score` semantics — md5-hashed word uni+bigrams
     * into 64 buckets, integer centiweights, logistic link) applied to

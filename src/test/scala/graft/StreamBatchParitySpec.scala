@@ -342,6 +342,66 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("funnel-on-ingest reproduces the batch windowed funnel stage per matured user") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batchEvents = Tables.events(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel"
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = StreamingOps.funnelTrack(stream, watermark = "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.table("funnel_parity")
+      .select(col("user_id"), col("funnel_stage")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // append-mode monotonicity: a (user, stage) pair must emit at most once
+    val dups = emitted.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"stage rows emitted more than once: ${dups.take(5)}")
+    val streamed = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+    // batch truth: the events_funnel_windowed stage recipe per user,
+    // restricted to users whose every event matured below the final
+    // watermark (only those funnels are provably final in the stream)
+    val step = expr("INTERVAL 72 HOURS")
+    val s1 = batchEvents.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val s2 = batchEvents.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t_signup") && col("ts") <= col("t_signup") + step)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = batchEvents.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + step)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wmCutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60000)
+    val matured = batchEvents.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("u_max")).filter(col("u_max") < wmCutoff)
+    val expected = matured.select(col("user_id"))
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_signup").isNotNull, 1).otherwise(0).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(expected.count(_._2 >= 1) > 0, "degenerate fixture: no matured funnels")
+    val wrong = expected.collect {
+      case (u, st) if st >= 1 && !streamed.get(u).contains(st) =>
+        (u, st, streamed.get(u))
+      case (u, 0) if streamed.contains(u) => (u, 0, streamed.get(u))
+    }
+    assert(wrong.isEmpty,
+      s"funnel stages diverged (user, batch stage, streamed): ${wrong.take(5)}")
+  }
+
   test("stream-stream as-of join equals the batch backward as-of for matured trades") {
     val spark2 = spark
     import spark2.implicits._
