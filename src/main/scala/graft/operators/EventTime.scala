@@ -372,6 +372,49 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** LTV cohort curves — cumulative purchase revenue per signup-week
+    * cohort by weeks-since-signup: the lifetime-value readout layered
+    * on [[the events_retention]] cohort grid (retention counts who
+    * came back; this tracks what they were WORTH, per cohort member).
+    * Revenue is exact BIGINT cents end-to-end (floor(v·100+½) rows,
+    * exact sums, exact cumulative window over the metadata-sized
+    * cohort×offset grid); the per-user normalizations are single
+    * divisions of exact integers — no rounding slack needed before
+    * the output formatting.
+    *
+    * Scale: one per-user first-signup agg, one user-keyed equi-join
+    * to the purchase slice, one map-side-combinable (cohort, offset)
+    * agg; the cumulative window and cohort-size broadcast join run on
+    * the grid relation only. */
+  private def eventsLtvCohort(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val cell = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("pweek"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(first, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("pweek"), col("cohort")) / lit(7)).cast("long"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("cents"))
+    val wC = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_cents", sum(col("cents")).over(wC))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("cohort_users"), col("n_buyers"),
+        Parity.r2(col("cents").cast("double") / lit(100.0)).as("revenue"),
+        Parity.r6(col("cum_cents").cast("double") /
+          col("cohort_users").cast("double") / lit(100.0)).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Seasonal robust anomaly screen — residuals vs the weekday
     * baseline, scored with median/MAD robust-z: the monitoring
     * question "which days were abnormal FOR THEIR WEEKDAY", where
@@ -1370,6 +1413,39 @@ object EventTime {
         | floor(z * 1000000 + 0.5) / 1000000 AS z
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
       timeseriesChangepoint),
+
+    QueryDef("events_ltv_cohort", Some(
+      """WITH first AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | sizes AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM first GROUP BY 1),
+        | pur AS (
+        |  SELECT f.cohort,
+        |   CAST(datediff('day', f.cohort,
+        |     CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+        |   e.user_id, CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events e JOIN first f USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        | cell AS (
+        |  SELECT cohort, week_offset,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |   CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM pur WHERE week_offset >= 0 GROUP BY 1, 2),
+        | c2 AS (
+        |  SELECT cell.cohort, week_offset, cohort_users, n_buyers, cents,
+        |   CAST(sum(cents) OVER (PARTITION BY cell.cohort ORDER BY week_offset
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS cum_cents
+        |  FROM cell JOIN sizes USING (cohort))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+        | cohort_users, n_buyers,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 100 + 0.5) / 100 AS revenue,
+        | floor(CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE) / 100.0
+        |   * 1000000 + 0.5) / 1000000 AS ltv_per_user
+        |FROM c2 ORDER BY cohort_week, week_offset""".stripMargin),
+      eventsLtvCohort),
 
     QueryDef("timeseries_seasonal_anomaly", Some(
       """WITH daily AS (
