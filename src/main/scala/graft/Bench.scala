@@ -57,7 +57,8 @@ object Bench {
     "stats_ols_multi", "stats_mad_outliers",
     "timeseries_changepoint", "sim_mmr_diversify",
     "events_funnel_windowed", "text_rake_keywords",
-    "timeseries_seasonal_anomaly", "events_ltv_cohort")
+    "timeseries_seasonal_anomaly", "events_ltv_cohort",
+    "stats_power_sample_size", "text_style_similarity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

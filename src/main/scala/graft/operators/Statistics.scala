@@ -1263,7 +1263,73 @@ object Statistics {
       .orderBy(col("l_returnflag"), col("rnk"))
   }
 
+  /** Prospective POWER ANALYSIS for the purchase-value metric — the
+    * experiment-design companion to [[statsWelchTtest]]: given the
+    * corpus-estimated variance and a minimum detectable effect of 5%
+    * of the mean, the required per-arm sample size for 80% and 90%
+    * power at α=0.05 is n = 2(z_{α/2}+z_β)²σ²/δ² — the number a team
+    * computes BEFORE launching the A/B test the t-test later reads
+    * out. Same exact-integer moment discipline (cents BIGINTs, one
+    * conditional global hash-agg); z-sum constants are inlined as
+    * double literals and every constant is CAST AS DOUBLE before any
+    * arithmetic on both engines (the decimal-fold trap), so the ceil
+    * lands on bit-identical doubles. */
+  private def statsPowerSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    val nd = col("n").cast("double")
+    val mean = col("s").cast("double") / nd / lit(100.0)
+    val variance = (col("q").cast("double") / lit(10000.0) - nd * mean * mean) /
+      (nd - lit(1.0))
+    val delta = lit(0.05) * mean
+    // z_{0.025} + z_{0.2} and z_{0.025} + z_{0.1}
+    val z80 = lit(2.8015852)
+    val z90 = lit(3.2415516)
+    def nArm(z: Column) = when(col("n") > 1 && delta > 0.0,
+      ceil(lit(2.0) * (z * z) * variance / (delta * delta)).cast("long"))
+    g.select(col("n"),
+      when(col("n") > 0, Parity.r6(mean)).as("mean"),
+      when(col("n") > 1, Parity.r4(sqrt(variance))).as("sd"),
+      when(col("n") > 0, Parity.r6(delta)).as("delta"),
+      nArm(z80).as("n_per_arm_80"), nArm(z90).as("n_per_arm_90"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_power_sample_size", Some(
+      """WITH g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |     * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM events WHERE event_type = 'purchase'),
+        | m AS (
+        |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean
+        |  FROM g),
+        | v AS (
+        |  SELECT g.n, m.mean,
+        |   (CAST(g.q AS DOUBLE) / 10000.0
+        |     - CAST(g.n AS DOUBLE) * m.mean * m.mean)
+        |     / (CAST(g.n AS DOUBLE) - 1.0) AS variance,
+        |   CAST(0.05 AS DOUBLE) * m.mean AS delta
+        |  FROM g, m)
+        |SELECT n,
+        | CASE WHEN n > 0 THEN floor(mean * 1000000 + 0.5) / 1000000 END AS mean,
+        | CASE WHEN n > 1 THEN floor(sqrt(variance) * 10000 + 0.5) / 10000 END AS sd,
+        | CASE WHEN n > 0 THEN floor(delta * 1000000 + 0.5) / 1000000 END AS delta,
+        | CASE WHEN n > 1 AND delta > 0.0 THEN
+        |  CAST(ceil(CAST(2.0 AS DOUBLE)
+        |    * (CAST(2.8015852 AS DOUBLE) * CAST(2.8015852 AS DOUBLE))
+        |    * variance / (delta * delta)) AS BIGINT) END AS n_per_arm_80,
+        | CASE WHEN n > 1 AND delta > 0.0 THEN
+        |  CAST(ceil(CAST(2.0 AS DOUBLE)
+        |    * (CAST(3.2415516 AS DOUBLE) * CAST(3.2415516 AS DOUBLE))
+        |    * variance / (delta * delta)) AS BIGINT) END AS n_per_arm_90
+        |FROM v""".stripMargin),
+      statsPowerSampleSize),
+
     QueryDef("stats_ols_multi", Some(
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -998,6 +998,58 @@ object TextOps {
       |  FROM st JOIN nn ON true JOIN samp s ON s.p = (st.step % nn.n) + 1
       |  WHERE st.step < 20 * nn.n)""".stripMargin
 
+  /** Stylometric source similarity — cosine between per-source
+    * FUNCTION-WORD rate vectors (the classic authorship/style signal:
+    * content words say what a corpus is about, function-word rates say
+    * how it is written). The curation use: finding which sources are
+    * stylistic near-duplicates of each other before setting mixture
+    * weights — a complement to embedding-level dedup that needs no
+    * model. Rates are single divisions of exact BIGINT counts; dot
+    * products and norms fold sequentially over the word-sorted ≤6-row
+    * vectors (list_reduce ORDER BY mirror) so every cosine is
+    * bit-identical cross-engine before rounding.
+    *
+    * Scale: one token-explode hash-agg per (source, word) — function
+    * words only, so the relation is #sources×6 — plus a per-source
+    * total count; everything downstream (norm folds, the source×source
+    * pair join) runs on that metadata relation. */
+  private def textStyleSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val tk = documents(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+    val tot = tk.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val rates = tk.filter(col("tok").isin(stop: _*))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(tot, Seq("source"))
+      .select(col("source"), col("tok"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("r"))
+    val norms = rates.groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("r")))).as("ws"))
+      .select(col("source"),
+        sqrt(aggregate(transform(col("ws"), x => x.getField("r") * x.getField("r")),
+          lit(0.0), (a, x) => a + x)).as("nrm"))
+    val a = rates.select(col("source").as("src_a"), col("tok"),
+      col("r").as("ra"))
+    val b = rates.select(col("source").as("src_b"), col("tok"),
+      col("r").as("rb"))
+    val dots = a.join(b, Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_words"),
+        sort_array(collect_list(struct(col("tok"),
+          (col("ra") * col("rb")).as("p")))).as("ps"))
+      .select(col("src_a"), col("src_b"), col("n_shared_words"),
+        aggregate(transform(col("ps"), x => x.getField("p")), lit(0.0),
+          (acc, x) => acc + x).as("dot"))
+    val na = norms.select(col("source").as("src_a"), col("nrm").as("na"))
+    val nb = norms.select(col("source").as("src_b"), col("nrm").as("nb"))
+    dots.join(broadcast(na), Seq("src_a")).join(broadcast(nb), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_words"),
+        when(col("na") > 0.0 && col("nb") > 0.0,
+          Parity.r6(col("dot") / (col("na") * col("nb")))).as("style_cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** RAKE keyword extraction — the classic unsupervised keyphrase
     * scorer: candidate phrases are the maximal stopword-free token
     * runs, each word scores deg/freq over the whole corpus (deg =
@@ -1052,6 +1104,39 @@ object TextOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_style_similarity", Some(
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        | tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tk GROUP BY 1),
+        | rates AS (
+        |  SELECT c.source, c.tok,
+        |   CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS r
+        |  FROM (
+        |   SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk
+        |   WHERE list_contains(['the','a','of','and','to','in'], tok)
+        |   GROUP BY 1, 2) c
+        |  JOIN tot t ON c.source = t.source),
+        | norms AS (
+        |  SELECT source,
+        |   sqrt(list_reduce(list(r * r ORDER BY tok), (acc, x) -> acc + x)) AS nrm
+        |  FROM rates GROUP BY 1),
+        | dots AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared_words,
+        |   list_reduce(list(a.r * b.r ORDER BY a.tok), (acc, x) -> acc + x) AS dot
+        |  FROM rates a JOIN rates b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared_words,
+        | CASE WHEN na.nrm > 0.0 AND nb.nrm > 0.0 THEN
+        |  floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 END AS style_cos
+        |FROM dots
+        | JOIN norms na ON dots.src_a = na.source
+        | JOIN norms nb ON dots.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin),
+      textStyleSimilarity),
+
     QueryDef("text_rake_keywords", Some(
       """WITH tk0 AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
