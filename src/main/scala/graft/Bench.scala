@@ -58,7 +58,8 @@ object Bench {
     "timeseries_changepoint", "sim_mmr_diversify",
     "events_funnel_windowed", "text_rake_keywords",
     "timeseries_seasonal_anomaly", "events_ltv_cohort",
-    "stats_power_sample_size", "text_style_similarity")
+    "stats_power_sample_size", "text_style_similarity",
+    "timeseries_crosscorr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -372,6 +372,46 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Lagged CROSS-CORRELATION between the click and purchase daily
+    * series (CCF at lags −7…+7) — the lead–lag diagnostic behind
+    * "does click volume predict purchase volume, and by how many
+    * days": ccf(L) = corr(x(t), y(t+L)) with the argmax lag being the
+    * candidate lead time. Daily counts are exact integers, so every
+    * moment (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT per lag —
+    * order-independent aggregation, no fold discipline needed — and
+    * the Pearson closing arithmetic casts each exact factor to double
+    * in a fixed op sequence (bit-identical cross-engine).
+    *
+    * Scale: one map-side-combinable hash-agg collapses the corpus to
+    * the daily (x, y) relation; the 15-lag explode and the shifted
+    * self-join run on that ~90-row metadata relation. */
+  private def timeseriesCrosscorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = (-7 to 7).map(_.toLong).toDF("lag")
+    val b = daily.select(col("day").as("bday"), col("y").as("yl"))
+    val g = daily.select(col("day"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(b, expr("bday = date_add(day, CAST(lag AS INT))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("yl")).as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"))
+    val vx = col("n_days") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_days") * col("syy") - col("sy") * col("sy")
+    val num = (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt(vx.cast("double") * vy.cast("double"))
+    g.select(col("lag"), col("n_days"),
+      when(vx > 0 && vy > 0, Parity.r6(num / den)).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** LTV cohort curves — cumulative purchase revenue per signup-week
     * cohort by weeks-since-signup: the lifetime-value readout layered
     * on [[the events_retention]] cohort grid (retention counts who
@@ -1413,6 +1453,34 @@ object EventTime {
         | floor(z * 1000000 + 0.5) / 1000000 AS z
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
       timeseriesChangepoint),
+
+    QueryDef("timeseries_crosscorr", Some(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS x,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        | l AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+        | g AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+        |   CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+        |   CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |   CAST(sum(b.y * b.y) AS BIGINT) AS syy
+        |  FROM daily a, l, daily b
+        |  WHERE b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT lag, n_days,
+        | CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0 THEN
+        |  floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n_days * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 END AS ccf
+        |FROM g ORDER BY lag""".stripMargin),
+      timeseriesCrosscorr),
 
     QueryDef("events_ltv_cohort", Some(
       """WITH first AS (
