@@ -660,6 +660,69 @@ object Similarity {
       |  FROM p)
       |""".stripMargin
 
+  /** Lloyd's k-means (k=4, two update rounds) over the embedding
+    * corpus, made BIT-DETERMINISTIC cross-engine — the clustering
+    * primitive behind IVF coarse quantizers and corpus bucketing,
+    * here with a real DuckDB oracle rather than the usual
+    * "no_oracle by design" escape hatch for iterative ML:
+    *
+    *  - centroid updates sum per-dimension values QUANTIZED to 1e-6
+    *    BIGINTs (exact, order-independent — a float sum over a
+    *    cluster would be partition-order-dependent), and each
+    *    centroid coordinate is ONE exact-int division Σq/(n·10⁶);
+    *  - distances expand to ‖x‖² − 2⟨x,c⟩ + ‖c‖² where each dot is
+    *    the proven sequential-fold pair (`aggregate`/zip_with vs
+    *    `list_inner_product`), so argmin compares identical doubles,
+    *    tie-broken by cluster id;
+    *  - inertia re-quantizes per-row distances before summing, so the
+    *    objective is an exact integer in both engines.
+    *
+    * Init is the 4 lowest vec_ids (deterministic). Scale: each round
+    * is one broadcast of the k×dim centroid relation + one
+    * map-side-combinable (cid, dim) hash-agg over posexploded
+    * quantized values — no driver-side collect, no per-row state; the
+    * k× candidate fanout is the same shape sim_cosine_topk carries. */
+  private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = fanout(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val c0 = v.orderBy(col("vec_id")).limit(4)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), col("e").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("cc", dotLambda(col("c"), col("c")))
+        .withColumn("dist",
+          dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
+            + col("cc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("dist"), col("cc"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(transform(col("e"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as(Seq("i", "xq")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("ci", col("sq").cast("double") /
+          (col("cnt") * lit(1000000L)).cast("double"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
+          s => s.getField("ci")).as("c"))
+    val a3 = assign(update(assign(update(assign(c0)))))
+    a3.groupBy(col("cid")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long")).as("iq"),
+        max(col("cc")).as("cc"))
+      .select(col("cid").as("cluster_id"), col("n"),
+        (col("iq").cast("double") / lit(1000000.0)).as("inertia"),
+        (col("iq").cast("double") /
+          (col("n") * lit(1000000L)).cast("double")).as("mean_dist"),
+        Parity.r6(sqrt(col("cc"))).as("cnorm"))
+      .orderBy(col("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim_rerank", Some(
       """WITH v AS (
@@ -915,6 +978,59 @@ object Similarity {
         | e[64] AS last_dim,
         | list_sum(list_transform(e, x -> abs(x))) AS l1norm,
         | CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive
-        |FROM v ORDER BY vec_id""".stripMargin), fnVector)
+        |FROM v ORDER BY vec_id""".stripMargin), fnVector),
+
+    // iterative ML with a REAL oracle: quantized-BIGINT centroid sums
+    // and the proven sequential-fold dot make every Lloyd round
+    // bit-deterministic, so DuckDB re-derives the identical clustering
+    QueryDef("cluster_kmeans", Some {
+      def assignCte(src: String, cents: String, out: String, keepCc: Boolean) = {
+        val ccCol = if (keepCc) ", cc" else ""
+        s""" $out AS (
+           |  SELECT vec_id, e, cid, dist$ccCol FROM (
+           |   SELECT vec_id, e, cid, dist$ccCol,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |   FROM (
+           |    SELECT $src.vec_id, $src.e, c.cid,
+           |     list_inner_product($src.e, $src.e)
+           |       - 2.0 * list_inner_product($src.e, c.c)
+           |       + list_inner_product(c.c, c.c) AS dist,
+           |     list_inner_product(c.c, c.c) AS cc
+           |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
+      }
+      def updateCte(src: String, sums: String, cents: String) =
+        s""" $sums AS (
+           |  SELECT cid, t.i AS i,
+           |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+           |   CAST(count(*) AS BIGINT) AS cnt
+           |  FROM $src, generate_series(1, 64) AS t(i)
+           |  GROUP BY 1, 2),
+           | $cents AS (
+           |  SELECT cid,
+           |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+           |     ORDER BY i) AS c
+           |  FROM $sums GROUP BY 1)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |   e AS c
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)),
+         |${assignCte("v", "c0", "a1", keepCc = false)},
+         |${updateCte("a1", "u1", "c1")},
+         |${assignCte("v", "c1", "a2", keepCc = false)},
+         |${updateCte("a2", "u2", "c2")},
+         |${assignCte("v", "c2", "a3", keepCc = true)},
+         | g AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |   sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS iq,
+         |   max(cc) AS cc
+         |  FROM a3 GROUP BY 1)
+         |SELECT cid AS cluster_id, n,
+         | CAST(iq AS DOUBLE) / 1000000.0 AS inertia,
+         | CAST(iq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_dist,
+         | floor(sqrt(cc) * 1000000 + 0.5) / 1000000 AS cnorm
+         |FROM g ORDER BY 1""".stripMargin
+    }, clusterKmeans)
   )
 }

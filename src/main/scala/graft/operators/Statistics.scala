@@ -1297,7 +1297,215 @@ object Statistics {
       nArm(z80).as("n_per_arm_80"), nArm(z90).as("n_per_arm_90"))
   }
 
+  /** Spearman rank correlation between quantity and discount per
+    * return flag — the monotone-association companion to the Pearson
+    * `agg_corr_matrix` (rank-based, so outliers and nonlinearity in
+    * the raw scales cannot dominate). Both measures are DISCRETE
+    * (~50 quantities, 11 discount steps), so midranks come from the
+    * per-group value HISTOGRAM, not a per-row sort: 2·midrank(v) =
+    * 2·|{u < v}| + |{u = v}| + 1 is an exact odd integer, and the two
+    * doubled-rank relations are metadata-sized (≤ #distinct rows per
+    * group) and broadcast back onto the fact rows. All five moments
+    * (Σrx, Σry, Σrx², Σry², Σrxry) accumulate as exact DECIMAL(38,0)
+    * (doubled ranks are O(n), their products O(n²) — BIGINT overflows
+    * near n≈2×10⁹), the covariance/variance differences are formed in
+    * exact decimal (no float cancellation at any n), and only the
+    * final ratio runs in doubles — bit-identical cross-engine.
+    *
+    * Scale: one hash-agg to the histogram, two broadcast joins, one
+    * map-side-combinable moment agg. No per-row rank sort anywhere —
+    * the usual Spearman blocker at fleet scale. */
+  private def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("dc"))
+    def rank2(key: String, out: String): DataFrame = {
+      val cumW = Window.partitionBy(col("flag")).orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.groupBy(col("flag"), col(key)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .select(col("flag"), col(key),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .cast("long").as(out))
+    }
+    val dec = DecimalType(38, 0)
+    val g = b
+      .join(broadcast(rank2("q", "r2x")), Seq("flag", "q"))
+      .join(broadcast(rank2("dc", "r2y")), Seq("flag", "dc"))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("r2x").cast(dec)).as("sx"),
+        sum(col("r2y").cast(dec)).as("sy"),
+        sum((col("r2x") * col("r2x")).cast(dec)).as("sxx"),
+        sum((col("r2y") * col("r2y")).cast(dec)).as("syy"),
+        sum((col("r2x") * col("r2y")).cast(dec)).as("sxy"))
+    val nDec = col("n").cast(dec)
+    val cov = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (nDec * col("syy") - col("sy") * col("sy")).cast("double")
+    g.select(col("flag").as("l_returnflag"), col("n"),
+      when(col("n") > 1 && vx > 0.0 && vy > 0.0,
+        Parity.r6(cov / (sqrt(vx) * sqrt(vy)))).as("rho_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Theil–Sen robust trend per event type — slope = median of all
+    * pairwise day-to-day slopes of the daily-count series, intercept =
+    * median residual at that slope. A single corrupted day moves the
+    * OLS line (`agg_regression`) arbitrarily; the median-of-slopes
+    * estimator has a 29% breakdown point, which is what a monitoring
+    * trend should use when ingest gaps and backfill spikes are facts
+    * of life. Every pairwise slope is ONE IEEE division of two exact
+    * BIGINTs (count delta / epoch-day delta), medians select by
+    * row_number position (even count → mean of the two middles), and
+    * residuals are one multiply-subtract per day — a fixed op
+    * sequence, bit-identical cross-engine.
+    *
+    * Scale: the corpus collapses to the (type, day) relation via one
+    * map-side-combinable hash-agg; the O(d²) pair explosion and both
+    * median windows run on that ~90-row-per-type metadata series. */
+  private def statsTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("t"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val p = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.cnt") - col("a.cnt")).cast("double") /
+          (col("b.t") - col("a.t")).cast("double")).as("slope"),
+        col("a.t").as("t1"), col("b.t").as("t2"))
+    def median(df: DataFrame, v: String, out: String, tie: Seq[Column]): DataFrame = {
+      val byT = Window.partitionBy(col("event_type"))
+      val rn = row_number().over(byT.orderBy(col(v) +: tie: _*))
+      df.withColumn("rn", rn.cast("long"))
+        .withColumn("m", count(lit(1)).over(byT))
+        .filter(col("rn") === floor((col("m") + 1) / lit(2.0)).cast("long") ||
+          col("rn") === floor((col("m") + 2) / lit(2.0)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg((sum(col(v)) / count(lit(1))).as(out), first(col("m")).as(out + "_n"))
+    }
+    val slopes = median(p, "slope", "slope", Seq(col("t1"), col("t2")))
+    val resid = daily.join(broadcast(slopes), Seq("event_type"))
+      .select(col("event_type"),
+        (col("cnt").cast("double") - col("slope") * col("t").cast("double"))
+          .as("r"))
+    val icept = median(resid, "r", "icept", Seq(col("r")))
+    daily.groupBy(col("event_type")).agg(count(lit(1)).cast("long").as("n_days"))
+      .join(slopes, Seq("event_type")).join(icept, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        col("slope_n").cast("long").as("n_pairs"),
+        Parity.r6(col("slope")).as("slope"),
+        Parity.r4(col("icept")).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_spearman", Some(
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |   CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc
+        |  FROM lineitem),
+        | hx AS (
+        |  SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        | rx AS (
+        |  SELECT flag, q,
+        |   2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY q
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+        |     + cnt + 1 AS r2x
+        |  FROM hx),
+        | hy AS (
+        |  SELECT flag, dc, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        | ry AS (
+        |  SELECT flag, dc,
+        |   2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY dc
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+        |     + cnt + 1 AS r2y
+        |  FROM hy),
+        | j AS (
+        |  SELECT b.flag, rx.r2x, ry.r2y
+        |  FROM b
+        |  JOIN rx ON b.flag = rx.flag AND b.q = rx.q
+        |  JOIN ry ON b.flag = ry.flag AND b.dc = ry.dc),
+        | g AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+        |   sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |   sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+        |   sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        |  FROM j GROUP BY 1),
+        | f AS (
+        |  SELECT flag, n,
+        |   CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cov,
+        |   CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+        |   CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM g)
+        |SELECT flag AS l_returnflag, n,
+        | CASE WHEN n > 1 AND vx > 0.0 AND vy > 0.0 THEN
+        |  floor(cov / (sqrt(vx) * sqrt(vy)) * 1000000 + 0.5) / 1000000 END
+        |  AS rho_qty_disc
+        |FROM f ORDER BY 1""".stripMargin),
+      statsSpearman),
+
+    QueryDef("stats_theilsen", Some(
+      """WITH daily AS (
+        |  SELECT event_type,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |     AS BIGINT) AS t,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | p AS (
+        |  SELECT a.event_type,
+        |   CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope,
+        |   a.t AS t1, b.t AS t2
+        |  FROM daily a JOIN daily b
+        |   ON a.event_type = b.event_type AND a.t < b.t),
+        | pr AS (
+        |  SELECT event_type, slope,
+        |   CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY slope, t1, t2) AS BIGINT) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM p),
+        | sl AS (
+        |  SELECT event_type, sum(slope) / count(*) AS slope,
+        |   CAST(min(m) AS BIGINT) AS n_pairs
+        |  FROM pr
+        |  WHERE rn = CAST(floor((m + 1) / 2.0) AS BIGINT)
+        |     OR rn = CAST(floor((m + 2) / 2.0) AS BIGINT)
+        |  GROUP BY 1),
+        | res AS (
+        |  SELECT d.event_type,
+        |   CAST(d.cnt AS DOUBLE) - s.slope * CAST(d.t AS DOUBLE) AS r
+        |  FROM daily d JOIN sl s ON d.event_type = s.event_type),
+        | rr AS (
+        |  SELECT event_type, r,
+        |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY r)
+        |     AS BIGINT) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM res),
+        | ic AS (
+        |  SELECT event_type, sum(r) / count(*) AS icept
+        |  FROM rr
+        |  WHERE rn = CAST(floor((m + 1) / 2.0) AS BIGINT)
+        |     OR rn = CAST(floor((m + 2) / 2.0) AS BIGINT)
+        |  GROUP BY 1),
+        | nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT nd.event_type, nd.n_days, sl.n_pairs,
+        | floor(sl.slope * 1000000 + 0.5) / 1000000 AS slope,
+        | floor(ic.icept * 10000 + 0.5) / 10000 AS intercept
+        |FROM nd
+        |JOIN sl ON nd.event_type = sl.event_type
+        |JOIN ic ON nd.event_type = ic.event_type
+        |ORDER BY 1""".stripMargin),
+      statsTheilsen),
+
     QueryDef("stats_power_sample_size", Some(
       """WITH g AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
