@@ -1063,6 +1063,65 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Decile lift & cumulative-gains table — "rank users by a
+    * propensity signal (click volume), cut into deciles, and read off
+    * how concentrated the outcome (purchasing) is at the top": the
+    * standard targeting/model-eval readout (lift of decile 0 ≈ how
+    * much better than random the top 10% is; the gains column is the
+    * curve ROC-AUC summarizes).
+    *
+    * The global rank is built WITHOUT a global sort: the click-count
+    * histogram (≤ a few hundred distinct values) yields each user's
+    * count of strictly-better users via a broadcast join, and
+    * row_number only within each click-count tie class (parallel
+    * across classes, ordered by user_id) — rank = higher + within.
+    * Decile cuts, counts, and cumulative purchaser sums are all exact
+    * integers; lift/rate/gains are fixed double op sequences on them.
+    *
+    * Scale: one combinable per-user agg, one metadata histogram
+    * broadcast, per-class windows, then a 10-row decile relation. */
+  private def eventsLiftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events(spark, dir).groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    val hist = u.groupBy(col("clicks")).agg(count(lit(1)).as("cnt"))
+      .withColumn("higher", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("clicks").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("clicks"), col("higher"))
+    val tot = u.agg(count(lit(1)).cast("long").as("m"),
+      sum(col("purchases")).cast("long").as("totpur"))
+    val ranked = u.join(broadcast(hist), Seq("clicks"))
+      .withColumn("rnw", row_number().over(
+        Window.partitionBy(col("clicks")).orderBy(col("user_id"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      // above-mean purchaser, decided on exact integers: p·m > Σp
+      .withColumn("y", when(col("purchases") * col("m") > col("totpur"), 1L)
+        .otherwise(0L))
+      .withColumn("decile", floor((col("higher") + col("rnw") - 1) * lit(10.0) /
+        col("m").cast("double")).cast("long"))
+    val all = Window.partitionBy(lit(1))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("decile")).agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum(col("clicks")).cast("long").as("clicks"),
+        sum(col("y")).cast("long").as("n_pos"),
+        max(col("m")).as("m"))
+      .withColumn("totpos", sum(col("n_pos")).over(all))
+      .withColumn("cump", sum(col("n_pos")).over(cum))
+      .select(col("decile"), col("n_users"), col("clicks"), col("n_pos"),
+        Parity.r6(col("n_pos").cast("double") / col("n_users").cast("double"))
+          .as("pos_rate"),
+        when(col("totpos") > 0, Parity.r6(
+          (col("n_pos").cast("double") / col("n_users").cast("double")) /
+            (col("totpos").cast("double") / col("m").cast("double")))).as("lift"),
+        when(col("totpos") > 0, Parity.r6(
+          col("cump").cast("double") / col("totpos").cast("double"))).as("cum_gain"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("events_abtest_ztest", Some(
       """WITH clicks AS (
@@ -1419,6 +1478,49 @@ object EventTime {
         |    * 1000000 + 0.5) / 1000000 END AS rate_purchase
         |FROM c""".stripMargin),
       eventsFunnelWindowed),
+
+    QueryDef("events_lift_deciles", Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS clicks,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS purchases
+        |  FROM events GROUP BY 1),
+        | t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |   CAST(sum(purchases) AS BIGINT) AS totpur
+        |  FROM u),
+        | r AS (
+        |  SELECT u.clicks, t.m,
+        |   CASE WHEN u.purchases * t.m > t.totpur THEN CAST(1 AS BIGINT)
+        |        ELSE 0 END AS y,
+        |   CAST(floor((row_number() OVER (ORDER BY u.clicks DESC, u.user_id)
+        |     - 1) * 10.0 / CAST(t.m AS DOUBLE)) AS BIGINT) AS decile
+        |  FROM u, t),
+        | g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |   CAST(sum(clicks) AS BIGINT) AS clicks,
+        |   CAST(sum(y) AS BIGINT) AS n_pos,
+        |   CAST(max(m) AS BIGINT) AS m
+        |  FROM r GROUP BY 1),
+        | c AS (
+        |  SELECT decile, n_users, clicks, n_pos, m,
+        |   CAST(sum(n_pos) OVER () AS BIGINT) AS totpos,
+        |   CAST(sum(n_pos) OVER (ORDER BY decile
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cump
+        |  FROM g)
+        |SELECT decile, n_users, clicks, n_pos,
+        | floor(CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |   * 1000000 + 0.5) / 1000000 AS pos_rate,
+        | CASE WHEN totpos > 0 THEN
+        |  floor((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    / (CAST(totpos AS DOUBLE) / CAST(m AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 END AS lift,
+        | CASE WHEN totpos > 0 THEN
+        |  floor(CAST(cump AS DOUBLE) / CAST(totpos AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 END AS cum_gain
+        |FROM c ORDER BY decile""".stripMargin), eventsLiftDeciles),
 
     QueryDef("timeseries_changepoint", Some(
       """WITH daily AS (

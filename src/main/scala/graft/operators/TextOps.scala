@@ -836,6 +836,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Reliability diagram + ECE + Brier for the TRAINED student
+    * classifier against its teacher labels — the calibration audit a
+    * distillation pipeline publishes next to the agreement number
+    * (fit_score): a student can agree 96% yet be badly over-confident,
+    * and a curation threshold on its probabilities then lands in the
+    * wrong place. Per-doc probability p = σ(margin/(100·n_features))
+    * is quantized to 1e-6 BIGINTs at the doc level, so every bin
+    * statistic is exact-integer: avg confidence = Σpq/(n·10⁶),
+    * observed rate = pos/n, and BOTH corpus summaries reduce to exact
+    * integer numerators — ECE = Σ_b|Σpq_b − 10⁶·pos_b| / (N·10⁶)
+    * (the per-bin |confidence−accuracy| weighted sum, folded to ONE
+    * exact sum), Brier = Σ(pq − 10⁶y)² / (N·10¹²) with the squares
+    * summed as DECIMAL(38,0). No float accumulates anywhere; the only
+    * libm call is the σ() the fixture scorer already proved
+    * cross-engine under r6 quantization.
+    *
+    * Scale: the scoring pass is fit_score's (explode → 64-row
+    * broadcast → per-doc combinable agg); binning adds one 10-row
+    * hash-agg and windows over those 10 rows. */
+  private def textClassifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = fitClassifier(spark, dir).last
+    val wlit = map(Array.tabulate(64)(b =>
+      Seq(lit(b.toLong), lit(w(b)))).flatten.toIndexedSeq: _*)
+    val dec = DecimalType(38, 0)
+    val scored = hashedFeats(spark, dir)
+      .select(col("doc_id"), element_at(wlit, col("b")).as("wl"),
+        ((col("b") * 37) % 101 - 50).as("wf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nf"), sum(col("wl")).as("margin"),
+        sum(col("wf")).as("sw"))
+      .select(
+        floor((lit(1.0) / (lit(1.0) + exp((-col("margin")).cast(DoubleType) /
+          (col("nf") * 100).cast(DoubleType)))) * 1000000 + lit(0.5))
+          .cast(LongType).as("pq"),
+        when(col("sw") >= 0, 1L).otherwise(0L).as("y"))
+    val binned = scored
+      .withColumn("bin", least(floor(col("pq") / lit(100000.0)).cast(LongType), lit(9L)))
+      .withColumn("dq", col("pq") - lit(1000000L) * col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pq")).as("spq"),
+        sum(col("y")).as("pos"),
+        sum((col("dq") * col("dq")).cast(dec)).as("sdq2"))
+    val all = Window.partitionBy(lit(1))
+    binned
+      .withColumn("ntot", sum(col("n")).over(all))
+      .withColumn("ecenum", sum(abs(col("spq") - lit(1000000L) * col("pos"))).over(all))
+      .withColumn("briernum", sum(col("sdq2")).over(all))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("spq").cast(DoubleType) /
+          (col("n") * lit(1000000L)).cast(DoubleType)).as("avg_conf"),
+        (col("pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"),
+        abs(col("spq").cast(DoubleType) /
+            (col("n") * lit(1000000L)).cast(DoubleType) -
+          col("pos").cast(DoubleType) / col("n").cast(DoubleType)).as("gap"),
+        (col("ecenum").cast(DoubleType) /
+          (col("ntot").cast(DoubleType) * lit(1000000.0))).as("ece"),
+        (col("briernum").cast(DoubleType) /
+          (col("ntot").cast(DoubleType) * lit(1000000000000.0))).as("brier"))
+      .orderBy(col("bin"))
+  }
+
   /** Zipf's-law fit over the corpus term-frequency distribution: OLS
     * of ln(freq) on ln(rank) for the top-200 terms (slope ≈ −1 for
     * natural text; a flat or broken slope is a classic synthetic /
@@ -1297,6 +1358,45 @@ object TextOps {
         | CASE WHEN (margin >= 0) = (sw >= 0) THEN CAST(1 AS BIGINT) ELSE 0 END
         |   AS agree
         |FROM s ORDER BY doc_id""".stripMargin), textClassifierFitScore),
+
+    QueryDef("text_classifier_calibration", Some(
+      s"""$clsFitRecSql,
+        | wl AS (SELECT unnest(generate_series(0, 63)) AS b, unnest(w) AS w
+        |  FROM st JOIN nn ON st.step = 20 * nn.n),
+        | s AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS nf,
+        |   CAST(sum(wl.w) AS BIGINT) AS margin,
+        |   CAST(sum(model.w) AS BIGINT) AS sw
+        |  FROM h JOIN wl ON h.b = wl.b JOIN model ON h.b = model.b
+        |  GROUP BY h.doc_id),
+        | pd AS (
+        |  SELECT CAST(floor((1.0 / (1.0 + exp(CAST(-margin AS DOUBLE) /
+        |     CAST(nf * 100 AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS pq,
+        |   CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+        |  FROM s),
+        | bb AS (
+        |  SELECT least(CAST(floor(pq / 100000.0) AS BIGINT), 9) AS bin,
+        |   pq, y, pq - 1000000 * y AS dq
+        |  FROM pd),
+        | g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pq) AS BIGINT) AS spq, CAST(sum(y) AS BIGINT) AS pos,
+        |   sum(CAST(dq AS HUGEINT) * dq) AS sdq2
+        |  FROM bb GROUP BY 1),
+        | t AS (
+        |  SELECT bin, n, spq, pos,
+        |   CAST(sum(n) OVER () AS BIGINT) AS ntot,
+        |   CAST(sum(abs(spq - 1000000 * pos)) OVER () AS BIGINT) AS ecenum,
+        |   sum(sdq2) OVER () AS briernum
+        |  FROM g)
+        |SELECT bin, n, pos,
+        | CAST(spq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS avg_conf,
+        | CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        | abs(CAST(spq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+        |   - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap,
+        | CAST(ecenum AS DOUBLE) / (CAST(ntot AS DOUBLE) * 1000000.0) AS ece,
+        | CAST(briernum AS DOUBLE) / (CAST(ntot AS DOUBLE) * 1000000000000.0)
+        |   AS brier
+        |FROM t ORDER BY bin""".stripMargin), textClassifierCalibration),
 
     QueryDef("text_bpe_tokenize", Some(
       s"""$bpeSegSql,
