@@ -1037,4 +1037,114 @@ class InvariantSpec extends AnyFunSuite {
     assert(ratios.forall(r => r > 0.05 && r < 5.0),
       s"JL per-vector ratio outside χ² tail bounds: ${ratios.min} .. ${ratios.max}")
   }
+
+  test("stats_spearman is exactly ±1 on planted monotone data") {
+    // flag A: discount strictly increasing in quantity ⇒ ρ = 1.0
+    // exactly (ranks coincide, integer moments make it exact, r6
+    // cannot smear a true 1). flag B: strictly decreasing ⇒ −1.0.
+    import spark.implicits._
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_spearman").getAbsolutePath
+    val rows = (1 to 40).flatMap { qy =>
+      Seq(("A", qy, qy * 2 / 100.0), ("B", qy, (100 - qy) / 100.0))
+    }
+    rows.toDF("l_returnflag", "l_quantity", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/lineitem.parquet")
+    val got = SparkEntry.queries("stats_spearman")(spark, planted)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == 1.0, s"monotone-up rho was ${got("A")}")
+    assert(got("B") == -1.0, s"monotone-down rho was ${got("B")}")
+  }
+
+  test("stats_theilsen ignores a planted outlier day that would wreck OLS") {
+    // 21 days of count = 5 + 2t, except day 10 spikes to 1000 events.
+    // 190 of the 210 pairwise slopes avoid the outlier and equal 2.0
+    // exactly, so the median is 2.0; an OLS slope on the same series
+    // is pulled away (the point of the estimator). The intercept is
+    // the median residual at slope 2 on the EPOCH-day axis: every
+    // clean day has residual (5 + 2·offset) − 2·(epoch0 + offset)
+    // = 5 − 2·epoch0 exactly (all double ops exact at these
+    // magnitudes), and 20 of 21 days are clean, so the median is that
+    // shared value.
+    import spark.implicits._
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_theilsen").getAbsolutePath
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val rows = (0 until 21).flatMap { t =>
+      val n = if (t == 10) 1000 else 5 + 2 * t
+      (0 until n).map { i =>
+        (t.toLong * 100000 + i,
+          java.sql.Timestamp.valueOf(base.plusDays(t).atTime(12, 0, i % 60)),
+          i.toLong % 7, "view", 1.0, """{}""")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/events.parquet")
+    val got = SparkEntry.queries("stats_theilsen")(spark, planted).collect()
+    assert(got.length == 1)
+    val (slope, icept) = (got(0).getDouble(3), got(0).getDouble(4))
+    val expectedIcept = 5.0 - 2.0 * base.toEpochDay
+    assert(slope == 2.0, s"robust slope was $slope, expected exactly 2.0")
+    assert(icept == expectedIcept,
+      s"robust intercept was $icept, expected exactly $expectedIcept")
+  }
+
+  test("cluster_kmeans recovers four planted well-separated blobs") {
+    // 4 blobs of 10 vectors at orthogonal unit corners ±0.01 jitter;
+    // ids 0..3 are one blob member each (the deterministic init picks
+    // one seed per blob), so Lloyd must converge to the planted
+    // 10/10/10/10 partition with inertia ≤ the jitter energy.
+    import spark.implicits._
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_kmeans").getAbsolutePath
+    val vecs = (0 until 40).map { id =>
+      val blob = id % 4 // ids 0,1,2,3 land in distinct blobs
+      val e = Array.tabulate(64) { d =>
+        val center = if (d == blob * 16) 1.0f else 0.0f
+        center + (((id * 64 + d) % 7 - 3) * 0.003f)
+      }
+      (id.toLong, e.toSeq, blob)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/embeddings.parquet")
+    val got = SparkEntry.queries("cluster_kmeans")(spark, planted).collect()
+    assert(got.length == 4, s"expected 4 clusters, got ${got.length}")
+    got.foreach { r =>
+      assert(r.getLong(1) == 10, s"cluster ${r.getLong(0)} size ${r.getLong(1)} != 10")
+      // jitter ≤ 0.009/dim ⇒ per-point sq dist ≤ 64·(2·0.009)² ≈ 0.021
+      assert(r.getDouble(2) <= 0.3,
+        s"cluster ${r.getLong(0)} inertia ${r.getDouble(2)} too high for the planted blobs")
+    }
+  }
+
+  test("text_classifier_calibration: ECE and bins are internally consistent") {
+    val rows = q("text_classifier_calibration").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val eceRecomputed = rows.map(r => r.getLong(1) * r.getDouble(5)).sum / n
+    val ece = rows.head.getDouble(6)
+    assert(math.abs(eceRecomputed - ece) < 1e-9,
+      s"ECE $ece != weighted per-bin gaps $eceRecomputed")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val brier = rows.head.getDouble(7)
+    assert(brier >= 0.0 && brier <= 1.0, s"Brier $brier outside [0,1]")
+  }
+
+  test("events_lift_deciles: gains close at 1, lift ties out to rates") {
+    val rows = q("events_lift_deciles").collect()
+    assert(rows.length == 10, s"expected 10 deciles, got ${rows.length}")
+    val m = rows.map(_.getLong(1)).sum.toDouble
+    val totpos = rows.map(_.getLong(3)).sum.toDouble
+    assert(rows.last.getDouble(6) == 1.0, "cumulative gains must close at 1.0")
+    rows.foreach { r =>
+      val rate = r.getDouble(4); val lift = r.getDouble(5)
+      // lift·overall ≈ rate (both r6-rounded independently)
+      assert(math.abs(lift * (totpos / m) - rate) < 1e-4,
+        s"decile ${r.getLong(0)}: lift $lift inconsistent with rate $rate")
+    }
+  }
 }
