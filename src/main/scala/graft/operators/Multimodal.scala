@@ -37,6 +37,9 @@ object Multimodal {
   /** One decoded frame of a multi-frame container ([[decodeFrames]]). */
   final case class FrameMeta(doc_id: Long, frame_idx: Int,
       width: Int, height: Int, avg_luma: Double)
+  /** Output row of the DCT perceptual hash ([[phashImages]]). */
+  final case class PhashRow(doc_id: Long, ok: Boolean, format: String,
+      phash: Long)
 
   /** Container sniff from magic bytes — codec-free, exact. */
   private[graft] def sniffFormat(b: Array[Byte]): String =
@@ -165,6 +168,112 @@ object Multimodal {
         } catch {
           case _: Exception =>
             ImageMeta(r.doc_id, ok = false, sniffFormat(r.payload), 0, 0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** DCT perceptual hash (pHash) over the REAL image-decode path — the
+    * content-level near-duplicate key for image corpora, where
+    * [[Multimodal]]'s byte-level simhash (`mm_simhash`) breaks the
+    * moment a payload is re-encoded: pHash survives format conversion,
+    * brightness shifts (AC coefficients are invariant to a constant
+    * offset — only DC moves, and DC is excluded), and re-scaling
+    * (everything is hashed through a fixed 32×32 box-filter resample).
+    *
+    * Pipeline per payload: ImageIO decode → 32×32 luminance by EXACT
+    * box-filter averaging (no AWT scaler — platform-independent pure
+    * math) → 2-D DCT-II → the 8×8 low-frequency block minus DC,
+    * thresholded against its own mean → 64-bit hash. Bit k=8u+v set
+    * iff F(u,v) > mean. All double arithmetic in fixed loop order —
+    * bit-reproducible across executors and platforms.
+    *
+    * Undecodable payloads report ok=false, hash 0 (the poisoned-blob
+    * contract shared with [[decodeImages]]). Pairing at corpus scale
+    * reuses the pigeonhole banding `mm_simhash_pairs` established —
+    * the hash is the drop-in key. Contracts in ImageDecodeSpec:
+    * brightness-shift exact-equality, cross-resolution equality on an
+    * aligned pattern, edit locality, and distinct-structure distance. */
+  private[graft] def phashImages(docs: Dataset[MediaRow]): Dataset[PhashRow] = {
+    import docs.sparkSession.implicits._
+    val N = 32
+    docs.mapPartitions { rows =>
+      // DCT basis shared across the partition's batch (amortized init)
+      val cosT = Array.tabulate(8, N)((u, x) =>
+        math.cos(math.Pi * (2 * x + 1) * u / (2.0 * N)))
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) PhashRow(r.doc_id, ok = false, sniffFormat(r.payload), 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val lum = Array.ofDim[Double](N, N)
+            var ty = 0
+            while (ty < N) {
+              val y0 = (ty.toLong * h / N).toInt
+              val y1 = math.min(h, math.max(y0 + 1, ((ty + 1).toLong * h / N).toInt))
+              var tx = 0
+              while (tx < N) {
+                val x0 = (tx.toLong * w / N).toInt
+                val x1 = math.min(w, math.max(x0 + 1, ((tx + 1).toLong * w / N).toInt))
+                var sum = 0.0
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                lum(ty)(tx) = sum / ((y1 - y0).toLong * (x1 - x0))
+                tx += 1
+              }
+              ty += 1
+            }
+            // 8×8 low-frequency DCT-II block,
+            // F(u,v) = Σ_y Σ_x lum·cos_u(x)·cos_v(y); the α(u)α(v)
+            // normalization is dropped — a fixed basis reweighting
+            // applied identically to every image, so hashes stay
+            // comparable (and brightness still moves only F(0,0))
+            val coef = Array.ofDim[Double](8, 8)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var s = 0.0
+                var y = 0
+                while (y < N) {
+                  var rowAcc = 0.0
+                  var x = 0
+                  while (x < N) { rowAcc += lum(y)(x) * cosT(u)(x); x += 1 }
+                  s += rowAcc * cosT(v)(y)
+                  y += 1
+                }
+                coef(v)(u) = s
+                u += 1
+              }
+              v += 1
+            }
+            var mean = 0.0
+            var i = 1
+            while (i < 64) { mean += coef(i / 8)(i % 8); i += 1 }
+            mean /= 63.0
+            var hash = 0L
+            i = 1
+            while (i < 64) {
+              if (coef(i / 8)(i % 8) > mean) hash |= (1L << i)
+              i += 1
+            }
+            PhashRow(r.doc_id, ok = true, sniffFormat(r.payload), hash)
+          }
+        } catch {
+          case _: Exception =>
+            PhashRow(r.doc_id, ok = false, sniffFormat(r.payload), 0L)
         }
       }
     }

@@ -124,4 +124,71 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(got.values.forall(!_.ok), s"junk decoded?: $got")
     assert(got(12L).format == "png", "magic-byte sniff should still identify the container")
   }
+
+  /** Deterministic block image: cell (bx, by) of an nB×nB grid filled
+    * with a constant gray level in [0, 180] (headroom so a +40
+    * brightness shift never clamps). Block-aligned with the 32×32
+    * box-filter for any size that's a multiple of 32. */
+  private def blocks(size: Int, nB: Int, seed: Int, bright: Int = 0,
+      editBlock: Int = -1): BufferedImage = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val cell = size / nB
+    for (y <- 0 until size; x <- 0 until size) {
+      val b = (y / cell) * nB + (x / cell)
+      val base = (b * 37 + seed * 11) % 181
+      val v0 = if (b == editBlock) math.min(255, base + 30) else base
+      val v = math.min(255, v0 + bright)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def phashOf(imgs: Seq[(Long, BufferedImage)]): Map[Long, Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = imgs.map { case (id, im) => MediaRow(id, encode(im, "png")) }
+    val got = Multimodal.phashImages(rows.toDS().repartition(2)).collect()
+    assert(got.forall(_.ok), s"planted PNGs must decode: ${got.toSeq}")
+    got.map(p => p.doc_id -> p.phash).toMap
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash: brightness shift and re-scaling leave the hash unchanged") {
+    // +40 gray on every pixel moves ONLY the (excluded) DC coefficient;
+    // the same 8×8 block pattern rendered at 64px and 128px box-filters
+    // to the same 32×32 luminance. Both must hash identically.
+    val h = phashOf(Seq(
+      1L -> blocks(64, 8, seed = 5),
+      2L -> blocks(64, 8, seed = 5, bright = 40),
+      3L -> blocks(128, 8, seed = 5)))
+    assert(h(2L) == h(1L),
+      f"brightness shift moved the hash: ${h(1L)}%016x -> ${h(2L)}%016x")
+    assert(h(3L) == h(1L),
+      f"2x re-scale moved the hash: ${h(1L)}%016x -> ${h(3L)}%016x")
+  }
+
+  test("phash: local edit stays near, different structure lands far") {
+    // One edited block of 64 shifts few low-freq coefficients a little
+    // (measured Hamming 4–7/64 across edit positions; ceiling 16 with
+    // headroom); a different seed reshuffles every block (measured
+    // 29–32 across seeds; floor 10 with headroom).
+    val h = phashOf(Seq(
+      1L -> blocks(64, 8, seed = 5),
+      4L -> blocks(64, 8, seed = 5, editBlock = 27),
+      5L -> blocks(64, 8, seed = 9)))
+    val near = hamming(h(1L), h(4L))
+    val far = hamming(h(1L), h(5L))
+    assert(near <= 16, s"single-block edit moved $near/64 bits (floor 16)")
+    assert(far >= 10, s"distinct structure only $far/64 bits apart (floor 10)")
+    assert(near < far, s"edit ($near) should be nearer than a reshuffle ($far)")
+  }
+
+  test("phash: poisoned blobs yield ok=false, hash 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val junk = Seq(MediaRow(10L, "junk".getBytes("UTF-8")))
+    val got = Multimodal.phashImages(junk.toDS()).collect()
+    assert(got.length == 1 && !got(0).ok && got(0).phash == 0L)
+  }
 }
