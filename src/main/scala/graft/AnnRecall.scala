@@ -50,6 +50,7 @@ object AnnRecall {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     val m = measure(spark, sfDir)
     val variants = Variants.map { v =>

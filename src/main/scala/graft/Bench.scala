@@ -75,6 +75,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state protocol: run EVERY query once untimed through the
     // identical noop-sink path, then time the second run. The first

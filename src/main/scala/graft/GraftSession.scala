@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.MisraGriesAgg].getName, "mg_topk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.MisraGriesAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectOptimizerRule(_ => plans.RewriteDotProduct)
   }
 }
 
@@ -42,6 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * driver-run mains (Verify/Bench) configure equivalently.
   */
 object GraftSession {
+  /** Apply graft's optimizer rules to an already-built session — the
+    * driver-run mains (Verify/Bench/plan dumps) and the shared test
+    * session create plain sessions, so they opt in here; sessions
+    * built through [[GraftExtensions]] get the same rules via
+    * injectOptimizerRule. Idempotent. */
+  def applyOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(plans.RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RewriteDotProduct
+
   def builder(master: String = "local[*]"): SparkSession.Builder = {
     val cores = Runtime.getRuntime.availableProcessors()
     SparkSession.builder()

@@ -14,6 +14,7 @@ object PlanDump {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- rest.tail) {
       println(s"===== $q =====")

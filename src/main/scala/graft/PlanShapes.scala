@@ -94,6 +94,7 @@ object PlanShapes {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val entries = Bench.headline.toSeq.sorted.map { q =>
       s"""  "$q": "${shapeHash(spark, sfDir, q)}""""

@@ -5,6 +5,7 @@ object QSmoke {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", 16)
       .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     for (q <- args.tail) {
       val t0 = System.nanoTime()

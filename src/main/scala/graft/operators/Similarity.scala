@@ -25,8 +25,12 @@ import org.apache.spark.sql.types._
 object Similarity {
   import Tables._
 
-  /** Interpreted fallback dot for literal-array operands (plane
-    * projections); data-path dots use the codegen'd `dot_product`.
+  /** The composable dot form — since round 10 the optimizer rule
+    * [[graft.plans.RewriteDotProduct]] rewrites every occurrence into
+    * the codegen'd `dot_product`, so this IS the codegen path wherever
+    * the rule is installed (all mains, tests, GraftExtensions
+    * sessions); kept declarative at call sites as the rule's fixture
+    * and for sessions without the extension.
     * Shared with Dedup.dedupEmbeddingLsh. */
   private[operators] def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

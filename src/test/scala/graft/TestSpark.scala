@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftSession.applyOptimizations(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
