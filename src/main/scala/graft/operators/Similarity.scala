@@ -32,7 +32,7 @@ object Similarity {
     * sessions); kept declarative at call sites as the rule's fixture
     * and for sessions without the extension.
     * Shared with Dedup.dedupEmbeddingLsh. */
-  private[operators] def dotLambda(a: Column, b: Column): Column =
+  private[graft] def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def normed(spark: SparkSession, dir: String): DataFrame = {
@@ -686,35 +686,58 @@ object Similarity {
     * map-side-combinable (cid, dim) hash-agg over posexploded
     * quantized values — no driver-side collect, no per-row state; the
     * k× candidate fanout is the same shape sim_cosine_topk carries. */
-  private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val v = fanout(embeddings(spark, dir))
+  /** The corpus's embedding relation, double-cast, as k-means sees it. */
+  private def kmeansVecs(spark: SparkSession, dir: String): DataFrame =
+    fanout(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+
+  /** One Lloyd assignment round: nearest centroid by
+    * ‖x‖² − 2⟨x,c⟩ + ‖c‖², ties to the lowest cluster id. */
+  private def kmeansAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("cc", dotLambda(col("c"), col("c")))
+      .withColumn("dist",
+        dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
+          + col("cc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid"), col("dist"), col("cc"))
+
+  /** One Lloyd update round: quantized-BIGINT per-dimension sums →
+    * deterministic centroid coordinates (see [[clusterKmeans]]). */
+  private def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(transform(col("e"),
+        x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as(Seq("i", "xq")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("ci", col("sq").cast("double") /
+        (col("cnt") * lit(1000000L)).cast("double"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
+        s => s.getField("ci")).as("c"))
+
+  /** The TRAINED centroid relation (cid, c) after the two Lloyd rounds
+    * — the "model" the streaming assign-on-ingest twin scores against
+    * (StreamingOps.kmeansAssign; parity-tested in
+    * StreamBatchParitySpec). */
+  private[graft] def kmeansModel(spark: SparkSession, dir: String): DataFrame = {
+    val v = kmeansVecs(spark, dir)
     val c0 = v.orderBy(col("vec_id")).limit(4)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
       .select(col("cid"), col("e").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("cc", dotLambda(col("c"), col("c")))
-        .withColumn("dist",
-          dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
-            + col("cc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("cid"), col("dist"), col("cc"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(transform(col("e"),
-          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as(Seq("i", "xq")))
-        .groupBy(col("cid"), col("i"))
-        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
-        .withColumn("ci", col("sq").cast("double") /
-          (col("cnt") * lit(1000000L)).cast("double"))
-        .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
-          s => s.getField("ci")).as("c"))
-    val a3 = assign(update(assign(update(assign(c0)))))
+    kmeansUpdate(kmeansAssign(v, kmeansUpdate(kmeansAssign(v, c0))))
+  }
+
+  /** The final (third) assignment relation — batch truth for the
+    * streaming twin's parity check. */
+  private[graft] def kmeansFinalAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(kmeansVecs(spark, dir), kmeansModel(spark, dir))
+
+  private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val a3 = kmeansFinalAssign(spark, dir)
     a3.groupBy(col("cid")).agg(
         count(lit(1)).cast("long").as("n"),
         sum(floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long")).as("iq"),

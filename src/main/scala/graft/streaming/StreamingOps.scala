@@ -500,6 +500,38 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** k-means ASSIGN-ON-INGEST: score each arriving embedding against a
+    * TRAINED centroid relation (the model `cluster_kmeans` fits;
+    * collected once — k×dim bounded driver state, the IVF-centroid
+    * precedent) and emit its cluster + distance. Model-apply for
+    * clustering is the streaming half of the train-batch/apply-stream
+    * split: train offline on the corpus, route every new vector to its
+    * bucket the micro-batch it arrives in.
+    *
+    * Completely stateless — the k candidate distances are computed
+    * per row against literal centroid arrays and the argmin is an
+    * `array_sort(array(struct(dist, cid)))[1]` expression (ascending
+    * struct order = the batch row_number's (dist, cid) tie-break), so
+    * there is no shuffle, no watermark, append mode. Distances are the
+    * same ‖x‖² − 2⟨x,c⟩ + ‖c‖² sequential-fold arithmetic as the batch
+    * assignment — StreamBatchParitySpec asserts EXACT (vec_id, cid,
+    * dist) row-set equality against the batch third-round assignment. */
+  def kmeansAssign(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val scored = cents.sortBy(_._1).map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        (graft.operators.Similarity.dotLambda(e, e)
+          - lit(2.0) * graft.operators.Similarity.dotLambda(e, cl)
+          + graft.operators.Similarity.dotLambda(cl, cl)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val best = element_at(array_sort(array(scored: _*)), 1)
+    vecs.select(col("vec_id"),
+      best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+  }
+
   /** Score-on-ingest: the fixture quality classifier
     * (`text_classifier_score` semantics — md5-hashed word uni+bigrams
     * into 64 buckets, integer centiweights, logistic link) applied to

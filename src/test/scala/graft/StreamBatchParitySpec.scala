@@ -459,4 +459,34 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(wrong.isEmpty,
       s"as-of matches diverged (purchase, batch click, streamed click): ${wrong.take(5)}")
   }
+
+  test("streamed k-means assignment equals the batch final assignment exactly") {
+    // train-batch / apply-stream: the centroid model is the batch
+    // two-round Lloyd fit (collected once — k×dim driver state); the
+    // streaming twin scores each arriving embedding statelessly
+    // against the literal centroids. Distances are the same
+    // sequential-fold arithmetic, so equality is on the EXACT double,
+    // not a rounding of it.
+    val model = graft.operators.Similarity.kmeansModel(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val batchVecs = Tables.embeddings(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_kmeans"
+    batchVecs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchVecs.schema).parquet(dir)
+    val q = StreamingOps.kmeansAssign(stream, model)
+      .writeStream.format("memory").queryName("kmeans_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("kmeans_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Similarity.kmeansFinalAssign(spark, TestSpark.sf)
+      .select(col("vec_id"), col("cid"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"streamed k-means assignment diverged: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
