@@ -246,9 +246,13 @@ object ScalarQueries {
     * RE2 ∩ java.util.regex common dialect (char classes, +), so both
     * engines compile them identically; Spark's regexp_replace is
     * global by default where DuckDB needs the 'g' flag. All codegen'd
-    * built-ins — stays in WholeStageCodegen. */
+    * built-ins — stays in WholeStageCodegen. Fanned out: five regex
+    * passes over full document text are CPU-bound, and the corpus
+    * arrives as one parquet split — without the repartition the whole
+    * pass pins to a single core (benched 0.7–3.8 s swings at sf0.1;
+    * the other per-row text ops already fan out for the same reason). */
   private def fnRegex(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    fanout(documents(spark, dir))
       .select(
         col("doc_id"),
         regexp_extract(col("text"), "[a-z]+", 0).as("first_word"),
