@@ -1297,6 +1297,137 @@ object Statistics {
       nArm(z80).as("n_per_arm_80"), nArm(z90).as("n_per_arm_90"))
   }
 
+  /** Benjamini–Hochberg FDR control over a FAMILY of A/B readouts —
+    * the multiple-testing step every experimentation platform runs
+    * between "25 segment-level p-values" and "which segments actually
+    * moved": Welch z per nation (order value between md5-split
+    * customer arms), p = 2(1−Φ(|z|)) via the Abramowitz–Stegun 7.1.26
+    * erf polynomial (elementary ops + one exp — mirrored TEXTUALLY in
+    * the oracle, the sigmoid precedent), then the BH step-up: sort p
+    * ascending, k = max{i : p(i) ≤ i·q/m} at q = 0.10, declare ranks
+    * ≤ k. Naive per-test α would declare every nation at these n;
+    * BH's adaptive cut is the point of the operator.
+    *
+    * Scale: moments are ONE conditional hash-agg collapsing orders to
+    * 25 metadata rows; ranking and the step-up run on those rows. */
+  private def statsBhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (conv(substring(md5(concat(lit("bh:"), col("o_custkey").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("arm"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val g = base.groupBy(col("nation")).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L))
+        .as("q_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L))
+        .as("q_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a").cast("double") / na / lit(100.0)
+    val mb = col("s_b").cast("double") / nb / lit(100.0)
+    val va = (col("q_a").cast("double") / lit(10000.0) - na * ma * ma) /
+      (na - lit(1.0))
+    val vb = (col("q_b").cast("double") / lit(10000.0) - nb * mb * mb) /
+      (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0
+    val z = (ma - mb) / sqrt(se2)
+    // p = 2(1−Φ(|z|)) = erfc(|z|/√2) ≈ poly(t)·e^{−x²}, A&S 7.1.26
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t)
+    val scored = g.select(col("nation"), col("n_a"), col("n_b"),
+      when(ok, z).as("zraw"),
+      when(ok, poly * exp(-(x * x))).otherwise(lit(1.0)).as("p"))
+    val all = Window.partitionBy(lit(1))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("p"), col("nation"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("sig", col("p") <=
+        col("rnk").cast("double") * lit(0.1) / col("m").cast("double"))
+      .withColumn("k", max(when(col("sig"), col("rnk")).otherwise(0L)).over(all))
+      .select(col("nation"), col("n_a"), col("n_b"),
+        Parity.r6(col("zraw")).as("z"),
+        Parity.r6(col("p")).as("p_value"), col("rnk"),
+        when(col("rnk") <= col("k"), 1L).otherwise(0L).as("discovered"))
+      .orderBy(col("rnk"))
+  }
+
+  /** CUPED variance reduction for the purchase-value A/B readout —
+    * "use each user's PRE-experiment activity as a control variate":
+    * ŷᵤ = yᵤ − θ(xᵤ − x̄) with θ = cov(x,y)/var(x) strips the
+    * between-user variance the covariate explains, shrinking the
+    * experiment's CI at zero bias (θ from pooled pre-period data).
+    * The arm-level adjusted means need NO second pass:
+    * adjᵃ = ȳᵃ − θ(x̄ᵃ − x̄). Covariance/variance differences form in
+    * exact DECIMAL(38,0) (the Spearman discipline — no cancellation
+    * at any n), and the reported reduction is ρ² = cov²/(vₓ·v_y),
+    * the fraction of metric variance the covariate removes.
+    *
+    * Scale: one combinable per-user agg (the covariate and metric in
+    * a single pass via conditional sums against the broadcast cutoff
+    * date), then ONE global conditional agg to a single metadata row. */
+  private def statsCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"), col("value"))
+    val cut = ev.agg(date_add(min(col("day")), 15).as("cutoff"))
+    val u = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("cutoff"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("cutoff") && col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+          .as("y"))
+      .select(col("x"), col("y"),
+        (conv(substring(md5(concat(lit("cu:"), col("user_id").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("arm"))
+    val dec = DecimalType(38, 0)
+    val g = u.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    val nDec = col("n").cast(dec)
+    val covN = (nDec * col("sxy") -
+      col("sx").cast(dec) * col("sy").cast(dec)).cast("double")
+    val vxN = (nDec * col("sxx") -
+      col("sx").cast(dec) * col("sx").cast(dec)).cast("double")
+    val vyN = (nDec * col("syy") -
+      col("sy").cast(dec) * col("sy").cast(dec)).cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0 && vxN > 0.0 && vyN > 0.0
+    val theta = covN / vxN
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val xa = col("sx_a").cast("double") / col("n_a").cast("double")
+    val xb = col("sx_b").cast("double") / col("n_b").cast("double")
+    val yca = col("sy_a").cast("double") / col("n_a").cast("double")
+    val ycb = col("sy_b").cast("double") / col("n_b").cast("double")
+    val adjA = (yca - theta * (xa - xbar)) / lit(100.0)
+    val adjB = (ycb - theta * (xb - xbar)) / lit(100.0)
+    g.select(col("n").as("n_users"), col("n_a"), col("n_b"),
+      when(ok, Parity.r6(theta)).as("theta"),
+      when(col("n_a") > 0, Parity.r6(yca / lit(100.0))).as("mean_a"),
+      when(col("n_b") > 0, Parity.r6(ycb / lit(100.0))).as("mean_b"),
+      when(ok, Parity.r6(adjA)).as("mean_adj_a"),
+      when(ok, Parity.r6(adjB)).as("mean_adj_b"),
+      when(ok, Parity.r6(adjA - adjB)).as("diff_adj"),
+      when(ok, Parity.r6(covN * covN / (vxN * vyN))).as("var_reduction"))
+  }
+
   /** Spearman rank correlation between quantity and discount per
     * return flag — the monotone-association companion to the Pearson
     * `agg_corr_matrix` (rank-based, so outliers and nonlinearity in
@@ -1405,6 +1536,146 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_bh_fdr", Some(
+      """WITH b AS (
+        |  SELECT n.n_name AS nation,
+        |   CAST(('0x' || substr(md5('bh:' || CAST(o.o_custkey AS VARCHAR)),
+        |     1, 2)) AS BIGINT) % 2 AS arm,
+        |   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        | g AS (
+        |  SELECT nation,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS q_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS q_b
+        |  FROM b GROUP BY 1),
+        | s AS (
+        |  SELECT nation, n_a, n_b,
+        |   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS ma,
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mb,
+        |   CAST(q_a AS DOUBLE) AS qa, CAST(q_b AS DOUBLE) AS qb,
+        |   CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+        |  FROM g),
+        | v AS (
+        |  SELECT nation, n_a, n_b, ma, mb,
+        |   ((qa / 10000.0 - nad * ma * ma) / (nad - 1.0)) / nad
+        |     + ((qb / 10000.0 - nbd * mb * mb) / (nbd - 1.0)) / nbd AS se2
+        |  FROM s),
+        | zx AS (
+        |  SELECT nation, n_a, n_b,
+        |   n_a > 1 AND n_b > 1 AND se2 > 0.0 AS ok,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |        THEN (ma - mb) / sqrt(se2) END AS zraw,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |        THEN abs((ma - mb) / sqrt(se2)) / sqrt(2.0) END AS x
+        |  FROM v),
+        | zt AS (
+        |  SELECT nation, n_a, n_b, ok, zraw, x,
+        |   1.0 / (1.0 + 0.3275911 * x) AS t
+        |  FROM zx),
+        | zp AS (
+        |  SELECT nation, n_a, n_b, zraw,
+        |   CASE WHEN ok THEN
+        |    ((((((1.061405429 * t - 1.453152027) * t
+        |      + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t)
+        |      * exp(-(x * x)))
+        |   ELSE 1.0 END AS p
+        |  FROM zt),
+        | r AS (
+        |  SELECT nation, n_a, n_b, zraw, p,
+        |   CAST(row_number() OVER (ORDER BY p, nation) AS BIGINT) AS rnk,
+        |   CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM zp),
+        | kk AS (
+        |  SELECT nation, n_a, n_b, zraw, p, rnk,
+        |   max(CASE WHEN p <= CAST(rnk AS DOUBLE) * 0.1 / CAST(m AS DOUBLE)
+        |            THEN rnk ELSE 0 END) OVER () AS k
+        |  FROM r)
+        |SELECT nation, n_a, n_b,
+        | floor(zraw * 1000000 + 0.5) / 1000000 AS z,
+        | floor(p * 1000000 + 0.5) / 1000000 AS p_value, rnk,
+        | CASE WHEN rnk <= k THEN CAST(1 AS BIGINT) ELSE 0 END AS discovered
+        |FROM kk ORDER BY rnk""".stripMargin),
+      statsBhFdr),
+
+    QueryDef("stats_cuped", Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events),
+        | cut AS (SELECT min(day) + 15 AS cutoff FROM ev),
+        | u AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |   CAST(sum(CASE WHEN day >= cutoff AND event_type = 'purchase'
+        |     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |     AS BIGINT) AS y
+        |  FROM ev, cut GROUP BY user_id),
+        | a AS (
+        |  SELECT x, y,
+        |   CAST(('0x' || substr(md5('cu:' || CAST(user_id AS VARCHAR)),
+        |     1, 2)) AS BIGINT) % 2 AS arm
+        |  FROM u),
+        | g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |   sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |   sum(CAST(y AS HUGEINT) * y) AS syy,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM a),
+        | d AS (
+        |  SELECT n, n_a, n_b,
+        |   CAST(CAST(n AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS covn,
+        |   CAST(CAST(n AS HUGEINT) * sxx
+        |     - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vxn,
+        |   CAST(CAST(n AS HUGEINT) * syy
+        |     - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vyn,
+        |   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |   CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS xa,
+        |   CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS xb,
+        |   CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS yca,
+        |   CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS ycb
+        |  FROM g),
+        | f AS (
+        |  SELECT n, n_a, n_b, xbar, xa, xb, yca, ycb, covn, vxn, vyn,
+        |   n_a > 0 AND n_b > 0 AND vxn > 0.0 AND vyn > 0.0 AS ok,
+        |   covn / vxn AS theta
+        |  FROM d)
+        |SELECT n AS n_users, n_a, n_b,
+        | CASE WHEN ok THEN floor(theta * 1000000 + 0.5) / 1000000 END AS theta,
+        | CASE WHEN n_a > 0 THEN
+        |  floor(yca / 100.0 * 1000000 + 0.5) / 1000000 END AS mean_a,
+        | CASE WHEN n_b > 0 THEN
+        |  floor(ycb / 100.0 * 1000000 + 0.5) / 1000000 END AS mean_b,
+        | CASE WHEN ok THEN
+        |  floor((yca - theta * (xa - xbar)) / 100.0 * 1000000 + 0.5)
+        |    / 1000000 END AS mean_adj_a,
+        | CASE WHEN ok THEN
+        |  floor((ycb - theta * (xb - xbar)) / 100.0 * 1000000 + 0.5)
+        |    / 1000000 END AS mean_adj_b,
+        | CASE WHEN ok THEN
+        |  floor(((yca - theta * (xa - xbar)) / 100.0
+        |    - (ycb - theta * (xb - xbar)) / 100.0) * 1000000 + 0.5)
+        |    / 1000000 END AS diff_adj,
+        | CASE WHEN ok THEN
+        |  floor(covn * covn / (vxn * vyn) * 1000000 + 0.5) / 1000000 END
+        |  AS var_reduction
+        |FROM f""".stripMargin),
+      statsCuped),
+
     QueryDef("stats_spearman", Some(
       """WITH b AS (
         |  SELECT l_returnflag AS flag,

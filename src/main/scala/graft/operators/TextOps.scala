@@ -897,6 +897,46 @@ object TextOps {
       .orderBy(col("bin"))
   }
 
+  /** Statistical watermark detection (Kirchenbauer-style greenlist
+    * test) — the provenance screen a training-data pipeline runs to
+    * keep synthetic text out of a human-text corpus: a watermarking
+    * sampler biases each next token toward a pseudorandom "green"
+    * half of the vocabulary keyed by the previous token, so a
+    * watermarked doc shows a green-fraction far above the 1/2 a
+    * human text produces. Per doc: green(prev,cur) = parity of
+    * md5("wm:" ‖ prev ‖ " " ‖ cur), g of n adjacent pairs green,
+    * one-proportion z = (2g − n)/√n, flag at z > 4 (≈3e−5 false-pos
+    * per doc under H₀). All counting is exact integers; z is a fixed
+    * three-op double sequence. InvariantSpec plants a greedily
+    * green-sampled doc (z ≈ √n) beside natural docs to prove the
+    * detector separates them.
+    *
+    * Scale: completely stateless per row — the pair walk is an array
+    * fold (filter+size) inside codegen, no explode, no shuffle; the
+    * only shuffle is the output sort. */
+  private def textWatermarkDetect(spark: SparkSession, dir: String): DataFrame = {
+    val bg = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
+    fanout(documents(spark, dir))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), bg.as("pairs"))
+      .select(col("doc_id"),
+        size(col("pairs")).cast(LongType).as("n_pairs"),
+        size(filter(col("pairs"), b =>
+          conv(substring(md5(concat(lit("wm:"), b)), 1, 4), 16, 10)
+            .cast(LongType) % 2 === 0)).cast(LongType).as("greens"))
+      .select(col("doc_id"), col("n_pairs"), col("greens"),
+        Parity.r6((lit(2.0) * col("greens").cast(DoubleType) -
+          col("n_pairs").cast(DoubleType)) /
+          sqrt(col("n_pairs").cast(DoubleType))).as("z_green"),
+        when((lit(2.0) * col("greens").cast(DoubleType) -
+          col("n_pairs").cast(DoubleType)) /
+          sqrt(col("n_pairs").cast(DoubleType)) > lit(4.0), 1L)
+          .otherwise(0L).as("watermarked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf's-law fit over the corpus term-frequency distribution: OLS
     * of ln(freq) on ln(rank) for the top-200 terms (slope ≈ −1 for
     * natural text; a flat or broken slope is a classic synthetic /
@@ -1358,6 +1398,29 @@ object TextOps {
         | CASE WHEN (margin >= 0) = (sw >= 0) THEN CAST(1 AS BIGINT) ELSE 0 END
         |   AS agree
         |FROM s ORDER BY doc_id""".stripMargin), textClassifierFitScore),
+
+    QueryDef("text_watermark_detect", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+        |    i -> concat_ws(' ', t[i], t[i+1])) AS pairs
+        |  FROM tk WHERE len(t) >= 2),
+        | g AS (
+        |  SELECT doc_id, CAST(len(pairs) AS BIGINT) AS n_pairs,
+        |   CAST(len(list_filter(pairs, b ->
+        |     CAST(('0x' || substr(md5('wm:' || b), 1, 4)) AS BIGINT) % 2 = 0))
+        |     AS BIGINT) AS greens
+        |  FROM p)
+        |SELECT doc_id, n_pairs, greens,
+        | floor((2.0 * CAST(greens AS DOUBLE) - CAST(n_pairs AS DOUBLE))
+        |   / sqrt(CAST(n_pairs AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |   AS z_green,
+        | CASE WHEN (2.0 * CAST(greens AS DOUBLE) - CAST(n_pairs AS DOUBLE))
+        |   / sqrt(CAST(n_pairs AS DOUBLE)) > 4.0 THEN CAST(1 AS BIGINT)
+        |   ELSE 0 END AS watermarked
+        |FROM g ORDER BY doc_id""".stripMargin), textWatermarkDetect),
 
     QueryDef("text_classifier_calibration", Some(
       s"""$clsFitRecSql,

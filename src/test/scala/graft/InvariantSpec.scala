@@ -1118,6 +1118,43 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("text_watermark_detect flags a greedily green-sampled doc, not natural text") {
+    // doc 1: each next token chosen to make the (prev, cur) pair green
+    // under the engine's md5 keying ⇒ ~all of 199 pairs green, z ≈ √199
+    // ≈ 14. doc 2: an LCG token walk ignorant of the greenlist ⇒ green
+    // fraction ~1/2, |z| far below the 4.0 cut. Deterministic fixture.
+    import spark.implicits._
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_wm").getAbsolutePath
+    def green(prev: String, cur: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wm:$prev $cur".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 2 == 0
+    }
+    val vocab = (0 until 16).map(i => s"w$i")
+    val wm = new StringBuilder("w0"); var prev = "w0"
+    for (_ <- 1 until 200) {
+      val nxt = vocab.find(w => green(prev, w)).getOrElse(vocab.head)
+      wm.append(' ').append(nxt); prev = nxt
+    }
+    var s = 1L; val nat = new StringBuilder("w1")
+    for (_ <- 1 until 200) {
+      s = (s * 48271) % 2147483647L
+      nat.append(' ').append(vocab((s % 16).toInt))
+    }
+    Seq((1L, wm.toString), (2L, nat.toString)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val got = SparkEntry.queries("text_watermark_detect")(spark, planted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(4) == 1L,
+      s"green-sampled doc not flagged: z=${got(1L).getDouble(3)}")
+    assert(got(1L).getDouble(3) > 10.0,
+      s"green-sampled doc z ${got(1L).getDouble(3)} implausibly low")
+    assert(got(2L).getLong(4) == 0L,
+      s"natural doc false-positive: z=${got(2L).getDouble(3)}")
+  }
+
   test("text_classifier_calibration: ECE and bins are internally consistent") {
     val rows = q("text_classifier_calibration").collect()
     assert(rows.nonEmpty)
