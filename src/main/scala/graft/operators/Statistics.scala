@@ -1428,6 +1428,130 @@ object Statistics {
       when(ok, Parity.r6(covN * covN / (vxN * vyN))).as("var_reduction"))
   }
 
+  /** Difference-in-differences — the quasi-experimental readout for a
+    * rollout WITHOUT clean randomization: compare the treated arm's
+    * pre→post change against the control arm's, so any shared trend
+    * (seasonality, platform drift) differences out and only the
+    * treatment-correlated change remains. Cells are the 2×2
+    * (arm × period) purchase-value moments from ONE conditional
+    * global agg (exact cents); DiD = (ȳᴮᵖᵒˢᵗ−ȳᴮᵖʳᵉ)−(ȳᴬᵖᵒˢᵗ−ȳᴬᵖʳᵉ)
+    * with the four-cell Welch SE, all a fixed double sequence on the
+    * single metadata row. Period split = min day + 15 (the CUPED
+    * cutoff); arms by md5 of user_id. */
+  private def statsDid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val cut = ev.agg(date_add(min(col("day")), 15).as("cutoff"))
+    val cells = ev.crossJoin(broadcast(cut))
+      .select(
+        (conv(substring(md5(concat(lit("dd:"), col("user_id").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("arm"),
+        when(col("day") >= col("cutoff"), 1L).otherwise(0L).as("post"),
+        col("cents"))
+    def cell(a: Int, p: Int, f: Column): Column =
+      sum(when(col("arm") === a && col("post") === p, f).otherwise(0L))
+    val g = cells.agg(
+      cell(0, 0, lit(1L)).as("n00"), cell(0, 0, col("cents")).as("s00"),
+      cell(0, 0, col("cents") * col("cents")).as("q00"),
+      cell(0, 1, lit(1L)).as("n01"), cell(0, 1, col("cents")).as("s01"),
+      cell(0, 1, col("cents") * col("cents")).as("q01"),
+      cell(1, 0, lit(1L)).as("n10"), cell(1, 0, col("cents")).as("s10"),
+      cell(1, 0, col("cents") * col("cents")).as("q10"),
+      cell(1, 1, lit(1L)).as("n11"), cell(1, 1, col("cents")).as("s11"),
+      cell(1, 1, col("cents") * col("cents")).as("q11"))
+    def m(n: String, s: String): Column =
+      col(s).cast("double") / col(n).cast("double") / lit(100.0)
+    def vOverN(n: String, s: String, q: String): Column = {
+      val nd = col(n).cast("double")
+      ((col(q).cast("double") / lit(10000.0) -
+        nd * m(n, s) * m(n, s)) / (nd - lit(1.0))) / nd
+    }
+    val ok = col("n00") > 1 && col("n01") > 1 && col("n10") > 1 && col("n11") > 1
+    val did = (m("n11", "s11") - m("n10", "s10")) -
+      (m("n01", "s01") - m("n00", "s00"))
+    val se2 = vOverN("n00", "s00", "q00") + vOverN("n01", "s01", "q01") +
+      vOverN("n10", "s10", "q10") + vOverN("n11", "s11", "q11")
+    g.select(
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n00") > 0, Parity.r6(m("n00", "s00"))).as("ctrl_pre"),
+      when(col("n01") > 0, Parity.r6(m("n01", "s01"))).as("ctrl_post"),
+      when(col("n10") > 0, Parity.r6(m("n10", "s10"))).as("treat_pre"),
+      when(col("n11") > 0, Parity.r6(m("n11", "s11"))).as("treat_post"),
+      when(ok, Parity.r6(did)).as("did"),
+      when(ok && se2 > 0.0, Parity.r6(sqrt(se2))).as("se"),
+      when(ok && se2 > 0.0, Parity.r6(did / sqrt(se2))).as("z"))
+  }
+
+  /** Group-sequential A/B monitoring — "is it safe to peek?": the
+    * cumulative Welch z of the purchase-value split recomputed at
+    * every day d, against an O'Brien–Fleming-shaped spending boundary
+    * z·√(N/n_d) (very conservative early, →z_crit at full sample), so
+    * an experimenter reading the dashboard daily keeps family-wise α
+    * instead of the ~5× inflation naive daily 1.96-peeking costs.
+    * Cumulative cell moments are window cumsums of exact cents over
+    * the ~90-row (day × arm) metadata relation; z and the boundary
+    * are fixed double sequences per row; the first-crossing day is a
+    * min-over-window on the flags.
+    *
+    * Scale: the corpus collapses via one combinable (day, arm) agg;
+    * every window is metadata-sized. */
+  private def statsSequentialMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        (conv(substring(md5(concat(lit("sq:"), col("user_id").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("arm"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("day")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_a"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("ds_a"),
+        sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L))
+          .as("dq_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_b"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("ds_b"),
+        sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L))
+          .as("dq_b"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val c = daily
+      .withColumn("n_a", sum(col("dn_a")).over(cum))
+      .withColumn("s_a", sum(col("ds_a")).over(cum))
+      .withColumn("q_a", sum(col("dq_a")).over(cum))
+      .withColumn("n_b", sum(col("dn_b")).over(cum))
+      .withColumn("s_b", sum(col("ds_b")).over(cum))
+      .withColumn("q_b", sum(col("dq_b")).over(cum))
+      .withColumn("nt_a", sum(col("dn_a")).over(all))
+      .withColumn("nt_b", sum(col("dn_b")).over(all))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a").cast("double") / na / lit(100.0)
+    val mb = col("s_b").cast("double") / nb / lit(100.0)
+    val va = (col("q_a").cast("double") / lit(10000.0) - na * ma * ma) /
+      (na - lit(1.0))
+    val vb = (col("q_b").cast("double") / lit(10000.0) - nb * mb * mb) /
+      (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0
+    val z = (ma - mb) / sqrt(se2)
+    // information fraction ≈ pooled cumulative n over final n
+    val frac = (col("n_a") + col("n_b")).cast("double") /
+      (col("nt_a") + col("nt_b")).cast("double")
+    val bound = lit(1.96) / sqrt(frac)
+    val scored = c.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_a"), col("n_b"),
+      when(ok, Parity.r6(z)).as("z"),
+      Parity.r6(bound).as("boundary"),
+      when(ok && abs(z) > bound, 1L).otherwise(0L).as("crossed"))
+    scored
+      .withColumn("first_cross",
+        min(when(col("crossed") === 1L, col("day"))).over(all))
+      .orderBy(col("day"))
+  }
+
   /** Spearman rank correlation between quantity and discount per
     * return flag — the monotone-association companion to the Pearson
     * `agg_corr_matrix` (rank-based, so outliers and nonlinearity in
@@ -1536,6 +1660,140 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_did", Some(
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | cut AS (SELECT min(day) + 15 AS cutoff FROM ev),
+        | cells AS (
+        |  SELECT
+        |   CAST(('0x' || substr(md5('dd:' || CAST(user_id AS VARCHAR)), 1, 2))
+        |     AS BIGINT) % 2 AS arm,
+        |   CASE WHEN day >= cutoff THEN 1 ELSE 0 END AS post, cents
+        |  FROM ev, cut),
+        | g AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n00,
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN cents ELSE 0 END)
+        |     AS BIGINT) AS s00,
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN cents * cents
+        |     ELSE 0 END) AS BIGINT) AS q00,
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n01,
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN cents ELSE 0 END)
+        |     AS BIGINT) AS s01,
+        |   CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN cents * cents
+        |     ELSE 0 END) AS BIGINT) AS q01,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n10,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN cents ELSE 0 END)
+        |     AS BIGINT) AS s10,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN cents * cents
+        |     ELSE 0 END) AS BIGINT) AS q10,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n11,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN cents ELSE 0 END)
+        |     AS BIGINT) AS s11,
+        |   CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN cents * cents
+        |     ELSE 0 END) AS BIGINT) AS q11
+        |  FROM cells),
+        | d AS (
+        |  SELECT *,
+        |   CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0 AS m00,
+        |   CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0 AS m01,
+        |   CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 100.0 AS m10,
+        |   CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 100.0 AS m11
+        |  FROM g),
+        | v AS (
+        |  SELECT *,
+        |   ((CAST(q00 AS DOUBLE) / 10000.0 - CAST(n00 AS DOUBLE) * m00 * m00)
+        |     / (CAST(n00 AS DOUBLE) - 1.0)) / CAST(n00 AS DOUBLE)
+        |   + ((CAST(q01 AS DOUBLE) / 10000.0 - CAST(n01 AS DOUBLE) * m01 * m01)
+        |     / (CAST(n01 AS DOUBLE) - 1.0)) / CAST(n01 AS DOUBLE)
+        |   + ((CAST(q10 AS DOUBLE) / 10000.0 - CAST(n10 AS DOUBLE) * m10 * m10)
+        |     / (CAST(n10 AS DOUBLE) - 1.0)) / CAST(n10 AS DOUBLE)
+        |   + ((CAST(q11 AS DOUBLE) / 10000.0 - CAST(n11 AS DOUBLE) * m11 * m11)
+        |     / (CAST(n11 AS DOUBLE) - 1.0)) / CAST(n11 AS DOUBLE) AS se2,
+        |   (m11 - m10) - (m01 - m00) AS did,
+        |   n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1 AS ok
+        |  FROM d)
+        |SELECT n00, n01, n10, n11,
+        | CASE WHEN n00 > 0 THEN floor(m00 * 1000000 + 0.5) / 1000000 END
+        |   AS ctrl_pre,
+        | CASE WHEN n01 > 0 THEN floor(m01 * 1000000 + 0.5) / 1000000 END
+        |   AS ctrl_post,
+        | CASE WHEN n10 > 0 THEN floor(m10 * 1000000 + 0.5) / 1000000 END
+        |   AS treat_pre,
+        | CASE WHEN n11 > 0 THEN floor(m11 * 1000000 + 0.5) / 1000000 END
+        |   AS treat_post,
+        | CASE WHEN ok THEN floor(did * 1000000 + 0.5) / 1000000 END AS did,
+        | CASE WHEN ok AND se2 > 0.0 THEN
+        |  floor(sqrt(se2) * 1000000 + 0.5) / 1000000 END AS se,
+        | CASE WHEN ok AND se2 > 0.0 THEN
+        |  floor(did / sqrt(se2) * 1000000 + 0.5) / 1000000 END AS z
+        |FROM v""".stripMargin),
+      statsDid),
+
+    QueryDef("stats_sequential_monitor", Some(
+      """WITH b AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   CAST(('0x' || substr(md5('sq:' || CAST(user_id AS VARCHAR)), 1, 2))
+        |     AS BIGINT) % 2 AS arm,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | daily AS (
+        |  SELECT day,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS ds_a,
+        |   CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS dq_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS ds_b,
+        |   CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS dq_b
+        |  FROM b GROUP BY 1),
+        | c AS (
+        |  SELECT day,
+        |   CAST(sum(dn_a) OVER cum AS BIGINT) AS n_a,
+        |   CAST(sum(ds_a) OVER cum AS BIGINT) AS s_a,
+        |   CAST(sum(dq_a) OVER cum AS BIGINT) AS q_a,
+        |   CAST(sum(dn_b) OVER cum AS BIGINT) AS n_b,
+        |   CAST(sum(ds_b) OVER cum AS BIGINT) AS s_b,
+        |   CAST(sum(dq_b) OVER cum AS BIGINT) AS q_b,
+        |   CAST(sum(dn_a) OVER () AS BIGINT) AS nt_a,
+        |   CAST(sum(dn_b) OVER () AS BIGINT) AS nt_b
+        |  FROM daily
+        |  WINDOW cum AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | s AS (
+        |  SELECT day, n_a, n_b,
+        |   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS ma,
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mb,
+        |   CAST(q_a AS DOUBLE) AS qa, CAST(q_b AS DOUBLE) AS qb,
+        |   CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |   CAST(n_a + n_b AS DOUBLE) / CAST(nt_a + nt_b AS DOUBLE) AS frac
+        |  FROM c),
+        | t AS (
+        |  SELECT day, n_a, n_b, ma, mb, frac,
+        |   ((qa / 10000.0 - nad * ma * ma) / (nad - 1.0)) / nad
+        |   + ((qb / 10000.0 - nbd * mb * mb) / (nbd - 1.0)) / nbd AS se2
+        |  FROM s),
+        | f AS (
+        |  SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0 THEN
+        |    floor((ma - mb) / sqrt(se2) * 1000000 + 0.5) / 1000000 END AS z,
+        |   floor(1.96 / sqrt(frac) * 1000000 + 0.5) / 1000000 AS boundary,
+        |   CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |         AND abs((ma - mb) / sqrt(se2)) > 1.96 / sqrt(frac)
+        |        THEN CAST(1 AS BIGINT) ELSE 0 END AS crossed
+        |  FROM t)
+        |SELECT day, n_a, n_b, z, boundary, crossed,
+        | min(CASE WHEN crossed = 1 THEN day END) OVER () AS first_cross
+        |FROM f ORDER BY day""".stripMargin),
+      statsSequentialMonitor),
+
     QueryDef("stats_bh_fdr", Some(
       """WITH b AS (
         |  SELECT n.n_name AS nation,
