@@ -1063,6 +1063,68 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Matrix-profile-style MOTIF discovery per event type: the pair of
+    * non-overlapping 7-day windows of the daily-count series whose
+    * Z-NORMALIZED Euclidean distance is smallest — "which two weeks
+    * behaved most alike, shape-wise" (z-normalization makes it a shape
+    * match: a high-traffic week matches a low-traffic week with the
+    * same weekday profile). The full matrix profile is this measure
+    * over every pair; at a 90-day series the O(d²) pair relation is
+    * ~3.4k metadata rows per type, so the exact computation is the
+    * right plan — no MASS/FFT machinery needed below ~10⁵ points.
+    *
+    * Determinism: windows come from 6 lead() columns over the daily
+    * relation; mean, deviation, and the 7-term distance are FIXED
+    * left-associated chains mirrored textually in the oracle; flat
+    * (sd = 0) windows are excluded on both sides; ties break on
+    * window positions.
+    *
+    * Scale: one combinable hash-agg to the daily relation; leads,
+    * pair join, and the argmin window all run on metadata. */
+  private def timeseriesMotif(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val leads = (0 to 6).map(k =>
+      lead(col("cnt"), k).over(byT).cast("double").as(s"c$k"))
+    val win = daily
+      .withColumn("i", row_number().over(byT).cast("long"))
+      .select(Seq(col("event_type"), col("day"), col("i")) ++ leads: _*)
+      .filter(col("c6").isNotNull)
+    val cs = (0 to 6).map(k => col(s"c$k"))
+    val mean = cs.reduce(_ + _) / lit(7.0)
+    val dev2 = cs.map(c => (c - mean) * (c - mean)).reduce(_ + _)
+    val sd = sqrt(dev2 / lit(7.0))
+    val z = win
+      .withColumn("mu", mean).withColumn("sd", sd)
+      .filter(col("sd") > 0.0)
+      .select(Seq(col("event_type"), col("day"), col("i")) ++
+        (0 to 6).map(k =>
+          ((col(s"c$k") - col("mu")) / col("sd")).as(s"z$k")): _*)
+    val dist2 = (0 to 6).map(k =>
+      (col(s"a.z$k") - col(s"b.z$k")) * (col(s"a.z$k") - col(s"b.z$k")))
+      .reduce(_ + _)
+    val pairs = z.as("a").join(z.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.i") >= col("a.i") + 7)
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("day_a"), col("b.day").as("day_b"),
+        col("a.i").as("ia"), col("b.i").as("ib"), dist2.as("d2"))
+    pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("d2"), col("ia"), col("ib"))))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day_a"), "yyyy-MM-dd").as("day_a"),
+        date_format(col("day_b"), "yyyy-MM-dd").as("day_b"),
+        Parity.r6(sqrt(col("d2"))).as("zdist"), col("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
   /** Decile lift & cumulative-gains table — "rank users by a
     * propensity signal (click volume), cut into deciles, and read off
     * how concentrated the outcome (purchasing) is at the top": the
@@ -1478,6 +1540,60 @@ object EventTime {
         |    * 1000000 + 0.5) / 1000000 END AS rate_purchase
         |FROM c""".stripMargin),
       eventsFunnelWindowed),
+
+    QueryDef("timeseries_motif", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | w AS (
+        |  SELECT event_type, day,
+        |   CAST(row_number() OVER win AS BIGINT) AS i,
+        |   CAST(cnt AS DOUBLE) AS c0,
+        |   CAST(lead(cnt, 1) OVER win AS DOUBLE) AS c1,
+        |   CAST(lead(cnt, 2) OVER win AS DOUBLE) AS c2,
+        |   CAST(lead(cnt, 3) OVER win AS DOUBLE) AS c3,
+        |   CAST(lead(cnt, 4) OVER win AS DOUBLE) AS c4,
+        |   CAST(lead(cnt, 5) OVER win AS DOUBLE) AS c5,
+        |   CAST(lead(cnt, 6) OVER win AS DOUBLE) AS c6
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+        | m AS (
+        |  SELECT event_type, day, i, c0, c1, c2, c3, c4, c5, c6,
+        |   (c0 + c1 + c2 + c3 + c4 + c5 + c6) / 7.0 AS mu
+        |  FROM w WHERE c6 IS NOT NULL),
+        | sdv AS (
+        |  SELECT *, sqrt(((c0 - mu) * (c0 - mu) + (c1 - mu) * (c1 - mu)
+        |   + (c2 - mu) * (c2 - mu) + (c3 - mu) * (c3 - mu)
+        |   + (c4 - mu) * (c4 - mu) + (c5 - mu) * (c5 - mu)
+        |   + (c6 - mu) * (c6 - mu)) / 7.0) AS sd
+        |  FROM m),
+        | z AS (
+        |  SELECT event_type, day, i,
+        |   (c0 - mu) / sd AS z0, (c1 - mu) / sd AS z1, (c2 - mu) / sd AS z2,
+        |   (c3 - mu) / sd AS z3, (c4 - mu) / sd AS z4, (c5 - mu) / sd AS z5,
+        |   (c6 - mu) / sd AS z6
+        |  FROM sdv WHERE sd > 0.0),
+        | p AS (
+        |  SELECT a.event_type, a.day AS day_a, b.day AS day_b,
+        |   a.i AS ia, b.i AS ib,
+        |   (a.z0 - b.z0) * (a.z0 - b.z0) + (a.z1 - b.z1) * (a.z1 - b.z1)
+        |   + (a.z2 - b.z2) * (a.z2 - b.z2) + (a.z3 - b.z3) * (a.z3 - b.z3)
+        |   + (a.z4 - b.z4) * (a.z4 - b.z4) + (a.z5 - b.z5) * (a.z5 - b.z5)
+        |   + (a.z6 - b.z6) * (a.z6 - b.z6) AS d2
+        |  FROM z a JOIN z b
+        |   ON a.event_type = b.event_type AND b.i >= a.i + 7),
+        | r AS (
+        |  SELECT event_type, day_a, day_b, d2,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY d2, ia, ib) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+        |  FROM p)
+        |SELECT event_type, strftime(day_a, '%Y-%m-%d') AS day_a,
+        | strftime(day_b, '%Y-%m-%d') AS day_b,
+        | floor(sqrt(d2) * 1000000 + 0.5) / 1000000 AS zdist, n_pairs
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
+      timeseriesMotif),
 
     QueryDef("events_lift_deciles", Some(
       """WITH u AS (

@@ -173,6 +173,118 @@ object Multimodal {
     }
   }
 
+  /** Output row of the audio fingerprint ([[fingerprintAudio]]). */
+  final case class AudioFpRow(doc_id: Long, ok: Boolean, format: String,
+      n_frames: Long, dominant_bin: Int, fp: Long)
+
+  /** Constellation-style AUDIO fingerprint over the real WAV/AIFF
+    * decode path — the audio analogue of [[phashImages]]: content
+    * keys that survive level changes, for near-duplicate detection in
+    * audio corpora where byte hashing breaks on re-encode or gain.
+    *
+    * Per payload: 16-bit PCM → mono (channel average) → 64-sample
+    * frames at hop 32 → 32-bin DFT magnitude (plain double loops,
+    * fixed order) → per-frame PEAK BIN (argmax of ‖X_k‖², ties to the
+    * lower bin — scale-invariant, so gain changes cannot move it) →
+    * fingerprint = the peak-bin sequence folded through h·31 + bin
+    * (the Shazam constellation collapsed to its time-ordered spine).
+    * dominant_bin is the modal peak bin (the track's carrier pitch
+    * class at this resolution).
+    *
+    * Contracts (AudioDecodeSpec): an amplitude-scaled copy fingerprints
+    * IDENTICALLY (argmax invariance); a different tone lands in a
+    * different bin/fingerprint; non-PCM or junk payloads report
+    * ok = false. Pairing at corpus scale joins on `fp` (exact) or on
+    * per-frame (bin, next-bin) pairs for fuzzy overlap — both
+    * bucketed, no all-pairs. */
+  private[graft] def fingerprintAudio(docs: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import docs.sparkSession.implicits._
+    val N = 64
+    val H = 32
+    val Bins = 32
+    docs.mapPartitions { rows =>
+      // DFT basis shared across the partition's batch
+      val cosT = Array.tabulate(Bins, N)((k, n) =>
+        math.cos(-2.0 * math.Pi * k * n / N))
+      val sinT = Array.tabulate(Bins, N)((k, n) =>
+        math.sin(-2.0 * math.Pi * k * n / N))
+      rows.map { r =>
+        var ais: javax.sound.sampled.AudioInputStream = null
+        try {
+          ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val pcm16 = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+          if (!pcm16) AudioFpRow(r.doc_id, ok = false, sniffFormat(r.payload), 0L, -1, 0L)
+          else {
+            val data = ais.readAllBytes()
+            val ch = fmt.getChannels
+            val nMono = data.length / 2 / ch
+            val mono = new Array[Double](nMono)
+            var i = 0
+            while (i < nMono) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s =
+                  if (fmt.isBigEndian)
+                    ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                  else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              mono(i) = acc / ch
+              i += 1
+            }
+            var fp = 0L
+            var frames = 0L
+            val binCnt = new Array[Long](Bins)
+            var start = 0
+            while (start + N <= nMono) {
+              var bestK = 0
+              var bestMag = -1.0
+              var k = 1 // skip DC — it carries offset, not pitch
+              while (k < Bins) {
+                var re = 0.0
+                var im = 0.0
+                var n = 0
+                while (n < N) {
+                  re += mono(start + n) * cosT(k)(n)
+                  im += mono(start + n) * sinT(k)(n)
+                  n += 1
+                }
+                val mag = re * re + im * im
+                if (mag > bestMag) { bestMag = mag; bestK = k }
+                k += 1
+              }
+              fp = fp * 31L + bestK
+              binCnt(bestK) += 1
+              frames += 1
+              start += H
+            }
+            var dom = -1
+            var domCnt = -1L
+            var b = 0
+            while (b < Bins) {
+              if (binCnt(b) > domCnt) { domCnt = binCnt(b); dom = b }
+              b += 1
+            }
+            AudioFpRow(r.doc_id, ok = frames > 0, sniffFormat(r.payload),
+              frames, if (frames > 0) dom else -1, fp)
+          }
+        } catch {
+          case _: Exception =>
+            AudioFpRow(r.doc_id, ok = false, sniffFormat(r.payload), 0L, -1, 0L)
+        } finally {
+          if (ais != null) try ais.close() catch { case _: Exception => () }
+        }
+      }
+    }
+  }
+
   /** DCT perceptual hash (pHash) over the REAL image-decode path — the
     * content-level near-duplicate key for image corpora, where
     * [[Multimodal]]'s byte-level simhash (`mm_simhash`) breaks the

@@ -105,4 +105,33 @@ class AudioDecodeSpec extends AnyFunSuite {
       s"endianness must not change decoded samples: " +
         s"${got(1L).rms}/${got(1L).peak} vs ${got(2L).rms}/${got(2L).peak}")
   }
+
+  test("audio fingerprint: gain-invariant, pitch-sensitive, poison-safe") {
+    // A tone with period P samples concentrates at DFT bin 64/P of the
+    // 64-sample frame: period 8 → bin 8, period 16 → bin 4. A 4×
+    // quieter copy must fingerprint IDENTICALLY (per-frame argmax is
+    // scale-invariant); a different pitch must land in a different
+    // bin and fingerprint.
+    val spark2 = spark
+    import spark2.implicits._
+    def tone(period: Int, amp: Int, n: Int): Array[Short] =
+      Array.tabulate[Short](n)(i => (amp * math.sin(2 * math.Pi * i / period)).toShort)
+    val rows = Seq(
+      MediaRow(1L, wav(tone(8, 16384, 2048), 8000f, 1)),
+      MediaRow(2L, wav(tone(8, 4096, 2048), 8000f, 1)),
+      MediaRow(3L, wav(tone(16, 16384, 2048), 8000f, 1)),
+      MediaRow(4L, "junk".getBytes("UTF-8")))
+    val got = Multimodal.fingerprintAudio(spark2.createDataset(rows).repartition(2))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).ok && got(2L).ok && got(3L).ok && !got(4L).ok)
+    assert(got(1L).dominant_bin == 8,
+      s"period-8 tone peaked at bin ${got(1L).dominant_bin}, expected 8")
+    assert(got(3L).dominant_bin == 4,
+      s"period-16 tone peaked at bin ${got(3L).dominant_bin}, expected 4")
+    assert(got(2L).fp == got(1L).fp && got(2L).dominant_bin == 8,
+      "4x gain change moved the fingerprint — argmax invariance broken")
+    assert(got(3L).fp != got(1L).fp,
+      "different pitches must not share a fingerprint")
+    assert(got(1L).n_frames == (2048 - 64) / 32 + 1)
+  }
 }
