@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, md5, row_number, spark_partition_id}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -268,6 +269,31 @@ object PipelineSpec {
         val victims = graft.operators.Dedup.verifiedPairsOf(std, thr)
           .select(col("doc_b").as(idc)).distinct()
         df.join(victims, Seq(idc), "left_anti")
+      }
+    case "screen" =>
+      // declarative PROVENANCE SCREEN — the curation loop's
+      // synthetic-text gate as config: kind "watermark" computes the
+      // greenlist one-proportion z per row (text_watermark_detect
+      // semantics — same md5 keying via TextOps.isGreenPair, docs
+      // under 2 tokens score 0) and DROPS rows with z > "threshold"
+      // (default 4.0). Stateless per-row array fold, no shuffle.
+      val kind = str(v, "kind")
+      val txt = strOpt(v, "text").getOrElse("text")
+      kind match {
+        case "watermark" =>
+          val thr = doubleOpt(v, "threshold").getOrElse(4.0)
+          df => {
+            val tk = F.filter(F.split(col(txt), " "), t => t =!= "")
+            val bg = F.transform(F.sequence(lit(1), F.size(tk) - 1),
+              i => F.concat_ws(" ", F.slice(tk, i, lit(2))))
+            val n = F.size(bg).cast("double")
+            val g = F.size(F.filter(bg, graft.operators.TextOps.isGreenPair _))
+              .cast("double")
+            val z = F.when(F.size(tk) >= 2, (lit(2.0) * g - n) / F.sqrt(n))
+              .otherwise(lit(0.0))
+            df.filter(z <= thr)
+          }
+        case other => fail(s"unknown screen kind '$other'", v)
       }
     case "sample_group" =>
       // declarative reproducible k-per-group sampling: rank rows in

@@ -112,7 +112,51 @@ object SpecQueries {
        |   {"op": "sort", "columns": ["lang", "rn"]}
        | ]}""".stripMargin
 
+  /** Config-declared PROVENANCE SCREEN: the watermark gate as a spec
+    * verb (threshold 1.5 so the screen provably drops rows on the
+    * synthetic corpus — ~7% of docs sit above z 1.5), then a grouped
+    * survivor count. Proves the declarative layer keeps pace with the
+    * round-10 screen operators: the spec path and the audit query
+    * (`text_watermark_detect`) share the md5 keying via
+    * `TextOps.isGreenPair`, so their decisions can never diverge. */
+  private def pipelineSpecScreen(spark: SparkSession, dir: String): DataFrame =
+    PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$dir/documents.parquet"},
+         | "transforms": [
+         |   {"op": "screen", "kind": "watermark", "threshold": 1.5},
+         |   {"op": "aggregate", "groupBy": ["lang"],
+         |    "aggs": ["count(*) AS n_kept"]},
+         |   {"op": "sort", "columns": ["lang"]}
+         | ]}""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_spec_screen", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+        |    i -> concat_ws(' ', t[i], t[i+1])) AS pairs
+        |  FROM tk WHERE len(t) >= 2),
+        | g AS (
+        |  SELECT doc_id, CAST(len(pairs) AS BIGINT) AS n,
+        |   CAST(len(list_filter(pairs, b ->
+        |     CAST(('0x' || substr(md5('wm:' || b), 1, 4)) AS BIGINT) % 2 = 0))
+        |     AS BIGINT) AS greens
+        |  FROM p),
+        | z AS (
+        |  SELECT doc_id,
+        |   (2.0 * CAST(greens AS DOUBLE) - CAST(n AS DOUBLE))
+        |     / sqrt(CAST(n AS DOUBLE)) AS zg
+        |  FROM g),
+        | kept AS (
+        |  SELECT d.lang FROM documents d
+        |  LEFT JOIN z ON d.doc_id = z.doc_id
+        |  WHERE coalesce(z.zg, 0.0) <= 1.5)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+      pipelineSpecScreen),
+
     QueryDef("pipeline_spec_curate", Some(
       """WITH base AS (SELECT * FROM documents WHERE n_chars >= 100),
         | tk AS (SELECT doc_id,

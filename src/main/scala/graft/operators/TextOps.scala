@@ -914,6 +914,13 @@ object TextOps {
     * Scale: completely stateless per row — the pair walk is an array
     * fold (filter+size) inside codegen, no explode, no shuffle; the
     * only shuffle is the output sort. */
+  /** The greenlist membership bit for one adjacent-token pair — shared
+    * by [[textWatermarkDetect]] and PipelineSpec's "screen" verb so the
+    * declarative pipeline screen and the audit query key identically. */
+  private[graft] def isGreenPair(b: Column): Column =
+    conv(substring(md5(concat(lit("wm:"), b)), 1, 4), 16, 10)
+      .cast(LongType) % 2 === 0
+
   private def textWatermarkDetect(spark: SparkSession, dir: String): DataFrame = {
     val bg = transform(sequence(lit(1), size(col("tk")) - 1),
       i => concat_ws(" ", slice(col("tk"), i, lit(2))))
@@ -923,9 +930,7 @@ object TextOps {
       .select(col("doc_id"), bg.as("pairs"))
       .select(col("doc_id"),
         size(col("pairs")).cast(LongType).as("n_pairs"),
-        size(filter(col("pairs"), b =>
-          conv(substring(md5(concat(lit("wm:"), b)), 1, 4), 16, 10)
-            .cast(LongType) % 2 === 0)).cast(LongType).as("greens"))
+        size(filter(col("pairs"), isGreenPair _)).cast(LongType).as("greens"))
       .select(col("doc_id"), col("n_pairs"), col("greens"),
         Parity.r6((lit(2.0) * col("greens").cast(DoubleType) -
           col("n_pairs").cast(DoubleType)) /
