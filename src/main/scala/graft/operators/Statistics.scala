@@ -1428,6 +1428,131 @@ object Statistics {
       when(ok, Parity.r6(covN * covN / (vxN * vyN))).as("var_reduction"))
   }
 
+  /** TOST equivalence test — the readout naive A/B testing cannot give:
+    * "are the arms the SAME to within ±δ?" (a non-significant z is NOT
+    * evidence of equivalence — it's just absence of evidence). Two
+    * one-sided Welch tests against the margins ±δ (δ = 5% of the pooled
+    * mean): z_low = (diff+δ)/se vs H₀ diff ≤ −δ, z_up = (δ−diff)/se vs
+    * H₀ diff ≥ δ; p_tost = max of the two one-sided p's, equivalence
+    * declared at p < 0.05. One-sided p = ½·erfc(z/√2) via the shared
+    * A&S polynomial, with the z<0 branch as 1 − ½·erfc(−z/√2) —
+    * mirrored textually (stats_bh_fdr precedent). ONE conditional
+    * global agg; everything else is a fixed double sequence on the
+    * single metadata row. */
+  private def statsTostEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(concat(lit("eq:"), col("user_id").cast("string"))),
+          1, 2), 16, 10).cast("long") % 2).as("variant"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val g = p.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("s_a"),
+      sum(when(col("variant") === 0, col("cents") * col("cents")).otherwise(0L))
+        .as("q_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("s_b"),
+      sum(when(col("variant") === 1, col("cents") * col("cents")).otherwise(0L))
+        .as("q_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a").cast("double") / na / lit(100.0)
+    val mb = col("s_b").cast("double") / nb / lit(100.0)
+    val va = (col("q_a").cast("double") / lit(10000.0) - na * ma * ma) /
+      (na - lit(1.0))
+    val vb = (col("q_b").cast("double") / lit(10000.0) - nb * mb * mb) /
+      (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val pooled = (col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double") / lit(100.0)
+    val delta = lit(0.05) * pooled
+    val diff = ma - mb
+    val zLow = (diff + delta) / sqrt(se2)
+    val zUp = (delta - diff) / sqrt(se2)
+    // one-sided p = ½ erfc(z/√2); z<0 branch via symmetry
+    def halfErfc(x: Column): Column = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      lit(0.5) * ((((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t)
+        * exp(-(x * x)))
+    }
+    def oneSidedP(z: Column): Column =
+      when(z >= 0.0, halfErfc(z / sqrt(lit(2.0))))
+        .otherwise(lit(1.0) - halfErfc((-z) / sqrt(lit(2.0))))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0
+    val pTost = greatest(oneSidedP(zLow), oneSidedP(zUp))
+    g.select(col("n_a"), col("n_b"),
+      when(ok, Parity.r6(diff)).as("diff"),
+      Parity.r6(delta).as("delta"),
+      when(ok, Parity.r6(sqrt(se2))).as("se"),
+      when(ok, Parity.r6(zLow)).as("z_lower"),
+      when(ok, Parity.r6(zUp)).as("z_upper"),
+      when(ok, Parity.r6(pTost)).as("p_tost"),
+      when(ok && pTost < 0.05, 1L).otherwise(0L).as("equivalent"))
+  }
+
+  /** Empirical-Bayes (James–Stein style) shrinkage of per-nation mean
+    * order values toward the grand mean — the estimator a segment
+    * dashboard should show instead of raw small-sample means: each
+    * nation's mean is pulled toward the pooled mean by
+    * B = (σ²ᵢ/nᵢ)/(σ²ᵢ/nᵢ + τ̂²), with τ̂² the method-of-moments
+    * between-group variance (observed spread of group means minus the
+    * sampling noise expected under τ = 0, floored at 0). Noisy small
+    * segments shrink hard; precise large ones barely move —
+    * Stein's paradox working as a feature.
+    *
+    * Determinism: the only cross-group sums (Στ moments over the 25
+    * group means) run over 1e-6-QUANTIZED means as exact integers
+    * (Σ(k·mqᵢ − Σmq)² in DECIMAL — order-free), and the same
+    * quantized σ²ᵢ/nᵢ feeds both τ̂² and B, so every derived double is
+    * a fixed op sequence on exact ints. Scale: one conditional
+    * hash-agg to 25 metadata rows + windows on them. */
+  private def statsEbShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val base = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val g = base.groupBy(col("nation")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("cents")).as("s"),
+      sum((col("cents") * col("cents")).cast(dec)).as("q"))
+    val nd = col("n").cast("double")
+    val m = col("s").cast("double") / nd / lit(100.0)
+    val v = (col("q").cast("double") / lit(10000.0) - nd * m * m) /
+      (nd - lit(1.0))
+    val sem2q = floor(v / nd * lit(1000000.0) + lit(0.5)).cast("long")
+    val all = Window.partitionBy(lit(1))
+    val c = g
+      .withColumn("mq", floor(m * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("sem2q", sem2q)
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("smq", sum(col("mq")).over(all))
+      .withColumn("ssem", sum(col("sem2q")).over(all))
+      .withColumn("ssq", sum(
+        ((col("k") * col("mq") - col("smq")).cast(dec) *
+          (col("k") * col("mq") - col("smq")).cast(dec))).over(all))
+      .withColumn("sn", sum(col("n")).over(all))
+      .withColumn("ss", sum(col("s")).over(all))
+    val kd = col("k").cast("double")
+    val varMeans = col("ssq").cast("double") /
+      (kd * kd * (kd - lit(1.0)) * lit(1.0e12))
+    val meanSem2 = col("ssem").cast("double") / kd / lit(1000000.0)
+    val tau2 = greatest(varMeans - meanSem2, lit(0.0))
+    val gm = col("ss").cast("double") / col("sn").cast("double") / lit(100.0)
+    val sem2 = col("sem2q").cast("double") / lit(1000000.0)
+    val b = when(sem2 + tau2 > 0.0, sem2 / (sem2 + tau2)).otherwise(lit(0.0))
+    c.select(col("nation"), col("n"),
+        Parity.r6(m).as("raw_mean"),
+        Parity.r6(gm).as("grand_mean"),
+        Parity.r6(tau2).as("tau2"),
+        Parity.r6(b).as("shrink_b"),
+        Parity.r6(b * gm + (lit(1.0) - b) * m).as("shrunk_mean"))
+      .orderBy(col("nation"))
+  }
+
   /** Difference-in-differences — the quasi-experimental readout for a
     * rollout WITHOUT clean randomization: compare the treated arm's
     * pre→post change against the control arm's, so any shared trend
@@ -1660,6 +1785,141 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_tost_equivalence", Some(
+      """WITH p AS (
+        |  SELECT CAST(('0x' || substr(md5('eq:' || CAST(user_id AS VARCHAR)),
+        |    1, 2)) AS BIGINT) % 2 AS variant,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | g AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS q_a,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END)
+        |     AS BIGINT) AS q_b
+        |  FROM p),
+        | s AS (
+        |  SELECT *,
+        |   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS ma,
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mb,
+        |   CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |   0.05 * (CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |     / 100.0) AS delta
+        |  FROM g),
+        | v AS (
+        |  SELECT *, ma - mb AS diff,
+        |   ((CAST(q_a AS DOUBLE) / 10000.0 - nad * ma * ma) / (nad - 1.0)) / nad
+        |   + ((CAST(q_b AS DOUBLE) / 10000.0 - nbd * mb * mb) / (nbd - 1.0))
+        |     / nbd AS se2
+        |  FROM s),
+        | zz AS (
+        |  SELECT *, (diff + delta) / sqrt(se2) AS zl,
+        |   (delta - diff) / sqrt(se2) AS zu,
+        |   n_a > 1 AND n_b > 1 AND se2 > 0.0 AS ok
+        |  FROM v),
+        | xx AS (
+        |  SELECT *, abs(zl) / sqrt(2.0) AS xl, abs(zu) / sqrt(2.0) AS xu
+        |  FROM zz),
+        | tt AS (
+        |  SELECT *, 1.0 / (1.0 + 0.3275911 * xl) AS tl,
+        |   1.0 / (1.0 + 0.3275911 * xu) AS tu
+        |  FROM xx),
+        | hh AS (
+        |  SELECT *,
+        |   0.5 * ((((((1.061405429 * tl - 1.453152027) * tl + 1.421413741) * tl
+        |     - 0.284496736) * tl + 0.254829592) * tl) * exp(-(xl * xl))) AS hl,
+        |   0.5 * ((((((1.061405429 * tu - 1.453152027) * tu + 1.421413741) * tu
+        |     - 0.284496736) * tu + 0.254829592) * tu) * exp(-(xu * xu))) AS hu
+        |  FROM tt),
+        | pp AS (
+        |  SELECT *,
+        |   greatest(CASE WHEN zl >= 0.0 THEN hl ELSE 1.0 - hl END,
+        |            CASE WHEN zu >= 0.0 THEN hu ELSE 1.0 - hu END) AS p_tost
+        |  FROM hh)
+        |SELECT n_a, n_b,
+        | CASE WHEN ok THEN floor(diff * 1000000 + 0.5) / 1000000 END AS diff,
+        | floor(delta * 1000000 + 0.5) / 1000000 AS delta,
+        | CASE WHEN ok THEN floor(sqrt(se2) * 1000000 + 0.5) / 1000000 END AS se,
+        | CASE WHEN ok THEN floor(zl * 1000000 + 0.5) / 1000000 END AS z_lower,
+        | CASE WHEN ok THEN floor(zu * 1000000 + 0.5) / 1000000 END AS z_upper,
+        | CASE WHEN ok THEN floor(p_tost * 1000000 + 0.5) / 1000000 END
+        |   AS p_tost,
+        | CASE WHEN ok AND p_tost < 0.05 THEN CAST(1 AS BIGINT) ELSE 0 END
+        |   AS equivalent
+        |FROM pp""".stripMargin),
+      statsTostEquivalence),
+
+    QueryDef("stats_eb_shrinkage", Some(
+      """WITH b AS (
+        |  SELECT n.n_name AS nation,
+        |   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        | g AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(cents) AS BIGINT) AS s,
+        |   sum(CAST(cents AS HUGEINT) * cents) AS q
+        |  FROM b GROUP BY 1),
+        | d AS (
+        |  SELECT nation, n, s,
+        |   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+        |   (CAST(q AS DOUBLE) / 10000.0
+        |     - CAST(n AS DOUBLE)
+        |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))
+        |     / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM g),
+        | e AS (
+        |  SELECT nation, n, s, m, v,
+        |   CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS mq,
+        |   CAST(floor(v / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |     AS sem2q
+        |  FROM d),
+        | c AS (
+        |  SELECT nation, n, m, sem2q,
+        |   CAST(count(*) OVER () AS BIGINT) AS k,
+        |   CAST(sum(mq) OVER () AS BIGINT) AS smq,
+        |   CAST(sum(sem2q) OVER () AS BIGINT) AS ssem,
+        |   sum(CAST(k0.kk * mq - s0.ss AS HUGEINT)
+        |     * (k0.kk * mq - s0.ss)) OVER () AS ssq,
+        |   CAST(sum(n) OVER () AS BIGINT) AS sn,
+        |   CAST(sum(s) OVER () AS BIGINT) AS ssum
+        |  FROM e,
+        |   (SELECT CAST(count(*) AS BIGINT) AS kk FROM e) k0,
+        |   (SELECT CAST(sum(mq) AS BIGINT) AS ss FROM e) s0),
+        | f AS (
+        |  SELECT nation, n, m,
+        |   CAST(ssq AS DOUBLE)
+        |     / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) - 1.0) * 1000000000000.0) AS var_means,
+        |   CAST(ssem AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0 AS mean_sem2,
+        |   CAST(ssum AS DOUBLE) / CAST(sn AS DOUBLE) / 100.0 AS gm,
+        |   CAST(sem2q AS DOUBLE) / 1000000.0 AS sem2
+        |  FROM c),
+        | h AS (
+        |  SELECT nation, n, m, gm,
+        |   greatest(var_means - mean_sem2, 0.0) AS tau2, sem2
+        |  FROM f),
+        | i AS (
+        |  SELECT nation, n, m, gm, tau2,
+        |   CASE WHEN sem2 + tau2 > 0.0 THEN sem2 / (sem2 + tau2)
+        |        ELSE 0.0 END AS bb
+        |  FROM h)
+        |SELECT nation, n,
+        | floor(m * 1000000 + 0.5) / 1000000 AS raw_mean,
+        | floor(gm * 1000000 + 0.5) / 1000000 AS grand_mean,
+        | floor(tau2 * 1000000 + 0.5) / 1000000 AS tau2,
+        | floor(bb * 1000000 + 0.5) / 1000000 AS shrink_b,
+        | floor((bb * gm + (1.0 - bb) * m) * 1000000 + 0.5) / 1000000
+        |   AS shrunk_mean
+        |FROM i ORDER BY nation""".stripMargin),
+      statsEbShrinkage),
+
     QueryDef("stats_did", Some(
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -1155,6 +1155,44 @@ class InvariantSpec extends AnyFunSuite {
       s"natural doc false-positive: z=${got(2L).getDouble(3)}")
   }
 
+  test("stats_eb_shrinkage partially shrinks heterogeneous planted segments") {
+    // On the real (null) corpus every nation shares one distribution,
+    // so τ̂² = 0 and B = 1 (full pooling) is the CORRECT answer. This
+    // fixture plants genuinely different segment means (1000/1100/1200
+    // ± 10) with very different n (200/50/8): between-group variance
+    // dominates sampling noise ⇒ τ̂² > 0, and the small-n segment must
+    // shrink hardest while the large-n one barely moves.
+    import spark.implicits._
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_eb").getAbsolutePath
+    val spec = Seq((0, 200, 1000.0), (1, 50, 1100.0), (2, 8, 1200.0))
+    val nationDf = spec.map { case (k, _, _) => (k.toLong, s"N$k") }
+      .toDF("n_nationkey", "n_name")
+    val custDf = spec.flatMap { case (k, cnt, _) =>
+      (0 until cnt).map(i => (k.toLong * 1000 + i, k.toLong))
+    }.toDF("c_custkey", "c_nationkey")
+    val ordersDf = spec.flatMap { case (k, cnt, mean) =>
+      (0 until cnt).map(i => (k.toLong * 1000 + i, mean + (i % 21 - 10)))
+    }.toDF("o_custkey", "o_totalprice")
+    nationDf.coalesce(1).write.mode("overwrite").parquet(s"$planted/nation.parquet")
+    custDf.coalesce(1).write.mode("overwrite").parquet(s"$planted/customer.parquet")
+    ordersDf.coalesce(1).write.mode("overwrite").parquet(s"$planted/orders.parquet")
+    val got = SparkEntry.queries("stats_eb_shrinkage")(spark, planted)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tau2 = got("N0").getDouble(4)
+    assert(tau2 > 0.0, s"planted heterogeneity must yield tau2 > 0, got $tau2")
+    val b0 = got("N0").getDouble(5); val b2 = got("N2").getDouble(5)
+    assert(b0 < b2, s"large-n segment must shrink less (B0=$b0 vs B2=$b2)")
+    assert(b2 < 1.0 && b0 > 0.0, s"shrinkage must be partial: B0=$b0, B2=$b2")
+    for (k <- Seq("N0", "N2")) {
+      val raw = got(k).getDouble(2); val gm = got(k).getDouble(3)
+      val shrunk = got(k).getDouble(6)
+      assert((shrunk - raw).abs <= (gm - raw).abs + 1e-9 &&
+        (shrunk - gm).abs <= (raw - gm).abs + 1e-9,
+        s"$k: shrunk mean $shrunk must lie between raw $raw and grand $gm")
+    }
+  }
+
   test("text_classifier_calibration: ECE and bins are internally consistent") {
     val rows = q("text_classifier_calibration").collect()
     assert(rows.nonEmpty)
