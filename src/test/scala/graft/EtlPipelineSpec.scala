@@ -151,6 +151,35 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("pipeline spec: the screen verb streams with exact batch parity") {
+    // the watermark screen is an expression-only verb, so the SAME
+    // spec document runs on a stream unchanged — survivors on ingest
+    // must equal the batch screen's survivors row-for-row.
+    val src = tmp("spec_screen_src")
+    Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(src)
+    val body =
+      """ "transforms": [
+        |   {"op": "screen", "kind": "watermark", "threshold": 1.5},
+        |   {"op": "select", "columns": ["doc_id", "lang"]}]""".stripMargin
+    val spec =
+      s"""{"source": {"format": "parquet", "path": "$src",
+         |  "schema": "doc_id BIGINT, text STRING, lang STRING"},
+         |$body,
+         | "sink": {"format": "memory", "name": "spec_screen_out"}}""".stripMargin
+    val q = PipelineSpec.startStream(spark, spec)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("spec_screen_out")
+    val batch = PipelineSpec.frame(spark,
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |$body}""".stripMargin)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.count() < Tables.documents(spark, TestSpark.sf).count(),
+      "screen must actually drop rows at threshold 1.5")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("pipeline spec: orc and csv sinks round-trip through the registry") {
     val orcOut = tmp("spec_orc_out")
     PipelineSpec.fromJson(
