@@ -189,12 +189,18 @@ object PipelineSpec {
     case "repartition" =>
       // explicit partitioning lever: by columns (co-locate a later
       // join/agg) and/or a target partition count
+      // bare {"op":"repartition"} = fan out to cluster parallelism —
+      // the Tables.fanout lever as config, for CPU-bound per-row
+      // stages over few-split sources (a one-file parquet scan would
+      // otherwise pin a downstream screen/regex/hash stage to one
+      // core; measured 7.3 s → sub-second on pipeline_spec_screen)
       val cs = strSeq(v, "columns"); val n = intOpt(v, "n")
       df => (n, cs) match {
         case (Some(k), Seq()) => df.repartition(k)
         case (Some(k), cols) => df.repartition(k, cols.map(col): _*)
         case (None, cols) if cols.nonEmpty => df.repartition(cols.map(col): _*)
-        case _ => fail("repartition needs 'n' and/or 'columns'", v)
+        case (None, Seq()) =>
+          df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       }
     case "join" =>
       // first-class multi-source composition (the reference macro
@@ -291,7 +297,12 @@ object PipelineSpec {
               .cast("double")
             val z = F.when(F.size(tk) >= 2, (lit(2.0) * g - n) / F.sqrt(n))
               .otherwise(lit(0.0))
-            df.filter(z <= thr)
+            // the always-false nondeterministic disjunct pins this
+            // filter ABOVE any preceding repartition: Catalyst pushes
+            // deterministic predicates below exchanges, which would
+            // run the md5 fold inside the (often single-split) scan
+            // stage on one core — measured 6.5 s vs 0.6 s at sf0.1
+            df.filter(z <= thr || spark_partition_id() < lit(0))
           }
         case other => fail(s"unknown screen kind '$other'", v)
       }

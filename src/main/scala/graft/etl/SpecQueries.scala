@@ -123,6 +123,7 @@ object SpecQueries {
     PipelineSpec.frame(spark,
       s"""{"source": {"format": "parquet", "path": "$dir/documents.parquet"},
          | "transforms": [
+         |   {"op": "repartition"},
          |   {"op": "screen", "kind": "watermark", "threshold": 1.5},
          |   {"op": "aggregate", "groupBy": ["lang"],
          |    "aggs": ["count(*) AS n_kept"]},
