@@ -1428,6 +1428,70 @@ object Statistics {
       when(ok, Parity.r6(covN * covN / (vxN * vyN))).as("var_reduction"))
   }
 
+  /** Mix-shift decomposition (Oaxaca–Blinder style) — the "why did the
+    * average move" autopsy every metrics review needs: the change in
+    * grand-mean order value between two periods splits EXACTLY into
+    * Σᵢ w₂ᵢ(m₂ᵢ − m₁ᵢ)  (WITHIN: segments themselves moved, at new
+    * weights) + Σᵢ (w₂ᵢ − w₁ᵢ)m₁ᵢ  (MIX: the customer base shifted
+    * between segments, at old means). A flat per-segment world with a
+    * changed mix moves the topline with zero within effect — the
+    * decomposition names which story is true, per nation.
+    *
+    * Determinism: per-cell means/weights are exact-int ratios; the
+    * only cross-segment sums (the two totals) run over per-nation
+    * contributions QUANTIZED to 1e-8 BIGINTs (order-free exact sums),
+    * while the headline Δ comes directly from exact period moments.
+    * Scale: ONE conditional (nation, period) hash-agg, then windows
+    * over the 25-row metadata relation. */
+  private def statsMixShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        when(col("o_orderdate") < to_date(lit("1996-01-01")), 0L).otherwise(1L)
+          .as("period"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val g = base.groupBy(col("nation")).agg(
+      sum(when(col("period") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("period") === 0, col("cents")).otherwise(0L)).as("s1"),
+      sum(when(col("period") === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("period") === 1, col("cents")).otherwise(0L)).as("s2"))
+    val all = Window.partitionBy(lit(1))
+    val t = g
+      .withColumn("tn1", sum(col("n1")).over(all))
+      .withColumn("ts1", sum(col("s1")).over(all))
+      .withColumn("tn2", sum(col("n2")).over(all))
+      .withColumn("ts2", sum(col("s2")).over(all))
+    val m1 = col("s1").cast("double") / col("n1").cast("double") / lit(100.0)
+    val m2 = col("s2").cast("double") / col("n2").cast("double") / lit(100.0)
+    val w1 = col("n1").cast("double") / col("tn1").cast("double")
+    val w2 = col("n2").cast("double") / col("tn2").cast("double")
+    val gm1 = col("ts1").cast("double") / col("tn1").cast("double") / lit(100.0)
+    val gm2 = col("ts2").cast("double") / col("tn2").cast("double") / lit(100.0)
+    val ok = col("n1") > 0 && col("n2") > 0
+    val within = w2 * (m2 - m1)
+    val mix = (w2 - w1) * m1
+    val c = t
+      .withColumn("wq",
+        when(ok, floor(within * lit(1.0e8) + lit(0.5)).cast("long")).otherwise(0L))
+      .withColumn("mq",
+        when(ok, floor(mix * lit(1.0e8) + lit(0.5)).cast("long")).otherwise(0L))
+      .withColumn("twq", sum(col("wq")).over(all))
+      .withColumn("tmq", sum(col("mq")).over(all))
+    c.select(col("nation"), col("n1"), col("n2"),
+        when(col("n1") > 0, Parity.r6(m1)).as("mean_p1"),
+        when(col("n2") > 0, Parity.r6(m2)).as("mean_p2"),
+        when(col("n1") > 0, Parity.r6(w1)).as("w_p1"),
+        when(col("n2") > 0, Parity.r6(w2)).as("w_p2"),
+        when(ok, Parity.r6(within)).as("within_effect"),
+        when(ok, Parity.r6(mix)).as("mix_effect"),
+        Parity.r6(gm2 - gm1).as("delta_total"),
+        Parity.r6(col("twq").cast("double") / lit(1.0e8)).as("within_total"),
+        Parity.r6(col("tmq").cast("double") / lit(1.0e8)).as("mix_total"))
+      .orderBy(col("nation"))
+  }
+
   /** TOST equivalence test — the readout naive A/B testing cannot give:
     * "are the arms the SAME to within ±δ?" (a non-significant z is NOT
     * evidence of equivalence — it's just absence of evidence). Two
@@ -1785,6 +1849,76 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_mix_shift", Some(
+      """WITH b AS (
+        |  SELECT n.n_name AS nation,
+        |   CASE WHEN o.o_orderdate < DATE '1996-01-01' THEN 0 ELSE 1 END
+        |     AS period,
+        |   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        | g AS (
+        |  SELECT nation,
+        |   CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN period = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        |   CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |   CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1),
+        | t AS (
+        |  SELECT *,
+        |   CAST(sum(n1) OVER () AS BIGINT) AS tn1,
+        |   CAST(sum(s1) OVER () AS BIGINT) AS ts1,
+        |   CAST(sum(n2) OVER () AS BIGINT) AS tn2,
+        |   CAST(sum(s2) OVER () AS BIGINT) AS ts2
+        |  FROM g),
+        | d AS (
+        |  SELECT *,
+        |   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        |   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+        |   CAST(n1 AS DOUBLE) / CAST(tn1 AS DOUBLE) AS w1,
+        |   CAST(n2 AS DOUBLE) / CAST(tn2 AS DOUBLE) AS w2,
+        |   CAST(ts1 AS DOUBLE) / CAST(tn1 AS DOUBLE) / 100.0 AS gm1,
+        |   CAST(ts2 AS DOUBLE) / CAST(tn2 AS DOUBLE) / 100.0 AS gm2,
+        |   n1 > 0 AND n2 > 0 AS ok
+        |  FROM t),
+        | e AS (
+        |  SELECT *,
+        |   CASE WHEN ok THEN CAST(floor((CAST(n2 AS DOUBLE)
+        |     / CAST(tn2 AS DOUBLE))
+        |     * ((CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+        |        - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0))
+        |     * 100000000.0 + 0.5) AS BIGINT) ELSE 0 END AS wq,
+        |   CASE WHEN ok THEN CAST(floor(((CAST(n2 AS DOUBLE)
+        |     / CAST(tn2 AS DOUBLE))
+        |     - (CAST(n1 AS DOUBLE) / CAST(tn1 AS DOUBLE)))
+        |     * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+        |     * 100000000.0 + 0.5) AS BIGINT) ELSE 0 END AS mq
+        |  FROM d),
+        | f AS (
+        |  SELECT *,
+        |   CAST(sum(wq) OVER () AS BIGINT) AS twq,
+        |   CAST(sum(mq) OVER () AS BIGINT) AS tmq
+        |  FROM e)
+        |SELECT nation, n1, n2,
+        | CASE WHEN n1 > 0 THEN floor(m1 * 1000000 + 0.5) / 1000000 END
+        |   AS mean_p1,
+        | CASE WHEN n2 > 0 THEN floor(m2 * 1000000 + 0.5) / 1000000 END
+        |   AS mean_p2,
+        | CASE WHEN n1 > 0 THEN floor(w1 * 1000000 + 0.5) / 1000000 END AS w_p1,
+        | CASE WHEN n2 > 0 THEN floor(w2 * 1000000 + 0.5) / 1000000 END AS w_p2,
+        | CASE WHEN ok THEN floor(w2 * (m2 - m1) * 1000000 + 0.5) / 1000000 END
+        |   AS within_effect,
+        | CASE WHEN ok THEN floor((w2 - w1) * m1 * 1000000 + 0.5) / 1000000 END
+        |   AS mix_effect,
+        | floor((gm2 - gm1) * 1000000 + 0.5) / 1000000 AS delta_total,
+        | floor(CAST(twq AS DOUBLE) / 100000000.0 * 1000000 + 0.5) / 1000000
+        |   AS within_total,
+        | floor(CAST(tmq AS DOUBLE) / 100000000.0 * 1000000 + 0.5) / 1000000
+        |   AS mix_total
+        |FROM f ORDER BY nation""".stripMargin),
+      statsMixShift),
+
     QueryDef("stats_tost_equivalence", Some(
       """WITH p AS (
         |  SELECT CAST(('0x' || substr(md5('eq:' || CAST(user_id AS VARCHAR)),

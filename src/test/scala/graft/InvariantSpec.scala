@@ -1193,6 +1193,24 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_mix_shift: the decomposition recomposes the total delta") {
+    // Oaxaca identity: Σ within + Σ mix = Δ grand mean EXACTLY in the
+    // algebra; the reported totals sum per-nation contributions
+    // quantized at 1e-8, so the residue is bounded by #segments·1e-8
+    // (plus the r6 output rounding).
+    val rows = q("stats_mix_shift").collect()
+    assert(rows.nonEmpty)
+    val delta = rows.head.getDouble(9)
+    val recomposed = rows.head.getDouble(10) + rows.head.getDouble(11)
+    assert(math.abs(recomposed - delta) < 1e-3,
+      s"within ${rows.head.getDouble(10)} + mix ${rows.head.getDouble(11)} " +
+        s"!= delta $delta")
+    // per-nation contributions must also sum to the totals
+    val sumWithin = rows.map(_.getDouble(7)).sum
+    assert(math.abs(sumWithin - rows.head.getDouble(10)) < 1e-3,
+      s"per-nation within sum $sumWithin != total ${rows.head.getDouble(10)}")
+  }
+
   test("text_classifier_calibration: ECE and bins are internally consistent") {
     val rows = q("text_classifier_calibration").collect()
     assert(rows.nonEmpty)
