@@ -1063,6 +1063,38 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Longest consecutive-active-day streak per user, reported as the
+    * corpus streak-length distribution — the engagement-loyalty
+    * readout (how many users sustain 2-day, 7-day, 30-day habits)
+    * behind any "streak" product feature, and the classic
+    * gaps-and-islands computation: per user, distinct active days
+    * minus their per-user row_number is constant WITHIN a consecutive
+    * run and unique across runs, so streaks fall out of one
+    * (user, island) count. Everything is exact integers.
+    *
+    * Scale: dedup + windows partition BY USER (full parallelism — no
+    * global ordering anywhere), then two metadata-sized aggs: the
+    * per-user max and the final histogram. */
+  private def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("island", col("d") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).cast("long").as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best"), count(lit(1)).cast("long").as("n_streaks"))
+    streaks.groupBy(col("best").as("streak_len"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("n_streaks")).cast("long").as("total_streaks"))
+      .orderBy(col("streak_len"))
+  }
+
   /** Matrix-profile-style MOTIF discovery per event type: the pair of
     * non-overlapping 7-day windows of the daily-count series whose
     * Z-NORMALIZED Euclidean distance is smallest — "which two weeks
@@ -1540,6 +1572,28 @@ object EventTime {
         |    * 1000000 + 0.5) / 1000000 END AS rate_purchase
         |FROM c""".stripMargin),
       eventsFunnelWindowed),
+
+    QueryDef("events_streaks", Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |     AS BIGINT) AS d
+        |  FROM events),
+        | isl AS (
+        |  SELECT user_id,
+        |   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |     AS BIGINT) AS island
+        |  FROM days),
+        | st AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2),
+        | u AS (
+        |  SELECT user_id, CAST(max(len) AS BIGINT) AS best,
+        |   CAST(count(*) AS BIGINT) AS n_streaks
+        |  FROM st GROUP BY 1)
+        |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(n_streaks) AS BIGINT) AS total_streaks
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin), eventsStreaks),
 
     QueryDef("timeseries_motif", Some(
       """WITH daily AS (

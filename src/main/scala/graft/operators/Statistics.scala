@@ -1428,6 +1428,54 @@ object Statistics {
       when(ok, Parity.r6(covN * covN / (vxN * vyN))).as("var_reduction"))
   }
 
+  /** Distribution-free (order-statistic) confidence interval for the
+    * MEDIAN quantity per return flag — the uncertainty a median
+    * dashboard should ship with its point estimate, with no normality
+    * assumption: the binomial argument puts ~95% coverage between the
+    * order statistics at ranks (n+1)/2 ∓ z·√n/2, so the CI is two
+    * rank lookups, not a resampling loop (stats_bootstrap_ci is the
+    * general-functional fallback; for quantiles the closed form is
+    * exact and free). The measure is discrete (~50 values), so rank
+    * lookups come from the per-group VALUE HISTOGRAM — cumulative
+    * window over ≤50 metadata rows, then one conditional min-agg per
+    * rank. Ranks use one sqrt each (floor/ceil of identical doubles
+    * cross-engine); everything else is exact integers.
+    *
+    * Scale: one combinable histogram agg; no per-row sort anywhere
+    * (contrast aggPercentile's documented naive window twin). */
+  private def statsMedianCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cumW = Window.partitionBy(col("flag")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byF = Window.partitionBy(col("flag"))
+    val c = h
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byF))
+    val nd = col("n").cast("double")
+    val half = (nd + lit(1.0)) / lit(2.0)
+    val spread = lit(1.959964) * sqrt(nd) / lit(2.0)
+    val k = c
+      .withColumn("lo", greatest(lit(1L), floor(half - spread).cast("long")))
+      .withColumn("hi", least(col("n"), ceil(half + spread).cast("long")))
+      .withColumn("m1", floor(half).cast("long"))
+      .withColumn("m2", ceil(half).cast("long"))
+    def valAt(r: String): Column = min(when(col("cum") >= col(r), col("q")))
+    k.groupBy(col("flag"))
+      .agg(min(col("n")).as("n"),
+        min(col("lo")).as("lo_rank"), min(col("hi")).as("hi_rank"),
+        valAt("lo").as("ci_low"),
+        ((valAt("m1").cast("double") + valAt("m2").cast("double")) / lit(2.0))
+          .as("median"),
+        valAt("hi").as("ci_high"))
+      .select(col("flag").as("l_returnflag"), col("n"), col("lo_rank"),
+        col("hi_rank"), col("ci_low"), col("median"), col("ci_high"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Mix-shift decomposition (Oaxaca–Blinder style) — the "why did the
     * average move" autopsy every metrics review needs: the change in
     * grand-mean order value between two periods splits EXACTLY into
@@ -1849,6 +1897,37 @@ object Statistics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_median_ci", Some(
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        | c AS (
+        |  SELECT flag, q, cnt,
+        |   CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY q
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS cum,
+        |   CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h),
+        | k AS (
+        |  SELECT *,
+        |   greatest(1, CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0
+        |     - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT)) AS lo,
+        |   least(n, CAST(ceil((CAST(n AS DOUBLE) + 1.0) / 2.0
+        |     + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT)) AS hi,
+        |   CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT) AS m1,
+        |   CAST(ceil((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT) AS m2
+        |  FROM c)
+        |SELECT flag AS l_returnflag, CAST(min(n) AS BIGINT) AS n,
+        | CAST(min(lo) AS BIGINT) AS lo_rank, CAST(min(hi) AS BIGINT) AS hi_rank,
+        | CAST(min(CASE WHEN cum >= lo THEN q END) AS BIGINT) AS ci_low,
+        | (CAST(min(CASE WHEN cum >= m1 THEN q END) AS DOUBLE)
+        |  + CAST(min(CASE WHEN cum >= m2 THEN q END) AS DOUBLE)) / 2.0
+        |  AS median,
+        | CAST(min(CASE WHEN cum >= hi THEN q END) AS BIGINT) AS ci_high
+        |FROM k GROUP BY flag ORDER BY 1""".stripMargin),
+      statsMedianCi),
+
     QueryDef("stats_mix_shift", Some(
       """WITH b AS (
         |  SELECT n.n_name AS nation,
