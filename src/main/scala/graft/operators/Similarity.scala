@@ -736,6 +736,41 @@ object Similarity {
   private[graft] def kmeansFinalAssign(spark: SparkSession, dir: String): DataFrame =
     kmeansAssign(kmeansVecs(spark, dir), kmeansModel(spark, dir))
 
+  /** Product-quantizer codebook TRAINING with a real oracle — the
+    * oracle-checked twin of the k-means [[trainedCentroids]] path
+    * `sim_pq_encode` trains with (that one is float-mean Lloyd ⇒
+    * no_oracle by design): each of the 4×16-dim subspaces gets the
+    * same QUANTIZED two-round Lloyd as [[clusterKmeans]] (exact-BIGINT
+    * centroid sums, sequential-fold dots, re-quantized inertia), so
+    * DuckDB re-derives the identical four codebooks and their
+    * training diagnostics (cluster sizes, per-subspace inertia,
+    * centroid norms) bit-for-bit. The per-subspace inertia column IS
+    * the quantization-error budget a PQ deployment monitors.
+    *
+    * Scale: 4 independent subspace pipelines, each the clusterKmeans
+    * shape (broadcast k×16 centroids + combinable (cid, dim) aggs). */
+  private def simPqTrain(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = kmeansVecs(spark, dir)
+    val subs = (0 until 4).map { j =>
+      val vs = v0.select(col("vec_id"), slice(col("e"), j * 16 + 1, 16).as("e"))
+      val c0 = vs.orderBy(col("vec_id")).limit(4)
+        .withColumn("cid",
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        .select(col("cid"), col("e").as("c"))
+      val a3 = kmeansAssign(vs,
+        kmeansUpdate(kmeansAssign(vs, kmeansUpdate(kmeansAssign(vs, c0)))))
+      a3.groupBy(col("cid")).agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("iq"),
+          max(col("cc")).as("cc"))
+        .select(lit(j.toLong).as("sub"), col("cid"), col("n"),
+          (col("iq").cast("double") / lit(1000000.0)).as("inertia"),
+          Parity.r6(sqrt(col("cc"))).as("cnorm"))
+    }
+    subs.reduce(_ unionByName _).orderBy(col("sub"), col("cid"))
+  }
+
   private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val a3 = kmeansFinalAssign(spark, dir)
     a3.groupBy(col("cid")).agg(
@@ -1006,6 +1041,66 @@ object Similarity {
         | list_sum(list_transform(e, x -> abs(x))) AS l1norm,
         | CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive
         |FROM v ORDER BY vec_id""".stripMargin), fnVector),
+
+    // PQ codebook training, oracle-checked: the same quantized-Lloyd
+    // determinism as cluster_kmeans, replicated per 16-dim subspace
+    QueryDef("sim_pq_train", Some {
+      def assignCte(src: String, cents: String, out: String, keepCc: Boolean) = {
+        val ccCol = if (keepCc) ", cc" else ""
+        s""" $out AS (
+           |  SELECT vec_id, e, cid, dist$ccCol FROM (
+           |   SELECT vec_id, e, cid, dist$ccCol,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |   FROM (
+           |    SELECT $src.vec_id, $src.e, c.cid,
+           |     list_inner_product($src.e, $src.e)
+           |       - 2.0 * list_inner_product($src.e, c.c)
+           |       + list_inner_product(c.c, c.c) AS dist,
+           |     list_inner_product(c.c, c.c) AS cc
+           |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
+      }
+      def updateCte(src: String, sums: String, cents: String) =
+        s""" $sums AS (
+           |  SELECT cid, t.i AS i,
+           |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+           |   CAST(count(*) AS BIGINT) AS cnt
+           |  FROM $src, generate_series(1, 16) AS t(i)
+           |  GROUP BY 1, 2),
+           | $cents AS (
+           |  SELECT cid,
+           |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+           |     ORDER BY i) AS c
+           |  FROM $sums GROUP BY 1)""".stripMargin
+      def subBlock(j: Int): String = {
+        val p = s"s$j"
+        s""" v$p AS (
+           |  SELECT vec_id, e[${j * 16 + 1}:${j * 16 + 16}] AS e FROM v),
+           | c0$p AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |    AS cid, e AS c
+           |  FROM (SELECT vec_id, e FROM v$p ORDER BY vec_id LIMIT 4)),
+           |${assignCte(s"v$p", s"c0$p", s"a1$p", keepCc = false)},
+           |${updateCte(s"a1$p", s"u1$p", s"c1$p")},
+           |${assignCte(s"v$p", s"c1$p", s"a2$p", keepCc = false)},
+           |${updateCte(s"a2$p", s"u2$p", s"c2$p")},
+           |${assignCte(s"v$p", s"c2$p", s"a3$p", keepCc = true)},
+           | g$p AS (
+           |  SELECT CAST($j AS BIGINT) AS sub, cid,
+           |   CAST(count(*) AS BIGINT) AS n,
+           |   sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS iq,
+           |   max(cc) AS cc
+           |  FROM a3$p GROUP BY 2)""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${(0 until 4).map(subBlock).mkString(",\n")}
+         |SELECT sub, cid, n,
+         | CAST(iq AS DOUBLE) / 1000000.0 AS inertia,
+         | floor(sqrt(cc) * 1000000 + 0.5) / 1000000 AS cnorm
+         |FROM (SELECT * FROM gs0 UNION ALL SELECT * FROM gs1
+         |      UNION ALL SELECT * FROM gs2 UNION ALL SELECT * FROM gs3)
+         |ORDER BY sub, cid""".stripMargin
+    }, simPqTrain),
 
     // iterative ML with a REAL oracle: quantized-BIGINT centroid sums
     // and the proven sequential-fold dot make every Lloyd round
