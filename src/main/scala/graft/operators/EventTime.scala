@@ -1063,6 +1063,43 @@ object EventTime {
       .orderBy(col("day"))
   }
 
+  /** Inter-arrival time analysis per event type — "is this stream
+    * Poisson?": per user, the gaps between consecutive same-type
+    * events; per type, their count, mean, and coefficient of
+    * variation. CV ≈ 1 is the memoryless (Poisson) signature; CV ≫ 1
+    * is bursty (sessions, retries), CV ≪ 1 is periodic (schedulers,
+    * bots) — the shape diagnostic behind rate-limit and anomaly
+    * thresholds. Gaps are EXACT integer seconds (epoch-micros
+    * difference, integer-divided), moments accumulate as exact
+    * BIGINT/DECIMAL, and mean/CV close as fixed double sequences.
+    *
+    * Scale: the lag window partitions by (user, type) — full
+    * parallelism — and one combinable hash-agg collapses gaps to 5
+    * metadata rows. */
+  private def eventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("es"))
+      .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+    val g = gaps.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n_gaps"),
+      sum(col("gap_s")).as("sg"),
+      sum((col("gap_s") * col("gap_s")).cast(dec)).as("qg"))
+    val nd = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / nd
+    val variance = (col("qg").cast("double") - nd * mean * mean) / (nd - lit(1.0))
+    val ok = col("n_gaps") > 1 && mean > 0.0 && variance > 0.0
+    g.select(col("event_type"), col("n_gaps"),
+        Parity.r4(mean / lit(3600.0)).as("mean_gap_h"),
+        when(ok, Parity.r6(sqrt(variance) / mean)).as("cv"))
+      .orderBy(col("event_type"))
+  }
+
   /** Longest consecutive-active-day streak per user, reported as the
     * corpus streak-length distribution — the engagement-loyalty
     * readout (how many users sustain 2-day, 7-day, 30-day habits)
@@ -1572,6 +1609,36 @@ object EventTime {
         |    * 1000000 + 0.5) / 1000000 END AS rate_purchase
         |FROM c""".stripMargin),
       eventsFunnelWindowed),
+
+    QueryDef("events_interarrival", Some(
+      """WITH es AS (
+        |  SELECT user_id, event_type, event_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+        |  FROM events),
+        | gaps AS (
+        |  SELECT event_type,
+        |   es - lag(es) OVER (PARTITION BY user_id, event_type
+        |     ORDER BY ts, event_id) AS gap_s
+        |  FROM es),
+        | g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |   CAST(sum(gap_s) AS BIGINT) AS sg,
+        |   sum(CAST(gap_s AS HUGEINT) * gap_s) AS qg
+        |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1),
+        | d AS (
+        |  SELECT event_type, n_gaps,
+        |   CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+        |   (CAST(qg AS DOUBLE)
+        |     - CAST(n_gaps AS DOUBLE)
+        |       * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |       * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |     / (CAST(n_gaps AS DOUBLE) - 1.0) AS variance
+        |  FROM g)
+        |SELECT event_type, n_gaps,
+        | floor(mean / 3600.0 * 10000 + 0.5) / 10000 AS mean_gap_h,
+        | CASE WHEN n_gaps > 1 AND mean > 0.0 AND variance > 0.0 THEN
+        |  floor(sqrt(variance) / mean * 1000000 + 0.5) / 1000000 END AS cv
+        |FROM d ORDER BY event_type""".stripMargin), eventsInterarrival),
 
     QueryDef("events_streaks", Some(
       """WITH days AS (
