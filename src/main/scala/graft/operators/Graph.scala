@@ -276,7 +276,88 @@ object Graph {
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
       |)""".stripMargin
 
+  /** Degree assortativity of the part–supplier graph — Newman's r:
+    * the Pearson correlation of (deg(src), deg(dst)) over directed
+    * edges. r > 0 means hubs link to hubs (resilient core), r < 0
+    * means hubs link to leaves (star-like, hub-fragile) — the one
+    * number that says which failure mode a supply graph has. All five
+    * moments are exact DECIMAL(38,0) sums of integer degree products
+    * (the Spearman discipline — covariance differences form exactly,
+    * no float cancellation at any edge count); only the final ratio
+    * runs in doubles.
+    *
+    * Scale: two degree aggs + two shuffle joins keyed on node id (no
+    * broadcast assumption — degree tables scale with nodes), then one
+    * combinable moment agg to a single row. */
+  private def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = bipartiteEdges(spark, dir)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val j = e
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val g = j.agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(col("ds")).cast(dec).as("sx"), sum(col("dd")).cast(dec).as("sy"),
+      sum((col("ds") * col("ds")).cast(dec)).as("sxx"),
+      sum((col("dd") * col("dd")).cast(dec)).as("syy"),
+      sum((col("ds") * col("dd")).cast(dec)).as("sxy"))
+    val mDec = col("m").cast(dec)
+    val cov = (mDec * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (mDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (mDec * col("syy") - col("sy") * col("sy")).cast("double")
+    g.select(col("m").as("n_edges"),
+      Parity.r4(col("sx").cast("double") / col("m").cast("double"))
+        .as("mean_deg_src"),
+      Parity.r4(col("sy").cast("double") / col("m").cast("double"))
+        .as("mean_deg_dst"),
+      when(vx > 0.0 && vy > 0.0,
+        Parity.r6(cov / (sqrt(vx) * sqrt(vy)))).as("assortativity"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_assortativity", Some(
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        | edges AS (
+        |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+        |         'p' || CAST(l_partkey AS VARCHAR)
+        |  FROM pairs),
+        | deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        | j AS (
+        |  SELECT a.deg AS ds, b.deg AS dd
+        |  FROM edges e
+        |  JOIN deg a ON e.src = a.node
+        |  JOIN deg b ON e.dst = b.node),
+        | g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |   sum(CAST(ds AS HUGEINT)) AS sx, sum(CAST(dd AS HUGEINT)) AS sy,
+        |   sum(CAST(ds AS HUGEINT) * ds) AS sxx,
+        |   sum(CAST(dd AS HUGEINT) * dd) AS syy,
+        |   sum(CAST(ds AS HUGEINT) * dd) AS sxy
+        |  FROM j),
+        | f AS (
+        |  SELECT m,
+        |   CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cov,
+        |   CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+        |   CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy,
+        |   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM g)
+        |SELECT m AS n_edges,
+        | floor(sxd / CAST(m AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_deg_src,
+        | floor(syd / CAST(m AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_deg_dst,
+        | CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+        |  floor(cov / (sqrt(vx) * sqrt(vy)) * 1000000 + 0.5) / 1000000 END
+        |  AS assortativity
+        |FROM f""".stripMargin),
+      graphAssortativity),
+
     QueryDef("graph_triangles", Some(
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
