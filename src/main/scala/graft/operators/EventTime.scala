@@ -1610,6 +1610,53 @@ object EventTime {
         |FROM c""".stripMargin),
       eventsFunnelWindowed),
 
+    QueryDef("events_entropy_rate", Some(
+      """WITH tr AS (
+        |  SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        | t AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        | r AS (
+        |  SELECT src, dst, n,
+        |   CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS rt
+        |  FROM t),
+        | q AS (
+        |  SELECT src, rt,
+        |   CAST(floor(((CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))
+        |     * (ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)) / ln(2.0)))
+        |     * 1000000000.0 + 0.5) AS BIGINT) AS tq
+        |  FROM r),
+        | s AS (
+        |  SELECT src, CAST(max(rt) AS BIGINT) AS rt,
+        |   (-CAST(sum(tq) AS DOUBLE)) / 1000000000.0 AS h_bits
+        |  FROM q GROUP BY 1),
+        | u AS (
+        |  SELECT src, rt, h_bits,
+        |   CAST(sum(rt) OVER () AS BIGINT) AS tot,
+        |   CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM s),
+        | v AS (
+        |  SELECT src, rt, h_bits, k,
+        |   CAST(rt AS DOUBLE) / CAST(tot AS DOUBLE) AS pi_hat
+        |  FROM u),
+        | x AS (
+        |  SELECT src, rt, h_bits, k, pi_hat,
+        |   CAST(floor(pi_hat * h_bits * 1000000000.0 + 0.5) AS BIGINT) AS cq
+        |  FROM v),
+        | y AS (
+        |  SELECT *, CAST(sum(cq) OVER () AS BIGINT) AS hrateq FROM x)
+        |SELECT src AS event_type, rt AS n_transitions,
+        | floor(pi_hat * 1000000 + 0.5) / 1000000 AS pi_hat,
+        | floor(h_bits * 1000000 + 0.5) / 1000000 AS h_bits,
+        | floor(CAST(hrateq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+        |   / 1000000 AS entropy_rate,
+        | floor(ln(CAST(k AS DOUBLE)) / ln(2.0) * 1000000 + 0.5) / 1000000
+        |   AS max_entropy
+        |FROM y ORDER BY event_type""".stripMargin), eventsEntropyRate),
+
     QueryDef("events_interarrival", Some(
       """WITH es AS (
         |  SELECT user_id, event_type, event_id,
@@ -2238,6 +2285,55 @@ object EventTime {
       .select(col("s").as("event_type"),
         Parity.r6(element_at(col("pi"), col("idx"))).as("stationary"),
         Parity.r6(col("cnt").cast("double") / col("tot")).as("empirical"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Entropy RATE of the user-journey Markov chain — "how predictable
+    * is the next step": per state, the conditional entropy
+    * h(i) = −Σⱼ p(j|i)·log₂ p(j|i) of the outgoing transition row, and
+    * the chain's plug-in entropy rate Ĥ = Σᵢ π̂ᵢ·h(i) with π̂ the
+    * empirical source distribution — Ĥ near log₂(k) means journeys are
+    * noise (personalization has nothing to work with), Ĥ ≪ log₂(k)
+    * means strong sequential structure (events_markov_stationary and
+    * events_top_paths say WHAT that structure is; this says HOW MUCH
+    * there is). log₂ is computed as ln/ln(2) on BOTH sides (a single
+    * libm ln, the zipf precedent), and every cross-term sum (within a
+    * row, and across states for Ĥ) runs over 1e-9-QUANTIZED
+    * contributions — exact integers, order-free.
+    *
+    * Scale: one lag-window pass (partitioned by user) collapses to the
+    * k² transition relation; everything else is metadata windows. */
+  private def eventsEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val bySrc = Window.partitionBy(col("src"))
+    val all = Window.partitionBy(lit(1))
+    val ln2 = log(lit(2.0))
+    val p = col("n").cast("double") / col("rt").cast("double")
+    val rows = trans
+      .withColumn("rt", sum(col("n")).over(bySrc))
+      .withColumn("tq", floor((p * (log(p) / ln2)) * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+    val perState = rows.groupBy(col("src"))
+      .agg(max(col("rt")).as("rt"),
+        ((-sum(col("tq")).cast("double")) / lit(1.0e9)).as("h_bits"))
+    val withPi = perState
+      .withColumn("tot", sum(col("rt")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("pi_hat", col("rt").cast("double") / col("tot").cast("double"))
+      .withColumn("cq", floor(col("pi_hat") * col("h_bits") * lit(1.0e9) +
+        lit(0.5)).cast("long"))
+      .withColumn("hrateq", sum(col("cq")).over(all))
+    withPi.select(col("src").as("event_type"), col("rt").as("n_transitions"),
+        Parity.r6(col("pi_hat")).as("pi_hat"),
+        Parity.r6(col("h_bits")).as("h_bits"),
+        Parity.r6(col("hrateq").cast("double") / lit(1.0e9)).as("entropy_rate"),
+        Parity.r6(log(col("k").cast("double")) / ln2).as("max_entropy"))
       .orderBy(col("event_type"))
   }
 
