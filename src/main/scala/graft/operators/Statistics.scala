@@ -1322,12 +1322,12 @@ object Statistics {
     val g = base.groupBy(col("nation")).agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s_a"),
-      sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L))
-        .as("q_a"),
+      sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)
+        .cast(DecimalType(38, 0))).as("q_a"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s_b"),
-      sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L))
-        .as("q_b"))
+      sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)
+        .cast(DecimalType(38, 0))).as("q_b"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ma = col("s_a").cast("double") / na / lit(100.0)
     val mb = col("s_b").cast("double") / nb / lit(100.0)

@@ -4,7 +4,7 @@ import graft.functions.DotProduct
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Optimizer rule: rewrite the composable dot-product shape
   *
@@ -18,15 +18,18 @@ import org.apache.spark.sql.types.DoubleType
   * the tight whole-stage-codegen loop — the Catalyst-native version of
   * "functions, not UDFs" applied to our own extension point.
   *
-  * Semantics preserved under the engine's VECTOR-COLUMN contract
-  * (equal-length arrays, no null elements — every embedding column
-  * here): summation is sequential ascending-index in both forms, so
-  * results are bit-identical (re-proven by the oracle gate replica for
-  * every affected query when this rule shipped). Outside that
-  * contract the two forms differ only on ragged pairs (`zip_with`
-  * null-pads and poisons the sum to NULL; `dot_product` stops at the
-  * shorter length), which is why the rewrite matches the exact
-  * multiply/sum lambda shape and nothing looser.
+  * Semantics preserved UNCONDITIONALLY (round 11): [[DotProduct]] now
+  * reproduces the lambda form's null semantics natively — NULL on a
+  * null array, a ragged pair, or any null element — so the rewrite is
+  * provably a pure optimization on arbitrary user data, not just the
+  * engine's equal-length/no-null vector columns. (A schema-level
+  * `containsNull = false` guard was tried first and rejected: parquet
+  * list columns analyze as `containsNull = true` even when the data
+  * has no nulls, so it disabled the rewrite on every real embedding
+  * scan.) On the fast path summation is sequential ascending-index in
+  * both forms, so results are bit-identical (re-proven by the oracle
+  * gate replica for every affected query when this rule shipped, and
+  * again when the null-parity semantics landed).
   *
   * Registered via [[graft.GraftExtensions]] (injectOptimizerRule) and
   * added to `spark.experimental.extraOptimizations` by the Verify /
@@ -56,6 +59,18 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `array<double>` of either nullability — null elements, null
+    * arrays and ragged pairs are all handled by [[DotProduct]]'s
+    * lambda-parity null semantics. The element-type check is belt and
+    * braces: the multiply/sum lambda shape below can only type-check
+    * over double arrays anyway (any other element type forces a Cast
+    * into the merge lambda, which the pattern rejects). */
+  private def doubleVec(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+
   /** acc => acc (the implicit finish of `functions.aggregate`). */
   private def isIdentity(lf: Expression): Boolean = lf match {
     case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
@@ -68,7 +83,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
       case ArrayAggregate(ZipWith(l, r, mul), Literal(z: Double, DoubleType),
           merge, finish)
           if z == 0.0 && isElementwiseMul(mul) && isSumMerge(merge) &&
-            isIdentity(finish) =>
+            isIdentity(finish) && doubleVec(l) && doubleVec(r) =>
         DotProduct(l, r)
     }
 }
