@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded random relational-query generator for cross-engine parity
+  * fuzzing (round 11, VERDICT task 3).
+  *
+  * The 279 oracle-green registry rows are FIXED queries; parity drift
+  * in a dialect corner none of them exercises (a cast, a null-ordering
+  * rule, an implicit-coercion difference) would be structurally
+  * invisible to them. This generator composes random-but-seeded
+  * filter / join / aggregate / having / sort-limit trees over the
+  * TPC-H schema and emits BOTH sides from one AST — the Spark
+  * `DataFrame` program and the equivalent DuckDB SQL — staying inside
+  * the `graft.Parity` dialect rules so any mismatch is a real engine
+  * or generator bug, never a known float/rounding trap:
+  *
+  *   - money (double) columns are summed as `floor(x*100+0.5)` cents
+  *     BIGINTs, never as floats (CLAUDE.md headline rule);
+  *   - money filter constants use fractions from {.0,.25,.5,.75} so
+  *     the DuckDB DECIMAL literal → DOUBLE cast is exact;
+  *   - timestamps are projected/aggregated through VARCHAR casts
+  *     (strings-for-timestamps rule);
+  *   - every sort-limit query orders by the chain's primary key —
+  *     a total order, so LIMIT is deterministic on both engines;
+  *   - min/max on raw doubles is allowed (no arithmetic: both engines
+  *     pick the same stored bits).
+  *
+  * Every generated query is deterministic for a given seed, so a
+  * failing seed replays exactly.
+  */
+object OracleFuzz {
+
+  sealed trait Kind
+  case object KeyK extends Kind // BIGINT/INT key — exact arithmetic
+  case object IntK extends Kind // small int measure/dim
+  case object MoneyK extends Kind // double currency — cents discipline
+  final case class EnumK(values: Seq[String]) extends Kind // low-card string
+  case object TsK extends Kind // timestamp — string casts only
+
+  final case class Col2(name: String, kind: Kind)
+
+  final case class Table(name: String, pk: Seq[String], cols: Seq[Col2])
+
+  val lineitem: Table = Table("lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
+    Col2("l_orderkey", KeyK), Col2("l_partkey", KeyK), Col2("l_suppkey", KeyK),
+    Col2("l_linenumber", IntK), Col2("l_quantity", MoneyK),
+    Col2("l_extendedprice", MoneyK), Col2("l_discount", MoneyK),
+    Col2("l_tax", MoneyK),
+    Col2("l_returnflag", EnumK(Seq("A", "N", "R"))),
+    Col2("l_linestatus", EnumK(Seq("F", "O"))),
+    Col2("l_shipdate", TsK)))
+
+  val orders: Table = Table("orders", Seq("o_orderkey"), Seq(
+    Col2("o_orderkey", KeyK), Col2("o_custkey", KeyK),
+    Col2("o_orderstatus", EnumK(Seq("F", "O", "P"))),
+    Col2("o_totalprice", MoneyK), Col2("o_orderdate", TsK),
+    Col2("o_orderpriority", EnumK(Seq(
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))))
+
+  val customer: Table = Table("customer", Seq("c_custkey"), Seq(
+    Col2("c_custkey", KeyK), Col2("c_nationkey", IntK),
+    Col2("c_acctbal", MoneyK),
+    Col2("c_mktsegment", EnumK(Seq(
+      "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))))
+
+  val part: Table = Table("part", Seq("p_partkey"), Seq(
+    Col2("p_partkey", KeyK),
+    Col2("p_brand", EnumK((1 to 25).map(i => s"Brand#$i"))),
+    Col2("p_type", EnumK(Seq(
+      "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"))),
+    Col2("p_size", IntK), Col2("p_retailprice", MoneyK)))
+
+  val supplier: Table = Table("supplier", Seq("s_suppkey"), Seq(
+    Col2("s_suppkey", KeyK), Col2("s_nationkey", IntK),
+    Col2("s_acctbal", MoneyK)))
+
+  val nation: Table = Table("nation", Seq("n_nationkey"), Seq(
+    Col2("n_nationkey", IntK), Col2("n_name", EnumK(Nil)),
+    Col2("n_regionkey", IntK)))
+
+  val region: Table = Table("region", Seq("r_regionkey"), Seq(
+    Col2("r_regionkey", IntK), Col2("r_name", EnumK(Nil))))
+
+  /** Valid FK chains; the FIRST table's pk stays unique through every
+    * N:1 hop, giving sort-limit queries a total order. */
+  final case class Chain(tables: Seq[Table], conds: Seq[(String, String)])
+
+  val chains: Seq[Chain] = Seq(
+    Chain(Seq(lineitem), Nil),
+    Chain(Seq(orders), Nil),
+    Chain(Seq(customer), Nil),
+    Chain(Seq(part), Nil),
+    Chain(Seq(supplier), Nil),
+    Chain(Seq(lineitem, orders), Seq("l_orderkey" -> "o_orderkey")),
+    Chain(Seq(lineitem, part), Seq("l_partkey" -> "p_partkey")),
+    Chain(Seq(lineitem, supplier), Seq("l_suppkey" -> "s_suppkey")),
+    Chain(Seq(orders, customer), Seq("o_custkey" -> "c_custkey")),
+    Chain(Seq(customer, nation), Seq("c_nationkey" -> "n_nationkey")),
+    Chain(Seq(supplier, nation), Seq("s_nationkey" -> "n_nationkey")),
+    Chain(Seq(nation, region), Seq("n_regionkey" -> "r_regionkey")),
+    Chain(Seq(lineitem, orders, customer),
+      Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey")),
+    Chain(Seq(orders, customer, nation),
+      Seq("o_custkey" -> "c_custkey", "c_nationkey" -> "n_nationkey")),
+    Chain(Seq(customer, nation, region),
+      Seq("c_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")),
+    Chain(Seq(lineitem, part, supplier),
+      Seq("l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey")))
+
+  final case class FuzzQuery(name: String, sql: String,
+      build: (SparkSession, String) => DataFrame)
+
+  /** A filter as (spark condition, sql condition). */
+  private final case class Pred(spark: Column, sql: String)
+
+  private def moneyConst(r: scala.util.Random, lo: Double, hi: Double): Double = {
+    val base = lo + r.nextInt(math.max(1, (hi - lo).toInt))
+    math.floor(base) + Seq(0.0, 0.25, 0.5, 0.75)(r.nextInt(4))
+  }
+
+  private def predFor(r: scala.util.Random, c: Col2): Option[Pred] = c.kind match {
+    case KeyK =>
+      val m = 2 + r.nextInt(6); val v = r.nextInt(m)
+      Some(Pred(col(c.name) % m === v, s"${c.name} % $m = $v"))
+    case IntK =>
+      val v = 1 + r.nextInt(40)
+      if (r.nextBoolean())
+        Some(Pred(col(c.name) >= v, s"${c.name} >= $v"))
+      else Some(Pred(col(c.name) <= v, s"${c.name} <= $v"))
+    case MoneyK =>
+      val v = moneyConst(r, 0, 50000)
+      val vs = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (r.nextBoolean())
+        Some(Pred(col(c.name) >= v, s"${c.name} >= $vs"))
+      else Some(Pred(col(c.name) <= v, s"${c.name} <= $vs"))
+    case EnumK(vs) if vs.nonEmpty =>
+      if (r.nextBoolean() || vs.size < 3) {
+        val v = vs(r.nextInt(vs.size))
+        Some(Pred(col(c.name) === v, s"${c.name} = '$v'"))
+      } else {
+        val picked = r.shuffle(vs).take(2).sorted
+        Some(Pred(col(c.name).isin(picked: _*),
+          s"${c.name} IN (${picked.map(v => s"'$v'").mkString(", ")})"))
+      }
+    case EnumK(_) => None // unknown value domain (n_name) — don't filter
+    case TsK =>
+      val y = 1995 + r.nextInt(6); val m = 1 + r.nextInt(12)
+      val lit0 = f"$y%04d-$m%02d-01"
+      if (r.nextBoolean())
+        Some(Pred(col(c.name) >= lit(lit0),
+          s"${c.name} >= TIMESTAMP '$lit0 00:00:00'"))
+      else Some(Pred(col(c.name) < lit(lit0),
+        s"${c.name} < TIMESTAMP '$lit0 00:00:00'"))
+  }
+
+  /** An output column as (spark expr, sql select item); both aliased
+    * identically (the driver's compare sorts columns by name). */
+  private final case class Out(spark: Column, sql: String)
+
+  private def aggFor(r: scala.util.Random, c: Col2, alias: String): Option[Out] =
+    c.kind match {
+      case MoneyK => r.nextInt(3) match {
+        case 0 => Some(Out(
+          sum(floor(col(c.name) * 100 + lit(0.5)).cast("long")).as(alias),
+          s"CAST(sum(CAST(floor(${c.name} * 100 + 0.5) AS BIGINT)) AS BIGINT) AS $alias"))
+        case 1 => Some(Out(min(col(c.name)).as(alias),
+          s"min(${c.name}) AS $alias"))
+        case _ => Some(Out(max(col(c.name)).as(alias),
+          s"max(${c.name}) AS $alias"))
+      }
+      case KeyK | IntK => r.nextInt(3) match {
+        case 0 => Some(Out(countDistinct(col(c.name)).as(alias),
+          s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias"))
+        case 1 => Some(Out(min(col(c.name)).as(alias),
+          s"min(${c.name}) AS $alias"))
+        case _ => Some(Out(max(col(c.name)).as(alias),
+          s"max(${c.name}) AS $alias"))
+      }
+      case EnumK(_) => Some(Out(countDistinct(col(c.name)).as(alias),
+        s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias"))
+      case TsK =>
+        if (r.nextBoolean())
+          Some(Out(min(col(c.name).cast("string")).as(alias),
+            s"min(CAST(${c.name} AS VARCHAR)) AS $alias"))
+        else Some(Out(max(col(c.name).cast("string")).as(alias),
+          s"max(CAST(${c.name} AS VARCHAR)) AS $alias"))
+    }
+
+  /** Projection item for sort-limit mode. */
+  private def projFor(c: Col2): Out = c.kind match {
+    case TsK => Out(col(c.name).cast("string").as(c.name),
+      s"CAST(${c.name} AS VARCHAR) AS ${c.name}")
+    case _ => Out(col(c.name), c.name)
+  }
+
+  def gen(seed: Int): FuzzQuery = {
+    val r = new scala.util.Random(seed)
+    val chain = chains(r.nextInt(chains.size))
+    val allCols = chain.tables.flatMap(_.cols)
+    val fromSql = {
+      val head = chain.tables.head.name
+      val joins = chain.tables.tail.zip(chain.conds).map { case (t, (a, b)) =>
+        s" JOIN ${t.name} ON $a = $b"
+      }.mkString
+      head + joins
+    }
+    // 0-2 filters over distinct columns
+    val nf = r.nextInt(3)
+    val preds = r.shuffle(allCols).take(nf).flatMap(predFor(r, _))
+    val whereSql =
+      if (preds.isEmpty) "" else " WHERE " + preds.map(_.sql).mkString(" AND ")
+
+    val isAgg = r.nextInt(10) < 7
+    val name = f"fuzz_$seed%04d"
+
+    if (isAgg) {
+      val groupable = allCols.filter {
+        case Col2(_, EnumK(_)) => true
+        case Col2(n, IntK) => n.endsWith("nationkey") || n.endsWith("regionkey") ||
+          n == "p_size" || n == "l_linenumber"
+        case _ => false
+      }
+      val gcols = r.shuffle(groupable).take(r.nextInt(3)).map(_.name)
+      val aggSrc = r.shuffle(allCols.filterNot(c => gcols.contains(c.name)))
+        .take(1 + r.nextInt(3))
+      val aggs = Out(count(lit(1)).as("cnt"), "CAST(count(*) AS BIGINT) AS cnt") +:
+        aggSrc.zipWithIndex.flatMap { case (c, i) => aggFor(r, c, s"m$i") }
+      val having = if (gcols.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(5)) else None
+      val gSql = if (gcols.isEmpty) "" else " GROUP BY " + gcols.mkString(", ")
+      val hSql = having.map(k => s" HAVING count(*) >= $k").getOrElse("")
+      val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
+      val sql = s"SELECT $selSql FROM $fromSql$whereSql$gSql$hSql"
+      FuzzQuery(name, sql, (spark, dir) => {
+        var df = joined(spark, dir, chain)
+        preds.foreach(p => df = df.filter(p.spark))
+        var out =
+          if (gcols.isEmpty) df.agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+          else df.groupBy(gcols.map(col): _*)
+            .agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+        having.foreach(k => out = out.filter(col("cnt") >= k))
+        out
+      })
+    } else {
+      val pk = chain.tables.head.pk
+      val extra = r.shuffle(allCols.filterNot(c => pk.contains(c.name)))
+        .take(1 + r.nextInt(4))
+      val outs = pk.map(n => projFor(Col2(n, KeyK))) ++ extra.map(projFor)
+      val limit = 5 + r.nextInt(46)
+      val ordSql = pk.mkString(", ")
+      val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM $fromSql$whereSql" +
+        s" ORDER BY $ordSql LIMIT $limit"
+      FuzzQuery(name, sql, (spark, dir) => {
+        var df = joined(spark, dir, chain)
+        preds.foreach(p => df = df.filter(p.spark))
+        df.select(outs.map(_.spark): _*)
+          .orderBy(pk.map(col): _*).limit(limit)
+      })
+    }
+  }
+
+  private def joined(spark: SparkSession, dir: String, chain: Chain): DataFrame = {
+    var df = spark.read.parquet(s"$dir/${chain.tables.head.name}.parquet")
+    chain.tables.tail.zip(chain.conds).foreach { case (t, (a, b)) =>
+      df = df.join(spark.read.parquet(s"$dir/${t.name}.parquet"),
+        col(a) === col(b))
+    }
+    df
+  }
+}
