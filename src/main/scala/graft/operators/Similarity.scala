@@ -145,10 +145,10 @@ object Similarity {
     * neighbors — the banding-level diagnostic; cand_tp / n_truth) and
     * end-to-end top-3 precision/recall/F1 after exact rerank. Both
     * sides are deterministic (literal hyperplanes, r6-rounded cosines),
-    * so unlike the k-means-seeded IVF variants the whole matrix is
-    * oracle-checked, not just invariant-bounded; the IVF/IVF-PQ recall
-    * contracts stay in InvariantSpec (data-dependent centroids can't
-    * be re-derived in SQL).
+    * so the whole matrix is oracle-checked, not just invariant-bounded
+    * (and since round 11 the IVF/IVF-PQ variants are too — the
+    * quantized Lloyd made their centroids SQL-re-derivable; their
+    * recall contracts additionally stay in InvariantSpec).
     *
     * Scale: the predicted side is the production probe join; the truth
     * side's |Q|×|C| brute force is the EVAL harness, run on a bounded
@@ -204,26 +204,39 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Distributed Lloyd k-means for the IVF coarse centroids. Trains on
-    * a deterministic hash-sample of the corpus — the standard IVF
-    * recipe: centroids only need a representative sample, so training
-    * cost is decoupled from corpus size while assignment still covers
-    * every vector. Per iteration: assign each sample vector to its
-    * nearest centroid via a broadcast literal centroid array + a
-    * partial-agg `min(struct(…))` argmin (map-side combinable — no
-    * per-vector window sort), then recompute element-wise means with
-    * posexplode→avg. Only k×dim doubles return to the driver per
-    * iteration. Init is the k sample vectors with the lowest
-    * md5(vec_id) — corpus-order-free and cross-run stable. */
+  /** Distributed Lloyd k-means for the IVF coarse centroids — since
+    * round 11 the QUANTIZED, oracle-expressible variant (the
+    * [[clusterKmeans]] recipe), so every downstream consumer
+    * (`sim_ann_ivf`, `sim_pq_encode`, `sim_ann_ivfpq`) carries a real
+    * DuckDB oracle instead of `no_oracle by design`:
+    *
+    *  - the training sample is an md5 hash-split (`md5('cs:'||vec_id)`
+    *    — never xxhash64, which the oracle cannot recompute);
+    *  - assignment scores ‖x‖² − 2⟨x,c⟩ + ‖c‖² with sequential-fold
+    *    dots (bitwise = DuckDB `list_inner_product`), ties to the
+    *    lowest centroid id;
+    *  - centroid updates sum per-dimension values quantized to 1e-6
+    *    BIGINTs — exact and partition-order-free — and each coordinate
+    *    is one exact-int division Σq/(n·10⁶), so DuckDB re-derives
+    *    bit-identical centroids round by round.
+    *
+    * Trains on the sample (centroids only need representativeness, so
+    * training cost is decoupled from corpus size) via a broadcast
+    * literal centroid array + a partial-agg `min(struct(…))` argmin —
+    * map-side combinable, no per-vector window. Only k×dim doubles
+    * return to the driver per iteration. Init is the k sample vectors
+    * with the lowest (md5(vec_id), vec_id) — corpus-order-free and
+    * cross-run stable. */
   private[operators] def trainCentroids(
       v: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val sample = v
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .filter(conv(substring(md5(concat(lit("cs:"),
+        col("vec_id").cast(StringType))), 1, 8), 16, 10).cast("long") % 4 === 0)
       .select(col("vec_id"), col("e"))
       .localCheckpoint() // iterated over — don't rescan parquet per round
     var cents: Seq[(Int, Seq[Double])] =
       sample.withColumn("h", md5(col("vec_id").cast(StringType)))
-        .orderBy(col("h")).limit(k)
+        .orderBy(col("h"), col("vec_id")).limit(k)
         .collect().toIndexedSeq.zipWithIndex
         .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("e").toSeq) }
     for (_ <- 1 to iters) {
@@ -231,14 +244,18 @@ object Similarity {
         struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
       val means = sample
         .select(col("vec_id"), col("e"), explode(array(centLits: _*)).as("c"))
-        .select(col("vec_id"), col("e"), col("c.cent_id").as("cent_id"), col("c.ce").as("ce"))
-        // argmin ||v−c||² == argmax (v·c − ½c·c); ties → smaller cent_id
         .select(col("vec_id"), col("e"), struct(
-          (lit(0.5) * expr("dot_product(ce, ce)") - expr("dot_product(e, ce)")).as("negscore"),
-          col("cent_id")).as("sc"))
+          (dotLambda(col("e"), col("e"))
+            - lit(2.0) * dotLambda(col("e"), col("c.ce"))
+            + dotLambda(col("c.ce"), col("c.ce"))).as("dist"),
+          col("c.cent_id").as("cent_id")).as("sc"))
         .groupBy(col("vec_id")).agg(min(col("sc")).as("m"), first(col("e")).as("e"))
-        .select(col("m.cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
+        .select(col("m.cent_id").as("cell"), posexplode(transform(col("e"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as(Seq("pos", "xq")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("mx", col("sq").cast("double") /
+          (col("cnt") * lit(1000000L)).cast("double"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx")).as("ce"))
@@ -246,6 +263,7 @@ object Similarity {
         .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("ce").toSeq)
         .toMap
       // a centroid that lost every point keeps its previous position
+      // (mirrored in the oracles as COALESCE over a LEFT JOIN)
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
     cents
@@ -263,7 +281,10 @@ object Similarity {
       v: DataFrame, dir: String, k: Int, iters: Int,
       kind: String = "ivfcent", tag: String = ""): Seq[(Int, Seq[Double])] = {
     val base = new java.io.File(graft.Caches.dir(kind, dir, Seq("embeddings")))
-    val f = new java.io.File(base, s"centroids${tag}_k${k}_i$iters.csv")
+    // _q6 = the round-11 quantized-Lloyd algorithm version: a stale
+    // float-mean cache from an earlier build must never satisfy the
+    // quantized oracle, so the algorithm revision is part of the key
+    val f = new java.io.File(base, s"centroids${tag}_k${k}_i${iters}_q6.csv")
     if (f.exists()) {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().toIndexedSeq.map { line =>
@@ -290,8 +311,10 @@ object Similarity {
     * join is cell-local — no all-pairs. Assignment is the same
     * partial-agg argmin as training (scales without a window sort).
     * Centroids come from the train-once store above — query cost is
-    * assignment + probe, never training. Approximate recall ⇒ no
-    * oracle (recall contract lives in InvariantSpec). */
+    * assignment + probe, never training. Since round 11 the quantized
+    * Lloyd makes the whole path DuckDB-re-derivable ⇒ full oracle
+    * (training, routing, probe, ranking hash-checked); the recall
+    * contract vs exact top-k additionally lives in InvariantSpec. */
   private def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
     val centLits = trainedCentroids(v, dir, k = 10, iters = 2).map { case (id, ce) =>
@@ -299,7 +322,8 @@ object Similarity {
     val withCell = v
       .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
       .select(col("vec_id"), col("e"), col("nrm"), struct(
-        (lit(0.5) * expr("dot_product(c.ce, c.ce)") - expr("dot_product(e, c.ce)")).as("negscore"),
+        (expr("dot_product(e, e)") - lit(2.0) * expr("dot_product(e, c.ce)")
+          + expr("dot_product(c.ce, c.ce)")).as("dist"),
         col("c.cent_id").as("cent_id")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
@@ -331,8 +355,10 @@ object Similarity {
     * candidates per vector, partial-agg `min(struct)` argmin per
     * (vector, subspace) — the winning struct carries its codeword so
     * per-subspace distortion needs no second lookup — then one pivot to
-    * wide form. Output: the code manifest + rounded reconstruction MSE.
-    * k-means is data-dependent ⇒ no oracle; the compression contract
+    * wide form. Output: the code manifest + reconstruction MSE (exact:
+    * per-subspace distortions quantize to 1e-6 BIGINTs before the
+    * cross-row sum). Since round 11 the quantized Lloyd codebooks are
+    * DuckDB-re-derivable ⇒ full oracle; the compression contract
     * (codes in range, PQ beats the one-centroid baseline) lives in
     * InvariantSpec. */
   private def simPqEncode(spark: SparkSession, dir: String): DataFrame = {
@@ -365,11 +391,16 @@ object Similarity {
         col("m.dist2").as("dist2"))
     assigned.groupBy(col("vec_id"))
       .agg(
-        max(when(col("sub") === 0, col("code"))).as("code0"),
-        max(when(col("sub") === 1, col("code"))).as("code1"),
-        max(when(col("sub") === 2, col("code"))).as("code2"),
-        max(when(col("sub") === 3, col("code"))).as("code3"),
-        Parity.r6(sum(col("dist2")) / lit(64.0)).as("recon_mse"))
+        max(when(col("sub") === 0, col("code"))).cast(LongType).as("code0"),
+        max(when(col("sub") === 1, col("code"))).cast(LongType).as("code1"),
+        max(when(col("sub") === 2, col("code"))).cast(LongType).as("code2"),
+        max(when(col("sub") === 3, col("code"))).cast(LongType).as("code3"),
+        // per-subspace distortions are quantized BEFORE the cross-row
+        // sum (4 doubles per vector would otherwise sum in
+        // partition order — the one nondeterminism the oracle can't
+        // absorb); the exact-int sum then divides out in one double op
+        (sum(floor(col("dist2") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1000000.0) / lit(64.0)).as("recon_mse"))
       .orderBy(col("vec_id"))
   }
 
@@ -390,8 +421,11 @@ object Similarity {
     * vectors — 4 small ints per candidate instead of 64 floats, the
     * 128× bandwidth cut that is the point of PQ. Both quantizers come
     * from write-once stores: query cost is encode + probe, never
-    * training. Approximate ⇒ no oracle; the recall contract vs the
-    * exact top-k lives in InvariantSpec. */
+    * training. Since round 11 both quantizers train with the quantized
+    * Lloyd, so coarse routing, residual codebooks, ADC scoring (with
+    * 1e-6-quantized partial sums) and the exact rerank are ALL
+    * re-derived by the DuckDB oracle bit-for-bit; the recall contract
+    * vs the exact top-k additionally lives in InvariantSpec. */
   private def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val subDim = 16 // 4 × 16 = 64 dims
     val v = normed(spark, dir)
@@ -403,7 +437,8 @@ object Similarity {
     val withCell = v
       .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
       .select(col("vec_id"), col("e"), col("nrm"), struct(
-        (lit(0.5) * expr("dot_product(c.ce, c.ce)") - expr("dot_product(e, c.ce)")).as("negscore"),
+        (expr("dot_product(e, e)") - lit(2.0) * expr("dot_product(e, c.ce)")
+          + expr("dot_product(c.ce, c.ce)")).as("dist"),
         col("c.cent_id").as("cent_id")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
@@ -454,7 +489,12 @@ object Similarity {
         col("cell") === col("qcell") && col("sub") === col("psub") &&
           col("code") === col("pcode") && col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
-      .agg((first(col("cterm")) + sum(col("partial"))).as("adot"),
+      // the 4 per-subspace partial dots quantize before summing (the
+      // recon_mse rule: a float sum over rows is partition-order-
+      // dependent); cterm adds in one deterministic double op
+      .agg((first(col("cterm")) +
+          sum(floor(col("partial") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1000000.0)).as("adot"),
         first(col("cnrm")).as("cnrm2"), first(col("qnrm")).as("qnrm2"))
       .withColumn("ascore", col("adot") / (col("qnrm2") * col("cnrm2")))
     val wA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
@@ -785,6 +825,67 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** DuckDB CTE chain re-deriving [[trainCentroids]] for a source CTE
+    * `src` (columns vec_id, e of dim `dim`): the md5 `cs:` hash
+    * sample, (md5, vec_id)-ordered init of k centroids, `iters`
+    * quantized-Lloyd rounds, and the keep-on-empty COALESCE each
+    * round. The final centroid CTE is `${p}c$iters` (cid, c). Shared
+    * by the sim_ann_ivf / sim_pq_encode / sim_ann_ivfpq oracles —
+    * round 11's replacement for their `no_oracle by design` rows. */
+  private def lloydSql(p: String, src: String, dim: Int, k: Int,
+      iters: Int = 2): String = {
+    def assign(out: String, from: String, cents: String) =
+      s""" $out AS (
+         |  SELECT vec_id, e, cid FROM (
+         |   SELECT vec_id, e, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM (
+         |    SELECT s.vec_id, s.e, c.cid,
+         |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+         |       + list_inner_product(c.c, c.c) AS dist
+         |    FROM $from s, $cents c)) WHERE rn = 1)""".stripMargin
+    def update(r: Int) =
+      s""" ${p}u$r AS (
+         |  SELECT cid, t.i AS i,
+         |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+         |   CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ${p}a$r, generate_series(1, $dim) AS t(i) GROUP BY 1, 2),
+         | ${p}m$r AS (
+         |  SELECT cid, list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+         |    ORDER BY i) AS c
+         |  FROM ${p}u$r GROUP BY 1),
+         | ${p}c$r AS (
+         |  SELECT prev.cid, COALESCE(m.c, prev.c) AS c
+         |  FROM ${p}c${r - 1} prev LEFT JOIN ${p}m$r m ON prev.cid = m.cid)""".stripMargin
+    val head =
+      s""" ${p}samp AS (
+         |  SELECT vec_id, e FROM $src
+         |  WHERE CAST(('0x' || substr(md5('cs:' || CAST(vec_id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 4 = 0),
+         | ${p}c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) - 1 AS INTEGER) AS cid, e AS c
+         |  FROM (SELECT vec_id, e FROM ${p}samp
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k))""".stripMargin
+    head + ",\n" + (1 to iters).map(r =>
+      assign(s"${p}a$r", s"${p}samp", s"${p}c${r - 1}") + ",\n" + update(r))
+      .mkString(",\n")
+  }
+
+  /** Full-corpus nearest-centroid assignment CTE (vec_id, e, nrm,
+    * cell) against a trained centroid CTE — the IVF routing step, the
+    * same argmin the training rounds use. */
+  private def assignAllSql(out: String, from: String, cents: String): String =
+    s""" $out AS (
+       |  SELECT vec_id, e, nrm, cid AS cell FROM (
+       |   SELECT vec_id, e, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (
+       |    SELECT s.vec_id, s.e, s.nrm, c.cid,
+       |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+       |       + list_inner_product(c.c, c.c) AS dist
+       |    FROM $from s, $cents c)) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim_rerank", Some(
       """WITH v AS (
@@ -916,9 +1017,128 @@ object Similarity {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     }, simAnnLsh),
-    QueryDef("sim_ann_ivf", None, simAnnIvf),
-    QueryDef("sim_ann_ivfpq", None, simAnnIvfPq),
-    QueryDef("sim_pq_encode", None, simPqEncode),
+    // round 11: the production ANN tier trains with the quantized
+    // Lloyd (trainCentroids), so IVF routing, PQ codebooks and the
+    // whole ADC search are re-derivable in DuckDB — real oracles
+    // replace the former no_oracle-by-design rows.
+    QueryDef("sim_ann_ivf", Some {
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+         |${lloydSql("cv", "v", 64, 10)},
+         |${assignAllSql("cells", "n", "cvc2")},
+         | q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, cell AS qcell
+         |       FROM cells WHERE vec_id < 10),
+         | p AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |   floor(list_inner_product(q.qe, c.e) / (q.qnrm * c.nrm) * 1000000
+         |     + 0.5) / 1000000 AS cs
+         |  FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid),
+         | r AS (
+         |  SELECT qid, cid, cs,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid)
+         |     AS BIGINT) AS rnk
+         |  FROM p)
+         |SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin
+    }, simAnnIvf),
+
+    QueryDef("sim_ann_ivfpq", Some {
+      def rbook(j: Int): String = {
+        val a = j * 16 + 1; val b = j * 16 + 16
+        s""" rv$j AS (SELECT vec_id, resid[$a:$b] AS e FROM rs),
+           |${lloydSql(s"rb$j", s"rv$j", 16, 16)},
+           | enc$j AS (
+           |  SELECT vec_id, cell, nrm, $j AS sub, code FROM (
+           |   SELECT vec_id, cell, nrm, cid AS code,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+           |   FROM (
+           |    SELECT s.vec_id, s.cell, s.nrm, c.cid,
+           |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+           |       + list_inner_product(c.c, c.c) AS dist2
+           |    FROM (SELECT vec_id, cell, nrm, resid[$a:$b] AS e FROM rs) s,
+           |     rb${j}c2 c)) WHERE rn = 1),
+           | lut$j AS (
+           |  SELECT q.qid, q.qnrm, q.qcell, q.cterm, $j AS sub, bk.cid AS code,
+           |   list_inner_product(q.qe[$a:$b], bk.c) AS partial
+           |  FROM q, rb${j}c2 bk)""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+         |${lloydSql("cv", "v", 64, 10)},
+         |${assignAllSql("cells", "n", "cvc2")},
+         | rs AS (
+         |  SELECT s.vec_id, s.e, s.nrm, s.cell,
+         |   list_transform(range(1, 65), i -> s.e[i] - c.c[i]) AS resid
+         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid),
+         | q AS (
+         |  SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS qnrm, s.cell AS qcell,
+         |   list_inner_product(s.e, c.c) AS cterm
+         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid WHERE s.vec_id < 10),
+         |${(0 until 4).map(rbook).mkString(",\n")},
+         | codes AS (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1
+         |           UNION ALL SELECT * FROM enc2 UNION ALL SELECT * FROM enc3),
+         | lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+         |         UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+         | adc AS (
+         |  SELECT l.qid, c.vec_id AS cid,
+         |   l.cterm + CAST(sum(CAST(floor(l.partial * 1000000 + 0.5) AS BIGINT))
+         |     AS DOUBLE) / 1000000.0 AS adot,
+         |   c.nrm AS cnrm2, l.qnrm AS qnrm2
+         |  FROM codes c JOIN lut l ON c.cell = l.qcell AND c.sub = l.sub
+         |    AND c.code = l.code AND c.vec_id <> l.qid
+         |  GROUP BY l.qid, c.vec_id, l.cterm, c.nrm, l.qnrm),
+         | sl AS (
+         |  SELECT qid, cid FROM (
+         |   SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      adot / (qnrm2 * cnrm2) DESC, cid) AS arnk
+         |   FROM adc) WHERE arnk <= 20),
+         | rr AS (
+         |  SELECT s.qid, s.cid,
+         |   floor(list_inner_product(qn.e, cn.e) / (qn.nrm * cn.nrm) * 1000000
+         |     + 0.5) / 1000000 AS cs
+         |  FROM sl s JOIN n cn ON cn.vec_id = s.cid
+         |   JOIN n qn ON qn.vec_id = s.qid),
+         | r AS (
+         |  SELECT qid, cid, cs,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid)
+         |     AS BIGINT) AS rnk
+         |  FROM rr)
+         |SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin
+    }, simAnnIvfPq),
+
+    QueryDef("sim_pq_encode", Some {
+      def sub(j: Int): String = {
+        val a = j * 16 + 1; val b = j * 16 + 16
+        s""" sv$j AS (SELECT vec_id, e[$a:$b] AS e FROM v),
+           |${lloydSql(s"b$j", s"sv$j", 16, 16)},
+           | enc$j AS (
+           |  SELECT vec_id, $j AS sub, code, dist2 FROM (
+           |   SELECT vec_id, cid AS code, dist2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+           |   FROM (
+           |    SELECT s.vec_id, c.cid,
+           |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+           |       + list_inner_product(c.c, c.c) AS dist2
+           |    FROM sv$j s, b${j}c2 c)) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${(0 until 4).map(sub).mkString(",\n")},
+         | u AS (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1
+         |       UNION ALL SELECT * FROM enc2 UNION ALL SELECT * FROM enc3)
+         |SELECT vec_id,
+         | CAST(max(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS code0,
+         | CAST(max(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS code1,
+         | CAST(max(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS code2,
+         | CAST(max(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS code3,
+         | CAST(sum(CAST(floor(dist2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |   / 1000000.0 / 64.0 AS recon_mse
+         |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }, simPqEncode),
 
     QueryDef("sim_ann_multiprobe", Some {
       val bucketSql = planes(12, 64).zipWithIndex.map { case (p, i) =>

@@ -808,7 +808,7 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       (1 to 4).foreach { i =>
-        val c = r.getInt(i); assert(c >= 0 && c < 16, s"code $c out of [0,16)")
+        val c = r.getLong(i); assert(c >= 0 && c < 16, s"code $c out of [0,16)")
       }
     }
     val avgMse = rows.map(_.getDouble(5)).sum / rows.length

@@ -45,19 +45,39 @@ def main():
         if side:
             print(f"{name}: {', '.join(sorted(side))}")
 
+    # Per-run spread (round 11): Bench records every raw run per query
+    # in "runs"; a round-over-round delta inside the union of the two
+    # sides' observed spreads is contention, not a regression, and is
+    # never flagged.
+    rn, ro = new.get("runs", {}), old.get("runs", {})
+
+    def spread(runs_map, k):
+        rs = [r for r in runs_map.get(k, []) if r > 0]
+        return (max(rs) - min(rs)) if len(rs) >= 2 else 0.0
+
     common = sorted(set(qn) & set(qo),
                     key=lambda k: abs(qn[k] - qo[k]), reverse=True)
     flagged = [k for k in common
                if abs(qn[k] - qo[k]) >= 0.75
-               and max(qn[k], qo[k]) >= 2.0 * max(min(qn[k], qo[k]), 0.05)]
-    print(f"\nlargest moves (flagged = >=0.75s AND >=2x — below that is "
-          f"in-bench noise at this SF):")
+               and max(qn[k], qo[k]) >= 2.0 * max(min(qn[k], qo[k]), 0.05)
+               and abs(qn[k] - qo[k]) > 1.5 * max(spread(rn, k), spread(ro, k))]
+    print(f"\nlargest moves (flagged = >=0.75s AND >=2x AND outside the "
+          f"recorded per-run spread — below that is in-bench noise):")
     # every flagged query prints, even when absolute-delta ranking
     # would push it below the top-15 noise rows
     shown = [k for k in common if k in common[:15] or k in flagged]
     for k in shown:
         mark = " <-- FLAG" if k in flagged else ""
-        print(f"  {qo[k]:7.3f} -> {qn[k]:7.3f}  {k}{mark}")
+        sp = max(spread(rn, k), spread(ro, k))
+        sptxt = f"  (spread {sp:.2f}s)" if sp > 0 else ""
+        print(f"  {qo[k]:7.3f} -> {qn[k]:7.3f}  {k}{sptxt}{mark}")
+
+    if rn:
+        noisy = sorted(((spread(rn, k), k) for k in rn), reverse=True)[:5]
+        print("\nnoisiest queries this run (max-min across recorded runs):")
+        for sp, k in noisy:
+            if sp > 0.25:
+                print(f"  {sp:6.2f}s  {k}  runs={rn[k]}")
 
 
 if __name__ == "__main__":
