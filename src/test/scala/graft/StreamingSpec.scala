@@ -234,4 +234,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(201L).isEmpty,
       s"TTL'd key still matched an expired quote: ${rows(201L)}")
   }
+
+  test("epoch sink is exactly-once across a mid-batch crash + checkpoint restart") {
+    // Failure-injection proof of the sink's replay-overwrite claim
+    // (round 11, VERDICT task 6): the first attempt dies MID-BATCH on
+    // epoch 1 — after leaving a duplicated partial write in the epoch
+    // dir, the worst at-least-once debris — and the restarted query
+    // replays epoch 1 from the checkpoint WAL through the REAL
+    // sinkEpochParquet, whose per-epoch overwrite must erase the
+    // debris: final output = input, no duplicates, no gaps.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_exactly_once")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/f$i.json"),
+        s"""{"id":$i,"payload":"row$i"}""".getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, payload STRING")
+    def source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(in)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attempt1 = source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        if (epochId == 1 && crashed.compareAndSet(false, true)) {
+          batch.union(batch).write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+          throw new RuntimeException("injected mid-batch crash")
+        } else {
+          batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+        }
+      }
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      attempt1.awaitTermination()
+    }
+    assert(crashed.get, "the injected crash never fired")
+    assert(failed.getMessage.contains("injected mid-batch crash") ||
+      Option(failed.getCause).exists(_.getMessage.contains("injected")),
+      s"query failed for the wrong reason: $failed")
+    // the at-least-once debris is really there before the restart
+    assert(spark.read.parquet(s"$out/epoch=1").count() == 2,
+      "expected the duplicated partial write from the crashed attempt")
+    // restart from the same checkpoint through the real sink
+    val attempt2 = StreamingOps.sinkEpochParquet(source, out)
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    attempt2.awaitTermination()
+    val result = spark.read.parquet(s"$out/epoch=*")
+    assert(result.count() == 3, "exactly one row per input row (no dups, no gaps)")
+    assert(result.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch=")) == 3)
+  }
 }
