@@ -49,6 +49,8 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else "unknown"
 
   /** Output row of the REAL audio decoder ([[decodeAudio]]). */
@@ -63,15 +65,22 @@ object Multimodal {
     * audio-curation filter thresholds on — RMS level and absolute
     * peak, both over samples normalized to [−1, 1). 16-bit signed PCM
     * (the dominant WAV layout) is decoded sample-exactly with explicit
-    * endianness from the container header; other encodings report
-    * their parameters with ok=false rather than guessing. Undecodable
-    * or truncated payloads also yield ok=false rows — the
+    * endianness from the container header; µ-law and A-law payloads
+    * (G.711 telephony WAV, format codes 7/6 — round 11) are expanded
+    * to 16-bit PCM through the JDK's own `AudioSystem` codec
+    * conversion before the same sample loop, so telephony corpora
+    * decode for real instead of reporting ok=false. Other encodings
+    * report their parameters with ok=false rather than guessing.
+    * Undecodable or truncated payloads also yield ok=false rows — the
     * poisoned-blob contract again; a bad byte string must never kill
     * the partition. Compressed codecs (MP3/AAC/Opus) have no JDK
     * decoder and stay behind the declared stub. Sample-exactness is
     * contract-tested on planted AudioSystem-written fixtures
     * (AudioDecodeSpec): a constant-amplitude signal round-trips
-    * rms == peak == amp/32768 bit-exactly, a sine hits A/√2 to 1e-3.
+    * rms == peak == amp/32768 bit-exactly, a sine hits A/√2 to 1e-3;
+    * the G.711 paths recover a planted constant within the codec's
+    * log-quantization error and report the container's original 8-bit
+    * sample size.
     *
     * Same mapPartitions batch shape as the image path: decoder state
     * amortizes per partition, rows stream through, parallelism is the
@@ -81,19 +90,34 @@ object Multimodal {
     docs.mapPartitions { rows =>
       rows.map { r =>
         var ais: javax.sound.sampled.AudioInputStream = null
+        var pcm: javax.sound.sampled.AudioInputStream = null
         try {
-          ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          import javax.sound.sampled.{AudioFormat, AudioSystem}
+          ais = AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
-          val fmt = ais.getFormat
-          val bits = fmt.getSampleSizeInBits
-          val ch = fmt.getChannels
-          val pcm16 = fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16
+          val srcFmt = ais.getFormat
+          val srcBits = srcFmt.getSampleSizeInBits
+          val ch = srcFmt.getChannels
+          val g711 = srcFmt.getEncoding == AudioFormat.Encoding.ULAW ||
+            srcFmt.getEncoding == AudioFormat.Encoding.ALAW
+          // µ-law/A-law expand losslessly to 16-bit PCM via the JDK's
+          // own codec provider; everything downstream sees PCM16
+          pcm =
+            if (g711)
+              AudioSystem.getAudioInputStream(
+                new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                  srcFmt.getSampleRate, 16, ch, 2 * ch,
+                  srcFmt.getSampleRate, false), ais)
+            else ais
+          val fmt = pcm.getFormat
+          val pcm16 = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
           if (!pcm16)
             AudioMeta(r.doc_id, ok = false, sniffFormat(r.payload),
-              fmt.getSampleRate.toInt, ch, bits, 0L, 0.0, 0.0)
+              srcFmt.getSampleRate.toInt, ch, srcBits, 0L, 0.0, 0.0)
           else {
-            val data = ais.readAllBytes()
+            val bits = srcBits // report the container's sample size
+            val data = pcm.readAllBytes()
             val nSamples = data.length / 2
             var i = 0
             var sumSq = 0.0
@@ -118,6 +142,7 @@ object Multimodal {
             AudioMeta(r.doc_id, ok = false, sniffFormat(r.payload), 0, 0, 0, 0L,
               0.0, 0.0)
         } finally {
+          if (pcm != null) try pcm.close() catch { case _: Exception => () }
           if (ais != null) try ais.close() catch { case _: Exception => () }
         }
       }
@@ -136,9 +161,10 @@ object Multimodal {
     * scale a poisoned blob must never kill the job. Exactness is
     * contract-tested on planted ImageIO-encoded fixtures
     * (ImageDecodeSpec): lossless formats (PNG/BMP) round-trip
-    * dimensions AND per-pixel luminance bit-exactly. Video/audio
-    * remain stub-only (`mm_decode_stub`) — no container demuxers in
-    * the JDK. */
+    * dimensions AND per-pixel luminance bit-exactly. Video: GIF
+    * frames ([[decodeFrames]]) and MJPEG-in-AVI ([[decodeAviFrames]],
+    * round 11) decode for real; only codecs with no JDK decoder
+    * (MP3/AAC/H.264…) remain behind `mm_decode_stub`. */
   private[graft] def decodeImages(docs: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
@@ -444,6 +470,82 @@ object Multimodal {
         if (iis != null) try iis.close() catch { case _: Exception => () }
       }
     }
+  }
+
+  /** MJPEG-in-AVI demux (round 11) — the one video container the JDK
+    * can fully decode end-to-end: an AVI file is a RIFF chunk tree,
+    * and Motion-JPEG stores every frame as a COMPLETE JPEG inside a
+    * '00dc'/'00db' movi chunk, so a plain bounds-checked RIFF walk
+    * plus the existing imageio JPEG path ([[decodeImages]]) yields
+    * real per-frame rows — no external codec. Poisoned-blob contract:
+    * truncated payloads, lying chunk sizes, or non-JPEG frame chunks
+    * stop the walk / skip the frame, never the task; non-AVI payloads
+    * yield no rows. Same flatMap batch shape as [[decodeFrames]];
+    * frame work is bounded by chunk count, parallelism by the file
+    * splits. Contract-tested on a hand-assembled AVI of
+    * ImageIO-encoded solid-color JPEG frames (ImageDecodeSpec). */
+  private[graft] def decodeAviFrames(docs: Dataset[MediaRow]): Dataset[FrameMeta] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { r =>
+      demuxMjpegAvi(r.payload).zipWithIndex.flatMap { case (jpeg, i) =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some(FrameMeta(r.doc_id, i, w, h, sum / (w.toLong * h)))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** The RIFF walk behind [[decodeAviFrames]]: collect the payloads of
+    * '00dc'/'00db' chunks (compressed/uncompressed video frames) that
+    * start with the JPEG SOI marker, anywhere under a RIFF-AVI tree.
+    * All offsets are validated against the buffer — a lying size field
+    * terminates the walk instead of reading out of bounds. */
+  private[graft] def demuxMjpegAvi(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val id = new String(b, o, 4, "ISO-8859-1")
+        val size = u32(o + 4)
+        val data = o + 8
+        if (size > end - data) ok = false // lying/truncated size → stop
+        else {
+          val sz = size.toInt
+          if (id == "LIST" && sz >= 4) walk(data + 4, data + sz)
+          else if ((id == "00dc" || id == "00db") && sz >= 2 &&
+            (b(data) & 0xff) == 0xff && (b(data + 1) & 0xff) == 0xd8)
+            out += java.util.Arrays.copyOfRange(b, data, data + sz)
+          o = data + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+    }
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
+    out.toSeq
   }
 
   /** Binary metadata extraction — oracle-checked (byte length + hex

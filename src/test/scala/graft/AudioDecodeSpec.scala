@@ -134,4 +134,50 @@ class AudioDecodeSpec extends AnyFunSuite {
       "different pitches must not share a fingerprint")
     assert(got(1L).n_frames == (2048 - 64) / 32 + 1)
   }
+
+  test("G.711 µ-law and A-law WAV payloads decode through the JDK codec expansion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // plant: PCM16 constant-amplitude signal → encode to ULAW/ALAW via
+    // the JDK's own conversion, write as WAV (format codes 7/6)
+    def g711(samples: Array[Short], enc: AudioFormat.Encoding): Array[Byte] = {
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+        1, 2, 8000f, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      val pcm = new AudioInputStream(new ByteArrayInputStream(raw), pcmFmt,
+        samples.length)
+      val conv = AudioSystem.getAudioInputStream(
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), pcm)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val const = Array.fill[Short](800)(16384) // 0.5 amplitude
+    val rows = Seq(
+      MediaRow(1L, g711(const, AudioFormat.Encoding.ULAW)),
+      MediaRow(2L, g711(const, AudioFormat.Encoding.ALAW)),
+      MediaRow(3L, wav(const, 8000f, 1))) // PCM16 reference
+    val got = Multimodal.decodeAudio(spark2.createDataset(rows).repartition(2))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 2L)) {
+      val m = got(id)
+      assert(m.ok, s"doc $id: G.711 payload must decode (ok=false)")
+      assert(m.format == "wav" && m.sample_rate == 8000 && m.channels == 1)
+      assert(m.bits == 8, s"doc $id: container sample size is 8-bit, got ${m.bits}")
+      assert(m.n_frames == 800L)
+      // G.711 is log-quantized 8-bit: segment step size grows with
+      // amplitude, ~2.3% measured at 0.5 (µ-law decodes the constant
+      // to 0.51160) — assert within the codec's error envelope, and
+      // that the constant stays constant (rms == peak exactly)
+      assert(math.abs(m.rms - 0.5) < 0.03 && math.abs(m.peak - 0.5) < 0.03,
+        s"doc $id: rms=${m.rms} peak=${m.peak}, expected ~0.5")
+      assert(m.rms == m.peak,
+        s"doc $id: a constant signal must decode to a constant (rms != peak)")
+    }
+    assert(got(3L).rms == 0.5 && got(3L).bits == 16) // PCM16 stays bit-exact
+  }
 }

@@ -184,6 +184,60 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(near < far, s"edit ($near) should be nearer than a reshuffle ($far)")
   }
 
+  test("MJPEG-in-AVI demuxes and decodes per-frame rows; poison-safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    def u32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = chunk("LIST",
+        "movi".getBytes("ISO-8859-1") ++ frames.flatMap(chunk("00dc", _)))
+      val inner = "AVI ".getBytes("ISO-8859-1") ++ movi
+      "RIFF".getBytes("ISO-8859-1") ++ u32le(inner.length) ++ inner
+    }
+    def solid(rgb: Int): BufferedImage = {
+      val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, rgb)
+      img
+    }
+    val jpegs = Seq(0x808080, 0x204060, 0xf0f0f0).map(c => encode(solid(c), "jpg"))
+    val good = avi(jpegs)
+    // poisoned variants: lying chunk size, truncated tail, junk chunk
+    val lying = good.clone()
+    lying(good.length - jpegs.last.length - 6) = 0x7f.toByte // corrupt a size
+    val truncated = good.take(good.length / 2)
+    val junkFrame = avi(Seq(jpegs.head, "not a jpeg at all!".getBytes("UTF-8")))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, good),
+      Multimodal.MediaRow(2L, lying),
+      Multimodal.MediaRow(3L, truncated),
+      Multimodal.MediaRow(4L, junkFrame),
+      Multimodal.MediaRow(5L, "no container here".getBytes("UTF-8")))
+    val got = Multimodal.decodeAviFrames(spark2.createDataset(rows).repartition(2))
+      .collect().groupBy(_.doc_id)
+    // the demuxed frames must be EXACTLY the embedded JPEGs: compare
+    // against decoding the same bytes standalone
+    val want = jpegs.map(j => ImageIO.read(new java.io.ByteArrayInputStream(j)))
+    val frames1 = got(1L).sortBy(_.frame_idx)
+    assert(frames1.length == 3, s"expected 3 frames, got ${frames1.length}")
+    frames1.zip(want).foreach { case (f, img) =>
+      assert(f.width == 24 && f.height == 16)
+      assert(f.avg_luma == meanLuma(img),
+        s"frame ${f.frame_idx}: demuxed luminance ${f.avg_luma} != standalone decode")
+    }
+    // poison contracts: no crash, bounded degradation
+    assert(!got.contains(5L), "non-AVI payload must yield no rows")
+    assert(got.getOrElse(4L, Array.empty).length == 1,
+      "junk frame chunk skipped, valid frame kept")
+    assert(got.getOrElse(3L, Array.empty).length <= 3 &&
+      got.getOrElse(2L, Array.empty).length <= 3)
+    assert(Multimodal.sniffFormat(good) == "avi")
+  }
+
   test("phash: poisoned blobs yield ok=false, hash 0") {
     val spark2 = spark
     import spark2.implicits._
