@@ -143,10 +143,16 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over token xxhash64 bits via the custom
-    * `simhash_agg` TypedImperativeAggregate (one tight loop per row —
-    * see graft.functions.SimHashAgg for why not 64 sum(when(...))
-    * columns). xxhash64 is Spark-native ⇒ no oracle. */
+  /** 64-bit SimHash over token hash bits via the custom `simhash_agg`
+    * TypedImperativeAggregate (one tight loop per row — see
+    * graft.functions.SimHashAgg for why not 64 sum(when(...))
+    * columns). Since round 11 the token hash is the md5 60-bit idiom
+    * (top 4 fingerprint bits deterministically 0) instead of
+    * Spark-native xxhash64, so the whole fingerprint — votes, sign
+    * pack, pigeonhole blocks — is re-derivable in DuckDB and both
+    * queries carry full oracles; locality is unchanged (it comes from
+    * token overlap, not the hash family — re-proven by the planted
+    * pigeonhole contract). */
   /** Unordered fingerprint core — the pairs self-join consumes this
     * (a sort below a self-join is two wasted range exchanges); the
     * standalone query adds the presentation sort. */
@@ -154,7 +160,7 @@ object Dedup {
     graft.functions.SimHashAgg.register(spark)
     fanout(documents(spark, dir))
       .select(col("doc_id"), explode(toks).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast(LongType))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(h)").as("simhash"))
   }
@@ -771,6 +777,29 @@ object Dedup {
           graft.Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
   }
 
+  /** Shared oracle CTE chain re-deriving [[dedupSimhashCore]] in
+    * DuckDB: tokenize, md5 60-bit token hash, ±1 vote per bit, sign
+    * pack (bit set iff votes > 0 — the SimHashAgg eval rule). Ends
+    * with CTE `s (doc_id, simhash)`; consumed by the dedup_simhash
+    * and dedup_simhash_pairs oracles. */
+  private def simhashSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+      |  FROM documents),
+      | h AS (
+      |  SELECT doc_id,
+      |   CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
+      | v AS (
+      |  SELECT doc_id, t.b AS b,
+      |   sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      |  FROM h, generate_series(0, 59) AS t(b) GROUP BY 1, 2),
+      | s AS (
+      |  SELECT doc_id,
+      |   CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |     AS BIGINT) AS simhash
+      |  FROM v GROUP BY 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_minhash_eval", Some(minhashSigCte +
       """, bands AS (
@@ -1041,8 +1070,26 @@ object Dedup {
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin), dedupMinhashVerified),
 
-    QueryDef("dedup_simhash", None, dedupSimhash),
-    QueryDef("dedup_simhash_pairs", None, dedupSimhashPairs),
+    // round 11: md5-60bit token hashes make the simhash family fully
+    // SQL-re-derivable — real oracles replace the xxhash64-era
+    // no_oracle rows. The vote CTE runs bits 0..59 only: the top 4
+    // bits of a 60-bit hash vote -1 on every token in BOTH engines,
+    // so those fingerprint bits are 0 by construction.
+    QueryDef("dedup_simhash", Some(simhashSql +
+      "\nSELECT doc_id, simhash FROM s ORDER BY doc_id"), dedupSimhash),
+    QueryDef("dedup_simhash_pairs", Some(simhashSql +
+      """,
+        | blk AS (
+        |  SELECT doc_id, simhash, t.i AS block_idx,
+        |   (simhash >> (t.i * 16)) & 65535 AS block
+        |  FROM s, generate_series(0, 3) AS t(i)),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM blk a JOIN blk b ON a.block_idx = b.block_idx
+        |    AND a.block = b.block AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY hamming, doc_a, doc_b""".stripMargin), dedupSimhashPairs),
     QueryDef("dedup_rolling_chunks", None, dedupRollingChunks),
 
     QueryDef("dedup_ngram_jaccard", Some(

@@ -66,11 +66,19 @@ class CustomExpressionSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
-  test("dot_product truncates to the shorter array") {
+  test("dot_product: ragged and null-element inputs yield NULL (zip_with parity)") {
+    // round 11: DotProduct mirrors the lambda form's null semantics
+    // exactly, so RewriteDotProduct is provably semantics-preserving —
+    // a ragged pair null-pads under zip_with and poisons the sum, and
+    // dot_product must agree (it used to truncate to the shorter side)
     DotProduct.register(spark)
-    val out = Seq((Seq(1.0, 2.0, 9.0), Seq(10.0, 10.0))).toDF("a", "b")
-      .select(expr("dot_product(a, b)")).collect()(0).getDouble(0)
-    assert(out == 30.0)
+    val ragged = Seq((Seq(1.0, 2.0, 9.0), Seq(10.0, 10.0))).toDF("a", "b")
+      .select(expr("dot_product(a, b)")).collect()(0)
+    assert(ragged.isNullAt(0), "ragged pair must be NULL, not a truncated dot")
+    val nullElem = spark.range(1).select(
+      expr("dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D))"))
+      .collect()(0)
+    assert(nullElem.isNullAt(0), "a null element must poison the sum to NULL")
   }
 
   test("bitmap_and: byte-wise AND, min-length truncation, null propagation") {

@@ -199,21 +199,134 @@ object OracleFuzz {
     val r = new scala.util.Random(seed)
     val chain = chains(r.nextInt(chains.size))
     val allCols = chain.tables.flatMap(_.cols)
+    // 2-table chains sometimes become LEFT OUTER with a PRE-join
+    // filter on the right side, so null extension genuinely occurs
+    // (TPC-H FKs are complete — an unfiltered left join degenerates
+    // to inner) and null-handling parity (group-by-null, null-skipping
+    // aggregates, null ordering under canon) is actually exercised
+    val leftJoin = chain.tables.size == 2 && r.nextInt(4) == 0
+    val rightPred: Option[Pred] =
+      if (leftJoin)
+        r.shuffle(chain.tables(1).cols).flatMap(predFor(r, _)).headOption
+      else None
     val fromSql = {
       val head = chain.tables.head.name
       val joins = chain.tables.tail.zip(chain.conds).map { case (t, (a, b)) =>
-        s" JOIN ${t.name} ON $a = $b"
+        if (leftJoin) {
+          val sub = rightPred.map(p => s"(SELECT * FROM ${t.name} WHERE ${p.sql})")
+            .getOrElse(t.name)
+          s" LEFT JOIN $sub ${t.name} ON $a = $b"
+        } else s" JOIN ${t.name} ON $a = $b"
       }.mkString
       head + joins
     }
-    // 0-2 filters over distinct columns
+    // 0-2 post-join filters over distinct columns (left-side only for
+    // outer joins, so the null-extended rows survive to the output)
+    val predSrc = if (leftJoin) chain.tables.head.cols else allCols
     val nf = r.nextInt(3)
-    val preds = r.shuffle(allCols).take(nf).flatMap(predFor(r, _))
+    val preds = r.shuffle(predSrc).take(nf).flatMap(predFor(r, _))
     val whereSql =
       if (preds.isEmpty) "" else " WHERE " + preds.map(_.sql).mkString(" AND ")
 
-    val isAgg = r.nextInt(10) < 7
     val name = f"fuzz_$seed%04d"
+    val mode = r.nextInt(20) // 0-11 agg, 12-16 sort-limit, 17 setop, 18 window, 19 scalar
+    val isAgg = mode < 12
+
+    if (mode == 17 && chain.tables.size == 1) {
+      // set-operation shape: two filtered slices of one table composed
+      // with UNION ALL / INTERSECT / EXCEPT (Spark union IS bag
+      // semantics = UNION ALL; intersect/except are distinct — the
+      // dialect parity under test)
+      val t = chain.tables.head
+      val pk = t.pk
+      val extraCol = r.shuffle(t.cols.filterNot(c => pk.contains(c.name))).head
+      val outs = pk.map(n => projFor(Col2(n, KeyK))) :+ projFor(extraCol)
+      val p1 = t.cols.flatMap(predFor(r, _)).headOption
+      val p2 = t.cols.reverse.flatMap(predFor(r, _)).headOption
+      val (opName, sqlOp) = Seq(("union", "UNION ALL"), ("intersect", "INTERSECT"),
+        ("except", "EXCEPT"))(r.nextInt(3))
+      val limit = 10 + r.nextInt(41)
+      def side(p: Option[Pred]) =
+        s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
+          p.map(x => s" WHERE ${x.sql}").getOrElse("")
+      val sql = s"SELECT * FROM (${side(p1)} $sqlOp ${side(p2)})" +
+        s" ORDER BY ${pk.mkString(", ")} LIMIT $limit"
+      return FuzzQuery(name, sql, (spark, dir) => {
+        val base = spark.read.parquet(s"$dir/${t.name}.parquet")
+        def slice(p: Option[Pred]) = {
+          val f = p.map(x => base.filter(x.spark)).getOrElse(base)
+          f.select(outs.map(_.spark): _*)
+        }
+        val composed = opName match {
+          case "union" => slice(p1).union(slice(p2))
+          case "intersect" => slice(p1).intersect(slice(p2))
+          case _ => slice(p1).except(slice(p2))
+        }
+        composed.orderBy(pk.map(col): _*).limit(limit)
+      })
+    }
+
+    if (mode == 18 && chain.tables.size == 1) {
+      // window shape: row_number per enum partition ordered by the pk
+      // (a total order, so ranks are deterministic on both engines)
+      val t = chain.tables.head
+      val pk = t.pk
+      val enums = t.cols.collect { case c @ Col2(_, EnumK(_)) => c }
+      if (enums.nonEmpty) {
+        val g = enums(r.nextInt(enums.size)).name
+        val limit = 10 + r.nextInt(41)
+        val ordSql = pk.mkString(", ")
+        val sql = s"SELECT ${pk.mkString(", ")}, $g," +
+          s" CAST(row_number() OVER (PARTITION BY $g ORDER BY $ordSql)" +
+          s" AS BIGINT) AS rn" +
+          s" FROM ${t.name}$whereSql ORDER BY $ordSql LIMIT $limit"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          var df = spark.read.parquet(s"$dir/${t.name}.parquet")
+          preds.foreach(p => df = df.filter(p.spark))
+          df.select((pk.map(col) :+ col(g)) :+
+              row_number().over(Window.partitionBy(col(g))
+                .orderBy(pk.map(col): _*)).cast("long").as("rn"): _*)
+            .orderBy(pk.map(col): _*).limit(limit)
+        })
+      }
+    }
+
+    if (mode == 19 && chain.tables.size == 1) {
+      // scalar-function projection shape: string/arithmetic scalars
+      // whose cross-engine parity is exact
+      val t = chain.tables.head
+      val pk = t.pk
+      val enums = t.cols.collect { case c @ Col2(_, EnumK(_)) => c }
+      val keys = t.cols.filter(c => c.kind == KeyK || c.kind == IntK)
+      val limit = 10 + r.nextInt(41)
+      val items = scala.collection.mutable.ArrayBuffer.empty[Out]
+      if (enums.nonEmpty) {
+        val e = enums(r.nextInt(enums.size)).name
+        items += Out(lower(col(e)).as("s0"), s"lower($e) AS s0")
+        items += Out(substring(col(e), 1, 3).as("s1"), s"substr($e, 1, 3) AS s1")
+        items += Out(length(col(e)).cast("long").as("s2"),
+          s"CAST(length($e) AS BIGINT) AS s2")
+      }
+      if (keys.nonEmpty) {
+        val k = keys(r.nextInt(keys.size)).name
+        val m = 3 + r.nextInt(7)
+        items += Out((col(k) % m).cast("long").as("s3"),
+          s"CAST($k % $m AS BIGINT) AS s3")
+        items += Out(concat_ws(":", pk.map(col): _*).as("s4"),
+          s"concat_ws(':', ${pk.mkString(", ")}) AS s4")
+      }
+      val outs = pk.map(n => projFor(Col2(n, KeyK))) ++ items
+      val ordSql = pk.mkString(", ")
+      val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
+        s"$whereSql ORDER BY $ordSql LIMIT $limit"
+      return FuzzQuery(name, sql, (spark, dir) => {
+        var df = spark.read.parquet(s"$dir/${t.name}.parquet")
+        preds.foreach(p => df = df.filter(p.spark))
+        df.select(outs.map(_.spark): _*)
+          .orderBy(pk.map(col): _*).limit(limit)
+      })
+    }
 
     if (isAgg) {
       val groupable = allCols.filter {
@@ -233,7 +346,7 @@ object OracleFuzz {
       val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
       val sql = s"SELECT $selSql FROM $fromSql$whereSql$gSql$hSql"
       FuzzQuery(name, sql, (spark, dir) => {
-        var df = joined(spark, dir, chain)
+        var df = joined(spark, dir, chain, leftJoin, rightPred)
         preds.foreach(p => df = df.filter(p.spark))
         var out =
           if (gcols.isEmpty) df.agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
@@ -252,7 +365,7 @@ object OracleFuzz {
       val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM $fromSql$whereSql" +
         s" ORDER BY $ordSql LIMIT $limit"
       FuzzQuery(name, sql, (spark, dir) => {
-        var df = joined(spark, dir, chain)
+        var df = joined(spark, dir, chain, leftJoin, rightPred)
         preds.foreach(p => df = df.filter(p.spark))
         df.select(outs.map(_.spark): _*)
           .orderBy(pk.map(col): _*).limit(limit)
@@ -260,11 +373,13 @@ object OracleFuzz {
     }
   }
 
-  private def joined(spark: SparkSession, dir: String, chain: Chain): DataFrame = {
+  private def joined(spark: SparkSession, dir: String, chain: Chain,
+      leftJoin: Boolean = false, rightPred: Option[Pred] = None): DataFrame = {
     var df = spark.read.parquet(s"$dir/${chain.tables.head.name}.parquet")
     chain.tables.tail.zip(chain.conds).foreach { case (t, (a, b)) =>
-      df = df.join(spark.read.parquet(s"$dir/${t.name}.parquet"),
-        col(a) === col(b))
+      var rt = spark.read.parquet(s"$dir/${t.name}.parquet")
+      if (leftJoin) rightPred.foreach(p => rt = rt.filter(p.spark))
+      df = df.join(rt, col(a) === col(b), if (leftJoin) "left" else "inner")
     }
     df
   }
