@@ -83,6 +83,16 @@ object OracleFuzz {
   val region: Table = Table("region", Seq("r_regionkey"), Seq(
     Col2("r_regionkey", IntK), Col2("r_name", EnumK(Nil))))
 
+  /** The LLM-corpus table joins the pool too (round 11): its enum dims
+    * drive group-bys and its counters get the modulo/min-max/distinct
+    * treatment. `text` itself is excluded — raw-corpus string output
+    * parity is covered by the fixed registry's text operators. */
+  val documents: Table = Table("documents", Seq("doc_id"), Seq(
+    Col2("doc_id", KeyK),
+    Col2("lang", EnumK(Seq("de", "en", "es", "fr", "zh"))),
+    Col2("source", EnumK((0 until 20).map(i => s"src$i"))),
+    Col2("n_chars", KeyK)))
+
   /** Valid FK chains; the FIRST table's pk stays unique through every
     * N:1 hop, giving sort-limit queries a total order. */
   final case class Chain(tables: Seq[Table], conds: Seq[(String, String)])
@@ -107,7 +117,8 @@ object OracleFuzz {
     Chain(Seq(customer, nation, region),
       Seq("c_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")),
     Chain(Seq(lineitem, part, supplier),
-      Seq("l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey")))
+      Seq("l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey")),
+    Chain(Seq(documents), Nil))
 
   final case class FuzzQuery(name: String, sql: String,
       build: (SparkSession, String) => DataFrame)
@@ -155,44 +166,60 @@ object OracleFuzz {
         s"${c.name} < TIMESTAMP '$lit0 00:00:00'"))
   }
 
-  /** An output column as (spark expr, sql select item); both aliased
-    * identically (the driver's compare sorts columns by name). */
-  private final case class Out(spark: Column, sql: String)
+  /** An output column as (spark expr, sql select item, output name);
+    * both sides aliased identically (the driver's compare sorts
+    * columns by name); `name` feeds the total-order ORDER BY that
+    * makes every LIMIT deterministic. */
+  private final case class Out(spark: Column, sql: String, name: String)
+
+  /** Deterministic LIMIT ordering: EVERY output column, with DuckDB
+    * forced to Spark's ascending null placement (Spark asc = NULLS
+    * FIRST, DuckDB default = NULLS LAST). Ordering by the declared
+    * "pk" alone is NOT total — the synthetic lineitem has duplicate
+    * (l_orderkey, l_linenumber) pairs (caught by fuzz seeds 2/9: the
+    * LIMIT cut split a tie differently per engine); with all columns
+    * in the key, any remaining ties are full-row duplicates, so any
+    * cut yields the same multiset. */
+  private def orderSql(names: Seq[String]): String =
+    names.map(n => s"$n NULLS FIRST").mkString(", ")
+  private def orderCols(names: Seq[String]): Seq[Column] =
+    names.map(n => col(n).asc_nulls_first)
 
   private def aggFor(r: scala.util.Random, c: Col2, alias: String): Option[Out] =
     c.kind match {
       case MoneyK => r.nextInt(3) match {
         case 0 => Some(Out(
           sum(floor(col(c.name) * 100 + lit(0.5)).cast("long")).as(alias),
-          s"CAST(sum(CAST(floor(${c.name} * 100 + 0.5) AS BIGINT)) AS BIGINT) AS $alias"))
+          s"CAST(sum(CAST(floor(${c.name} * 100 + 0.5) AS BIGINT)) AS BIGINT) AS $alias",
+          alias))
         case 1 => Some(Out(min(col(c.name)).as(alias),
-          s"min(${c.name}) AS $alias"))
+          s"min(${c.name}) AS $alias", alias))
         case _ => Some(Out(max(col(c.name)).as(alias),
-          s"max(${c.name}) AS $alias"))
+          s"max(${c.name}) AS $alias", alias))
       }
       case KeyK | IntK => r.nextInt(3) match {
         case 0 => Some(Out(countDistinct(col(c.name)).as(alias),
-          s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias"))
+          s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias", alias))
         case 1 => Some(Out(min(col(c.name)).as(alias),
-          s"min(${c.name}) AS $alias"))
+          s"min(${c.name}) AS $alias", alias))
         case _ => Some(Out(max(col(c.name)).as(alias),
-          s"max(${c.name}) AS $alias"))
+          s"max(${c.name}) AS $alias", alias))
       }
       case EnumK(_) => Some(Out(countDistinct(col(c.name)).as(alias),
-        s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias"))
+        s"CAST(count(DISTINCT ${c.name}) AS BIGINT) AS $alias", alias))
       case TsK =>
         if (r.nextBoolean())
           Some(Out(min(col(c.name).cast("string")).as(alias),
-            s"min(CAST(${c.name} AS VARCHAR)) AS $alias"))
+            s"min(CAST(${c.name} AS VARCHAR)) AS $alias", alias))
         else Some(Out(max(col(c.name).cast("string")).as(alias),
-          s"max(CAST(${c.name} AS VARCHAR)) AS $alias"))
+          s"max(CAST(${c.name} AS VARCHAR)) AS $alias", alias))
     }
 
   /** Projection item for sort-limit mode. */
   private def projFor(c: Col2): Out = c.kind match {
     case TsK => Out(col(c.name).cast("string").as(c.name),
-      s"CAST(${c.name} AS VARCHAR) AS ${c.name}")
-    case _ => Out(col(c.name), c.name)
+      s"CAST(${c.name} AS VARCHAR) AS ${c.name}", c.name)
+    case _ => Out(col(c.name), c.name, c.name)
   }
 
   def gen(seed: Int): FuzzQuery = {
@@ -249,8 +276,9 @@ object OracleFuzz {
       def side(p: Option[Pred]) =
         s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
           p.map(x => s" WHERE ${x.sql}").getOrElse("")
+      val ord = outs.map(_.name)
       val sql = s"SELECT * FROM (${side(p1)} $sqlOp ${side(p2)})" +
-        s" ORDER BY ${pk.mkString(", ")} LIMIT $limit"
+        s" ORDER BY ${orderSql(ord)} LIMIT $limit"
       return FuzzQuery(name, sql, (spark, dir) => {
         val base = spark.read.parquet(s"$dir/${t.name}.parquet")
         def slice(p: Option[Pred]) = {
@@ -262,7 +290,7 @@ object OracleFuzz {
           case "intersect" => slice(p1).intersect(slice(p2))
           case _ => slice(p1).except(slice(p2))
         }
-        composed.orderBy(pk.map(col): _*).limit(limit)
+        composed.orderBy(orderCols(ord): _*).limit(limit)
       })
     }
 
@@ -275,11 +303,14 @@ object OracleFuzz {
       if (enums.nonEmpty) {
         val g = enums(r.nextInt(enums.size)).name
         val limit = 10 + r.nextInt(41)
-        val ordSql = pk.mkString(", ")
+        // rn joins the final ordering: pk ties inside a partition get
+        // arbitrary-but-content-identical ranks, and ordering by rn
+        // last makes the LIMIT cut deterministic across engines
+        val ord = pk ++ Seq(g, "rn")
         val sql = s"SELECT ${pk.mkString(", ")}, $g," +
-          s" CAST(row_number() OVER (PARTITION BY $g ORDER BY $ordSql)" +
+          s" CAST(row_number() OVER (PARTITION BY $g ORDER BY ${pk.mkString(", ")})" +
           s" AS BIGINT) AS rn" +
-          s" FROM ${t.name}$whereSql ORDER BY $ordSql LIMIT $limit"
+          s" FROM ${t.name}$whereSql ORDER BY ${orderSql(ord)} LIMIT $limit"
         return FuzzQuery(name, sql, (spark, dir) => {
           import org.apache.spark.sql.expressions.Window
           var df = spark.read.parquet(s"$dir/${t.name}.parquet")
@@ -287,7 +318,7 @@ object OracleFuzz {
           df.select((pk.map(col) :+ col(g)) :+
               row_number().over(Window.partitionBy(col(g))
                 .orderBy(pk.map(col): _*)).cast("long").as("rn"): _*)
-            .orderBy(pk.map(col): _*).limit(limit)
+            .orderBy(orderCols(ord): _*).limit(limit)
         })
       }
     }
@@ -303,28 +334,28 @@ object OracleFuzz {
       val items = scala.collection.mutable.ArrayBuffer.empty[Out]
       if (enums.nonEmpty) {
         val e = enums(r.nextInt(enums.size)).name
-        items += Out(lower(col(e)).as("s0"), s"lower($e) AS s0")
-        items += Out(substring(col(e), 1, 3).as("s1"), s"substr($e, 1, 3) AS s1")
+        items += Out(lower(col(e)).as("s0"), s"lower($e) AS s0", "s0")
+        items += Out(substring(col(e), 1, 3).as("s1"), s"substr($e, 1, 3) AS s1", "s1")
         items += Out(length(col(e)).cast("long").as("s2"),
-          s"CAST(length($e) AS BIGINT) AS s2")
+          s"CAST(length($e) AS BIGINT) AS s2", "s2")
       }
       if (keys.nonEmpty) {
         val k = keys(r.nextInt(keys.size)).name
         val m = 3 + r.nextInt(7)
         items += Out((col(k) % m).cast("long").as("s3"),
-          s"CAST($k % $m AS BIGINT) AS s3")
+          s"CAST($k % $m AS BIGINT) AS s3", "s3")
         items += Out(concat_ws(":", pk.map(col): _*).as("s4"),
-          s"concat_ws(':', ${pk.mkString(", ")}) AS s4")
+          s"concat_ws(':', ${pk.mkString(", ")}) AS s4", "s4")
       }
       val outs = pk.map(n => projFor(Col2(n, KeyK))) ++ items
-      val ordSql = pk.mkString(", ")
+      val ord = outs.map(_.name)
       val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
-        s"$whereSql ORDER BY $ordSql LIMIT $limit"
+        s"$whereSql ORDER BY ${orderSql(ord)} LIMIT $limit"
       return FuzzQuery(name, sql, (spark, dir) => {
         var df = spark.read.parquet(s"$dir/${t.name}.parquet")
         preds.foreach(p => df = df.filter(p.spark))
         df.select(outs.map(_.spark): _*)
-          .orderBy(pk.map(col): _*).limit(limit)
+          .orderBy(orderCols(ord): _*).limit(limit)
       })
     }
 
@@ -338,7 +369,7 @@ object OracleFuzz {
       val gcols = r.shuffle(groupable).take(r.nextInt(3)).map(_.name)
       val aggSrc = r.shuffle(allCols.filterNot(c => gcols.contains(c.name)))
         .take(1 + r.nextInt(3))
-      val aggs = Out(count(lit(1)).as("cnt"), "CAST(count(*) AS BIGINT) AS cnt") +:
+      val aggs = Out(count(lit(1)).as("cnt"), "CAST(count(*) AS BIGINT) AS cnt", "cnt") +:
         aggSrc.zipWithIndex.flatMap { case (c, i) => aggFor(r, c, s"m$i") }
       val having = if (gcols.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(5)) else None
       val gSql = if (gcols.isEmpty) "" else " GROUP BY " + gcols.mkString(", ")
@@ -361,16 +392,52 @@ object OracleFuzz {
         .take(1 + r.nextInt(4))
       val outs = pk.map(n => projFor(Col2(n, KeyK))) ++ extra.map(projFor)
       val limit = 5 + r.nextInt(46)
-      val ordSql = pk.mkString(", ")
+      val ord = outs.map(_.name)
       val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM $fromSql$whereSql" +
-        s" ORDER BY $ordSql LIMIT $limit"
+        s" ORDER BY ${orderSql(ord)} LIMIT $limit"
       FuzzQuery(name, sql, (spark, dir) => {
         var df = joined(spark, dir, chain, leftJoin, rightPred)
         preds.foreach(p => df = df.filter(p.spark))
         df.select(outs.map(_.spark): _*)
-          .orderBy(pk.map(col): _*).limit(limit)
+          .orderBy(orderCols(ord): _*).limit(limit)
       })
     }
+  }
+
+  /** Run the given seeds end-to-end: write each shape's Spark result
+    * + the oracle SQL map under `out`, then replay in DuckDB via
+    * `tools/fuzz_check.py`. Returns (spark-side errors, checker exit
+    * code, checker output). Shared by OracleFuzzSpec (120 seeds in
+    * `sbt test`) and the on-demand deep-fuzz main
+    * (`sbt "Test/runMain graft.FuzzMain <sf> <out> <from> <to>"`). */
+  def runAndCheck(spark: SparkSession, sf: String, out: String,
+      seeds: Range): (Seq[String], Int, String) = {
+    val qs = seeds.map(gen)
+    def jesc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val json = qs.map(q => s""""${q.name}": "${jesc(q.sql)}"""")
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), json.getBytes("UTF-8"))
+    val errs = qs.flatMap { q =>
+      try {
+        q.build(spark, sf).write.mode("overwrite").parquet(s"$out/${q.name}")
+        None
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage}\n  sql: ${q.sql}")
+      }
+    }
+    val sb = new StringBuilder
+    import scala.sys.process._
+    val code = Process(Seq("python3", "tools/fuzz_check.py", sf, out),
+      new java.io.File(".")).!(ProcessLogger(l => sb.append(l).append('\n')))
+    (errs, code, sb.toString)
   }
 
   private def joined(spark: SparkSession, dir: String, chain: Chain,

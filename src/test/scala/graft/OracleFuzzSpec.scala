@@ -2,19 +2,20 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import scala.sys.process._
-
 /** Property-based oracle fuzzing (round 11, VERDICT task 3): ≥100
-  * seeded random filter/join/aggregate/sort-limit trees over the
-  * TPC-H schema, each evaluated BOTH as a Spark DataFrame program and
-  * as DuckDB SQL generated from the same AST, hash-compared with the
-  * exact canonicalization the driver's correctness gate uses.
+  * seeded random filter/join/aggregate/sort-limit/set-op/window trees
+  * over the TPC-H + documents schema, each evaluated BOTH as a Spark
+  * DataFrame program and as DuckDB SQL generated from the same AST,
+  * hash-compared with the exact canonicalization the driver's
+  * correctness gate uses.
   *
-  * This catches dialect-parity drift the fixed 279-query registry
-  * structurally cannot: a regressed implicit cast, a null-ordering
-  * divergence, a join-coercion change — any of which would show up
-  * here as a failing seed that replays deterministically
+  * This catches dialect-parity drift the fixed registry structurally
+  * cannot: a regressed implicit cast, a null-ordering divergence, a
+  * join-coercion change — any of which would show up here as a
+  * failing seed that replays deterministically
   * (`OracleFuzz.gen(seed)` prints the SQL in the failure output).
+  * For a deeper sweep than the in-suite 120 seeds, run
+  * `sbt "Test/runMain graft.FuzzMain <sfDir> <outDir> <from> <to>"`.
   *
   * DuckDB runs via `python3 tools/fuzz_check.py` — the same
   * driver-side interpreter the gate replica uses; if it is absent the
@@ -24,40 +25,40 @@ class OracleFuzzSpec extends AnyFunSuite {
   private val seeds = 1 to 120
 
   test(s"${seeds.size} seeded random query shapes hash-match DuckDB") {
-    val spark = TestSpark.spark
-    val sf = TestSpark.sf
     val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
-    val qs = seeds.map(OracleFuzz.gen)
-
-    def jesc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-    val json = qs.map(q => s""""${q.name}": "${jesc(q.sql)}"""")
-      .mkString("{\n", ",\n", "\n}\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-      json.getBytes("UTF-8"))
-
-    val errs = qs.flatMap { q =>
-      try {
-        q.build(spark, sf).write.mode("overwrite").parquet(s"$out/${q.name}")
-        None
-      } catch {
-        case e: Throwable => Some(s"${q.name}: ${e.getMessage}\n  sql: ${q.sql}")
-      }
-    }
+    val (errs, code, log) =
+      OracleFuzz.runAndCheck(TestSpark.spark, TestSpark.sf, out, seeds)
     assert(errs.isEmpty, s"Spark-side failures:\n${errs.mkString("\n")}")
-
-    val sb = new StringBuilder
-    val code = Process(Seq("python3", "tools/fuzz_check.py", sf, out),
-      new java.io.File(".")).!(ProcessLogger(l => sb.append(l).append('\n')))
     if (code == 2) cancel("duckdb not available in this environment")
-    assert(code == 0, s"fuzz_check.py reported mismatches:\n$sb")
-    info(sb.toString.linesIterator.toSeq.lastOption.getOrElse(""))
+    assert(code == 0, s"fuzz_check.py reported mismatches:\n$log")
+    info(log.linesIterator.toSeq.lastOption.getOrElse(""))
+  }
+}
+
+/** On-demand deep fuzz (test scope — shares the generator):
+  * `sbt "Test/runMain graft.FuzzMain /root/testdata/sf0.01 /tmp/deep 1 500"`.
+  * Exit 0 = every seed in [from, to] hash-matched DuckDB. */
+object FuzzMain {
+  def main(args: Array[String]): Unit = {
+    val sf = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_fuzz_deep").toString)
+    val from = args.lift(2).map(_.toInt).getOrElse(1)
+    val to = args.lift(3).map(_.toInt).getOrElse(500)
+    new java.io.File(out).mkdirs()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-fuzz")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.applyOptimizations(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val (errs, code, log) = OracleFuzz.runAndCheck(spark, sf, out, from to to)
+    errs.foreach(e => println(s"[fuzz] SPARK-SIDE FAIL $e"))
+    println(log)
+    spark.stop()
+    if (errs.nonEmpty || code != 0) sys.exit(1)
   }
 }
