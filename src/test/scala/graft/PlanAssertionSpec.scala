@@ -568,6 +568,28 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sim_ann_ivf: cell routing is a combinable argmin; probe is a cell-keyed broadcast join") {
+    val p = plan("sim_ann_ivf")
+    // assignment: min(struct(dist, cid)) partial-aggregates map-side —
+    // the k-candidate fanout collapses before any shuffle
+    assert(p.contains("partial_min(sc"),
+      "cell assignment must partial-agg the argmin struct map-side")
+    // probe: candidates meet queries ONLY inside their cell — a keyed
+    // broadcast hash join on cell, never an all-pairs scan
+    assert(p.contains("BroadcastHashJoin [cell"),
+      "probe must be a cell-keyed broadcast hash join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("row_number(), 3, Partial"),
+      "per-query top-3 needs the WindowGroupLimit pushdown")
+  }
+
+  test("sim_pq_encode: per-(vector,subspace) code argmin partial-aggregates") {
+    val p = plan("sim_pq_encode")
+    assert(p.contains("partial_min(sc"),
+      "code assignment must partial-agg the argmin struct map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("AQE splits the skewed partition of an UNSALTED join at sf0.1") {
     // join_skew_salted handles skew by construction; this documents the
     // complementary runtime path: on the unsalted shape, AQE's
