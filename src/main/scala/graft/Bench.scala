@@ -59,7 +59,9 @@ object Bench {
     "events_funnel_windowed", "text_rake_keywords",
     "timeseries_seasonal_anomaly", "events_ltv_cohort",
     "stats_power_sample_size", "text_style_similarity",
-    "timeseries_crosscorr")
+    "timeseries_crosscorr",
+    // round-11 addition
+    "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

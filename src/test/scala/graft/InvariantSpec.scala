@@ -694,6 +694,42 @@ class InvariantSpec extends AnyFunSuite {
     assert(found >= 7, s"multi-probe missed planted near-dups: only $found/10 recovered")
   }
 
+  test("dedup_semantic drops planted near-duplicates and keeps their originals' slot") {
+    // SemDeDup contract: append a cosine≈0.997 partner (8% cyclic-shift
+    // mix) with a HIGHER id for each of 10 originals — the keep-the-
+    // first rule must route each pair to one cell and drop the copy.
+    // A copy survives only if the pair straddles a Lloyd cell boundary
+    // (near-identical vectors argmin apart) — measured 10/10 dropped;
+    // floor 8 leaves headroom for a boundary straddle after a testdata
+    // regeneration while any real keep-rule regression scores ~0.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_semdedup").getAbsolutePath
+    val src = Tables.embeddings(spark, sf)
+    val dup = src.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          CAST(x + 0.08 * element_at(embedding,
+            (CAST(i + 1 AS INT) % size(embedding)) + 1) AS FLOAT))""").as("embedding"),
+        col("label"))
+    src.unionByName(dup).coalesce(1).write.mode("overwrite")
+      .parquet(s"$planted/embeddings.parquet")
+    val rows = SparkEntry.queries("dedup_semantic")(spark, planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dropped = (0 until 10).count { q =>
+      val r = rows(q + 1000L)
+      !r.getBoolean(3) && !r.isNullAt(2) && r.getDouble(2) > 0.9
+    }
+    info(s"planted copies dropped: $dropped/10")
+    assert(dropped >= 8,
+      s"semantic dedup missed planted near-duplicates: only $dropped/10 dropped")
+    // and the rule is selective, not a corpus-nuke: measured 438/510
+    // kept (the uniform corpus has ~60 organic tail pairs above tau at
+    // this SF) — floor 70% with headroom
+    val kept = rows.values.count(_.getBoolean(3))
+    assert(kept * 10 >= rows.size * 7,
+      s"over-aggressive dedup: kept only $kept of ${rows.size}")
+  }
+
   test("IVF-PQ recovers planted near-duplicates through cells + ADC + rerank") {
     // same planted fixture as the multi-probe contract (cosine ≈ 0.997
     // partner per query): the partner must survive the whole IVF-PQ
