@@ -60,8 +60,8 @@ object Bench {
     "timeseries_seasonal_anomaly", "events_ltv_cohort",
     "stats_power_sample_size", "text_style_similarity",
     "timeseries_crosscorr",
-    // round-11 addition
-    "dedup_semantic")
+    // round-11 additions
+    "dedup_semantic", "corpus_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

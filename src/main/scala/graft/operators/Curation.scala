@@ -419,7 +419,106 @@ object Curation {
       .select(col("rnk"), col("doc_id"), col("n_tokens"), col("q"))
   }
 
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED N-GRAM profile is, then
+    * keep the top slice — the published recipe for choosing
+    * pretraining data that matches a target distribution without
+    * training a model. Features are word unigrams + bigrams hashed
+    * into B = 512 buckets (the md5 idiom — reproducible across
+    * engines/runs); the target distribution is the `lang = 'en'`
+    * slice standing in for a curated target corpus.
+    *
+    * EXACTNESS over log-linearity: literal DSIR weights are
+    * Σ n_b·(ln p_t[b] − ln p_r[b]); `ln` is the one primitive with no
+    * cross-engine bit guarantee (JVM Math.log intrinsics may differ
+    * from libm by an ulp, enough to flip a quantization floor). This
+    * variant scores with Laplace-smoothed RELATIVE-FREQUENCY
+    * differences instead: per bucket
+    * λ_q = q9((n_t+1)/(D_t+B)) − q9((n_r+1)/(D_r+B)) (one exact double
+    * division each, quantized to 1e-9 BIGINTs), and a document scores
+    * Σ n_b·λ_q — an exact integer sum, so the whole ranking is
+    * bit-deterministic and fully oracle-checked. Same monotone
+    * "up-weight buckets the target over-uses" structure; documented
+    * as the log-free variant.
+    *
+    * Scale: features collapse to a 512-row bucket relation (map-side
+    * combinable counts); λ broadcasts; the per-doc score is one
+    * grouped exact-int sum — no shuffle beyond the feature hash-agg,
+    * no model, no driver state beyond the 512-row λ. */
+  private def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val b = 512
+    val feats = fanout(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("t"),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType) % b).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val tot = counts.agg(sum(col("n_r")).as("d_r"), sum(col("n_t")).as("d_t"))
+    def q9(n: Column, d: Column): Column =
+      floor(n.cast("double") / d.cast("double") * lit(1000000000.0) + lit(0.5))
+        .cast(LongType)
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (q9(col("n_t") + 1L, col("d_t") + b) -
+          q9(col("n_r") + 1L, col("d_r") + b)).as("lam_q"))
+    feats.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
+        sum(col("lam_q")).as("score_q"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        (col("score_q").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_dsir_select", Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        | f AS (
+        |  SELECT doc_id, lang,
+        |   unnest(t || list_transform(range(1, len(t)),
+        |     i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM d),
+        | fb AS (
+        |  SELECT doc_id, lang,
+        |   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM f),
+        | c AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_r,
+        |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+        |  FROM fb GROUP BY 1),
+        | tot AS (
+        |  SELECT CAST(sum(n_r) AS BIGINT) AS d_r,
+        |   CAST(sum(n_t) AS BIGINT) AS d_t FROM c),
+        | lam AS (
+        |  SELECT b,
+        |   CAST(floor(CAST(n_t + 1 AS DOUBLE) / CAST(d_t + 512 AS DOUBLE)
+        |     * 1000000000.0 + 0.5) AS BIGINT)
+        |   - CAST(floor(CAST(n_r + 1 AS DOUBLE) / CAST(d_r + 512 AS DOUBLE)
+        |     * 1000000000.0 + 0.5) AS BIGINT) AS lam_q
+        |  FROM c, tot),
+        | s AS (
+        |  SELECT doc_id, max(lang) AS lang,
+        |   CAST(count(*) AS BIGINT) AS n_feats,
+        |   CAST(sum(lam_q) AS BIGINT) AS score_q
+        |  FROM fb JOIN lam USING (b) GROUP BY 1)
+        |SELECT doc_id, lang, n_feats,
+        | CAST(score_q AS DOUBLE) / 1000000000.0 AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+      corpusDsirSelect),
+
     QueryDef("sample_negatives", Some(
       """WITH np AS (SELECT count(*) AS p FROM part),
         | purchased AS (

@@ -1276,4 +1276,23 @@ class InvariantSpec extends AnyFunSuite {
         s"decile ${r.getLong(0)}: lift $lift inconsistent with rate $rate")
     }
   }
+
+  test("corpus_dsir_select: the top slice is enriched in the target language") {
+    // the oracle proves the VALUES; this proves the MEANING — hashed
+    // importance scoring must rank target-like (en) documents up.
+    // Base rate is ~20% (5 langs), so a broken scorer lands ~10/50;
+    // measured 34/50 at sf0.01 — floor asserted with headroom after
+    // measuring at the test SF (printed below).
+    val rows = q("corpus_dsir_select").collect()
+    assert(rows.length == 50)
+    val en = rows.count(_.getString(1) == "en")
+    info(s"target-language docs in top-50: $en")
+    assert(en >= 20,
+      s"DSIR selection not enriched: only $en/50 target-language docs " +
+        "(random baseline ~10)")
+    // scores must be sorted the way the contract says
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top slice not ordered by descending score")
+  }
 }
