@@ -276,6 +276,75 @@ object StreamingOps {
       bands.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
     }
 
+  /** Semantic-dedup-on-ingest — the streaming twin of
+    * `dedup_semantic` (SemDeDup, round 11): each micro-batch of
+    * (vec_id, embedding) rows is routed to its Lloyd cell by the
+    * broadcast batch-trained model (the [[kmeansAssign]] per-row
+    * argmin), cosine-compared against (a) the PERSISTED cell-mates
+    * ingested before it and (b) its own lower-id batch-mates, and
+    * dropped iff any lower-id cell-mate reaches τ. The index stores
+    * EVERY ingested vector, not only kept ones — the batch rule drops
+    * against any lower-id neighbor regardless of that neighbor's own
+    * verdict, so parity demands the identical comparison set. Both
+    * the verdict stream and the index contribution are
+    * epoch-addressed (a replayed batch overwrites, never
+    * double-inserts — the [[sinkEpochParquet]] exactly-once
+    * discipline). With id-ordered arrival the verdict stream equals
+    * the batch `dedup_semantic` output EXACTLY
+    * (StreamBatchParitySpec); out-of-order arrival degrades
+    * gracefully to "first-seen wins", the honest streaming semantics.
+    *
+    * Scale: per batch the work is O(batch × cell-mates) keyed
+    * equi-joins — the same Σ|cell|² bound as the batch op, amortized
+    * over ingestion; the model is k×dim literals, no driver state. */
+  def semanticDedupIngest(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+      indexDir: String, outDir: String, tau: Double = 0.375):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      import graft.operators.Similarity.dotLambda
+      val spark = batch.sparkSession
+      val ec = col("e")
+      val scored = cents.sortBy(_._1).map { case (cid, c) =>
+        val cl = array(c.map(lit): _*)
+        struct(
+          (dotLambda(ec, ec) - lit(2.0) * dotLambda(ec, cl)
+            + dotLambda(cl, cl)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      val cur = batch.toDF()
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+        .select(col("vec_id"), col("e"),
+          element_at(array_sort(array(scored: _*)), 1).getField("cid").as("cell"))
+        .withColumn("nrm", sqrt(dotLambda(col("e"), col("e"))))
+        .localCheckpoint()
+      val idx = new java.io.File(indexDir)
+      val histEpochs = if (idx.isDirectory)
+        idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch=")
+          && f.getName != s"epoch=$epochId").map(_.getPath) else Array.empty[String]
+      def cs(a: String, b: String) =
+        graft.Parity.r6(dotLambda(col(s"$a.e"), col(s"$b.e")) /
+          (col(s"$a.nrm") * col(s"$b.nrm")))
+      val vsBatch = cur.as("a").join(cur.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("bid"), cs("a", "b").as("cs"))
+      val cands = if (histEpochs.isEmpty) vsBatch else {
+        val hist = spark.read.parquet(histEpochs.toIndexedSeq: _*)
+        vsBatch.unionByName(
+          cur.as("n").join(hist.as("h"),
+              col("n.cell") === col("h.cell") && col("h.vec_id") < col("n.vec_id"))
+            .select(col("n.vec_id").as("bid"), cs("h", "n").as("cs")))
+      }
+      val nn = cands.groupBy(col("bid")).agg(max(col("cs")).as("nn_sim"))
+      cur.select(col("vec_id"), col("cell"))
+        .join(nn, col("vec_id") === col("bid"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_sim"),
+          (col("nn_sim").isNull || col("nn_sim") < tau).as("keep"))
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      cur.select(col("vec_id"), col("e"), col("cell"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+    }
+
   /** Tokenize-on-ingest: the batch `text_bpe_tokenize` projection
     * (graft.operators.TextOps.bpeTokenizeCols) applied UNCHANGED to a
     * streaming document source — per doc, whitespace token count,

@@ -489,4 +489,47 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream-only ${(streamed -- batch).take(3)}, " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  final case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+  test("semantic dedup on ingest equals batch dedup_semantic on the replayed corpus") {
+    // SemDeDup parity: stream the embedding corpus in id-ordered
+    // micro-batches through semanticDedupIngest (persisted cell index
+    // + within-batch pairing) — the verdict stream must equal the
+    // batch dedup_semantic output EXACTLY: the streamed argmin uses
+    // the same model doubles as literals, dist/cosine are the same
+    // sequential folds, and the index keeps every ingested vector so
+    // the comparison set matches the batch lower-id rule.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val model = graft.operators.Similarity.kmeansModel(spark2, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_semdedup_${System.nanoTime()}"
+    val ms = MemoryStream[VecRow]
+    val q = StreamingOps.semanticDedupIngest(ms.toDF(), model,
+        s"$base/idx", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val rows = Tables.embeddings(spark2, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_.vec_id)
+    rows.grouped(180).foreach { chunk =>
+      ms.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    val streamed = spark2.read.parquet(s"$base/out/epoch=*")
+      .collect().map(canon).toSet
+    val batch = SparkEntry.queries("dedup_semantic")(spark2, TestSpark.sf)
+      .collect().map(canon).toSet
+    assert(streamed.size == rows.length, "one verdict per ingested vector")
+    assert(streamed == batch,
+      s"semantic dedup on ingest diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
