@@ -480,7 +480,46 @@ object Curation {
       .limit(50)
   }
 
+  /** Temperature-scaled source mixture (the multilingual-sampling
+    * recipe from XLM-R and friends): up-weight small sources by
+    * sampling ∝ p_s^α instead of p_s. α = 0.5 deliberately — the one
+    * temperature whose power is `sqrt`, the libm primitive with
+    * proven cross-engine bit parity (ln/pow have none, the
+    * corpus_dsir_select rule). Per-source √n is quantized to 1e-9
+    * BIGINTs before the normalizer sum (20 doubles would otherwise
+    * sum in partition order), so weights are exact ratios and the
+    * per-million allocation is bit-deterministic — fully
+    * oracle-checked. Scale: a |sources|-row metadata relation from
+    * one combinable count. */
+  private def corpusTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000000.0) + lit(0.5))
+          .cast(LongType).as("s_q"))
+    val z = counts.agg(sum(col("s_q")).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        (col("s_q").cast("double") / col("z").cast("double")).as("weight"),
+        floor(col("s_q").cast("double") / col("z").cast("double")
+          * lit(1000000.0)).cast(LongType).as("docs_per_million"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_temperature_mix", Some(
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000.0 + 0.5)
+        |     AS BIGINT) AS s_q
+        |  FROM documents GROUP BY 1),
+        | z AS (SELECT CAST(sum(s_q) AS BIGINT) AS z FROM c)
+        |SELECT source, n_docs,
+        | CAST(s_q AS DOUBLE) / CAST(z AS DOUBLE) AS weight,
+        | CAST(floor(CAST(s_q AS DOUBLE) / CAST(z AS DOUBLE) * 1000000.0)
+        |   AS BIGINT) AS docs_per_million
+        |FROM c, z ORDER BY source""".stripMargin), corpusTemperatureMix),
+
     QueryDef("corpus_dsir_select", Some(
       """WITH d AS (
         |  SELECT doc_id, lang,

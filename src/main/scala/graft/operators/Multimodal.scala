@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Parity, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -548,6 +548,64 @@ object Multimodal {
     out.toSeq
   }
 
+  /** EMBEDDING-DISTRIBUTION drift screen (round 11) — the vector-space
+    * sibling of `profile_distribution_drift`: before trusting a new
+    * corpus snapshot (or a re-embedded corpus), compare the
+    * per-DIMENSION value distributions of two slices (here an md5
+    * half-split standing in for snapshot A/B) and rank dimensions by
+    * total-variation distance over a 16-bin histogram. TV instead of
+    * PSI/KL deliberately: those need `ln`, the one primitive with no
+    * cross-engine bit guarantee (the corpus_dsir_select precedent);
+    * TV over Laplace-smoothed 1e-9-quantized bin frequencies is an
+    * exact integer sum, so the whole screen is oracle-checked.
+    * Bins with zero mass on BOTH sides drop out of the grouped
+    * relation identically in both engines (their smoothed
+    * contribution would be the same constant); per-dim ranges come
+    * from exact global min/max, with a degenerate (hi == lo)
+    * dimension pinned to bin 0.
+    *
+    * Scale: the corpus collapses to a (dim, bin) relation — ≤ 64×16
+    * metadata rows — via one combinable hash-agg over posexploded
+    * values; ranges are 64 rows broadcast back; nothing quadratic,
+    * no window over data. */
+  private def mmEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val b = 16
+    val base = fanout(embeddings(spark, dir))
+      .select(
+        (conv(substring(md5(concat(lit("dr:"), col("vec_id").cast(StringType))),
+          1, 8), 16, 10).cast(LongType) % 2).as("side"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val vals = base.select(col("side"), posexplode(col("e")).as(Seq("dim", "x")))
+    val rng = vals.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val binned = vals.join(broadcast(rng), "dim")
+      .select(col("side"), col("dim"),
+        when(col("hi") > col("lo"),
+          least(lit(b - 1.0),
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * b)))
+          .otherwise(lit(0.0)).cast(LongType).as("bin"))
+    val cnt = binned.groupBy(col("dim"), col("bin")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    // side totals are dimension-independent (every vector contributes
+    // one value per dimension) — one scalar row, broadcast
+    val tot = base.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("t_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("t_b"))
+    def q9(n: Column, d: Column): Column =
+      floor(n.cast("double") / d.cast("double") * lit(1000000000.0) + lit(0.5))
+        .cast(LongType)
+    cnt.crossJoin(broadcast(tot))
+      .select(col("dim"),
+        abs(q9(col("n_a") + 1L, col("t_a") + b) -
+          q9(col("n_b") + 1L, col("t_b") + b)).as("d_q"))
+      .groupBy(col("dim"))
+      .agg(sum(col("d_q")).as("tv_q"))
+      .select(col("dim").cast(LongType).as("dim"),
+        (col("tv_q").cast("double") / lit(1000000000.0) / lit(2.0)).as("tv"))
+      .orderBy(col("tv").desc, col("dim"))
+  }
+
   /** Binary metadata extraction — oracle-checked (byte length + hex
     * prefix are codec-independent). */
   private def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
@@ -817,6 +875,43 @@ object Multimodal {
         | count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS batch_bytes
         |FROM o GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin),
       mmBatchSchedule),
+
+    QueryDef("mm_embed_drift", Some(
+      """WITH base AS (
+        |  SELECT CAST(('0x' || substr(md5('dr:' || CAST(vec_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 2 AS side,
+        |   CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        | vals AS (
+        |  SELECT side, t.i - 1 AS dim, e[t.i] AS x
+        |  FROM base, generate_series(1, 64) AS t(i)),
+        | rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM vals GROUP BY 1),
+        | binned AS (
+        |  SELECT v.side, v.dim,
+        |   CAST(CASE WHEN r.hi > r.lo
+        |     THEN least(15.0, floor((v.x - r.lo) / (r.hi - r.lo) * 16))
+        |     ELSE 0.0 END AS BIGINT) AS bin
+        |  FROM vals v JOIN rng r ON v.dim = r.dim),
+        | cnt AS (
+        |  SELECT dim, bin,
+        |   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM binned GROUP BY 1, 2),
+        | tot AS (
+        |  SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+        |   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM base),
+        | d AS (
+        |  SELECT dim,
+        |   abs(CAST(floor(CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 16 AS DOUBLE)
+        |       * 1000000000.0 + 0.5) AS BIGINT)
+        |     - CAST(floor(CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 16 AS DOUBLE)
+        |       * 1000000000.0 + 0.5) AS BIGINT)) AS d_q
+        |  FROM cnt, tot)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        | CAST(sum(d_q) AS DOUBLE) / 1000000000.0 / 2.0 AS tv
+        |FROM d GROUP BY dim ORDER BY tv DESC, dim""".stripMargin),
+      mmEmbedDrift),
 
     QueryDef("mm_decode_stub", None, mmDecodeStub),
     QueryDef("mm_frame_sample", None, mmFrameSample),
