@@ -487,7 +487,12 @@ object Multimodal {
   private[graft] def decodeAviFrames(docs: Dataset[MediaRow]): Dataset[FrameMeta] = {
     import docs.sparkSession.implicits._
     docs.flatMap { r =>
-      demuxMjpegAvi(r.payload).zipWithIndex.flatMap { case (jpeg, i) =>
+      // demux shares the frame decode's defensive posture: a payload
+      // that defeats the walk's own bounds checks yields no rows,
+      // never a task failure
+      val frames =
+        try demuxMjpegAvi(r.payload) catch { case _: Exception => Seq.empty[Array[Byte]] }
+      frames.zipWithIndex.flatMap { case (jpeg, i) =>
         try {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(jpeg))
@@ -518,33 +523,52 @@ object Multimodal {
     * '00dc'/'00db' chunks (compressed/uncompressed video frames) that
     * start with the JPEG SOI marker, anywhere under a RIFF-AVI tree.
     * All offsets are validated against the buffer — a lying size field
-    * terminates the walk instead of reading out of bounds. */
+    * terminates the walk instead of reading out of bounds. The descent
+    * is iterative with an explicit continuation stack: a crafted AVI
+    * can nest LIST chunks at ~12 bytes per level, so recursive descent
+    * would StackOverflow (an Error, outside the Exception contract) on
+    * a ~1 MB blob — the stack keeps depth O(1) in JVM frames while
+    * preserving the in-order frame sequence. */
   private[graft] def demuxMjpegAvi(b: Array[Byte]): Seq[Array[Byte]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def u32(o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-    def walk(start: Int, end: Int): Unit = {
-      var o = start
-      var ok = true
-      while (ok && o + 8 <= end) {
-        val id = new String(b, o, 4, "ISO-8859-1")
-        val size = u32(o + 4)
-        val data = o + 8
-        if (size > end - data) ok = false // lying/truncated size → stop
-        else {
-          val sz = size.toInt
-          if (id == "LIST" && sz >= 4) walk(data + 4, data + sz)
-          else if ((id == "00dc" || id == "00db") && sz >= 2 &&
-            (b(data) & 0xff) == 0xff && (b(data + 1) & 0xff) == 0xd8)
-            out += java.util.Arrays.copyOfRange(b, data, data + sz)
-          o = data + sz + (sz & 1) // RIFF chunks are word-aligned
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') {
+      var o = 12
+      var end = math.min(b.length.toLong, 8L + u32(4)).toInt
+      // (resume-offset, resume-end) continuations of enclosing levels
+      var stack: List[(Int, Int)] = Nil
+      var more = true
+      while (more) {
+        var ok = true
+        while (ok && o + 8 <= end) {
+          val id = new String(b, o, 4, "ISO-8859-1")
+          val size = u32(o + 4)
+          val data = o + 8
+          if (size > end - data) ok = false // lying/truncated size → stop this level
+          else {
+            val sz = size.toInt
+            val next = data + sz + (sz & 1) // RIFF chunks are word-aligned
+            if (id == "LIST" && sz >= 4) {
+              stack = (next, end) :: stack // resume here after the subtree
+              o = data + 4
+              end = data + sz
+            } else {
+              if ((id == "00dc" || id == "00db") && sz >= 2 &&
+                (b(data) & 0xff) == 0xff && (b(data + 1) & 0xff) == 0xd8)
+                out += java.util.Arrays.copyOfRange(b, data, data + sz)
+              o = next
+            }
+          }
+        }
+        stack match {
+          case (ro, re) :: rest => o = ro; end = re; stack = rest
+          case Nil              => more = false
         }
       }
     }
-    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
-      walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
     out.toSeq
   }
 
@@ -558,11 +582,17 @@ object Multimodal {
     * cross-engine bit guarantee (the corpus_dsir_select precedent);
     * TV over Laplace-smoothed 1e-9-quantized bin frequencies is an
     * exact integer sum, so the whole screen is oracle-checked.
-    * Bins with zero mass on BOTH sides drop out of the grouped
-    * relation identically in both engines (their smoothed
-    * contribution would be the same constant); per-dim ranges come
-    * from exact global min/max, with a degenerate (hi == lo)
-    * dimension pinned to bin 0.
+    * The metric is precisely "TV over OBSERVED bins": a (dim, bin)
+    * pair with zero mass on both sides never enters the grouped
+    * relation, so its smoothed contribution |1/(t_a+16) − 1/(t_b+16)|
+    * (nonzero when the side totals differ) is omitted — both engines
+    * omit it identically, so parity holds, but a dimension with many
+    * empty bins has its TV very slightly understated relative to a
+    * densified 16-bin grid. Accepted: empty-both-sides bins carry no
+    * drift evidence, and the omitted term is ≤ 16·|t_a−t_b|/(t_a·t_b),
+    * vanishing as the slices balance. Per-dim ranges come from exact
+    * global min/max, with a degenerate (hi == lo) dimension pinned to
+    * bin 0.
     *
     * Scale: the corpus collapses to a (dim, bin) relation — ≤ 64×16
     * metadata rows — via one combinable hash-agg over posexploded

@@ -18,6 +18,25 @@ import scala.collection.mutable
   */
 object StreamingOps {
 
+  /** Epoch-history discovery for the ingest-index sinks, resolved
+    * through the Hadoop FileSystem API so the index may live on ANY
+    * filesystem the sink family accepts (local, HDFS, S3A, …). A
+    * driver-local `java.io.File` listing would silently resolve to
+    * empty on a remote path — every vector would then be kept against
+    * prior epochs, a silent correctness degradation rather than an
+    * error. Excludes the current epoch so a replayed batch never
+    * probes its own (about-to-be-overwritten) contribution. */
+  private def historyEpochs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, epochId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+        st.getPath.getName != s"epoch=$epochId")
+      .map(_.getPath.toString)
+  }
+
   /** Tumbling 1 h counts per event type with a watermark: late events
     * older than the watermark are dropped, completed windows are
     * emitted (append mode) once the watermark passes window end. */
@@ -254,10 +273,7 @@ object StreamingOps {
       val stable = batch.toDF().localCheckpoint()
       val bands = graft.operators.Dedup.bandsOf(
         graft.operators.Dedup.signatureOf(stable)).localCheckpoint()
-      val idx = new java.io.File(indexDir)
-      val histEpochs = if (idx.isDirectory)
-        idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch=")
-          && f.getName != s"epoch=$epochId").map(_.getPath) else Array.empty[String]
+      val histEpochs = historyEpochs(spark, indexDir, epochId)
       val vsHist = if (histEpochs.isEmpty) None else Some {
         val hist = spark.read.parquet(histEpochs.toIndexedSeq: _*)
         bands.as("n").join(hist.as("h"),
@@ -318,10 +334,7 @@ object StreamingOps {
           element_at(array_sort(array(scored: _*)), 1).getField("cid").as("cell"))
         .withColumn("nrm", sqrt(dotLambda(col("e"), col("e"))))
         .localCheckpoint()
-      val idx = new java.io.File(indexDir)
-      val histEpochs = if (idx.isDirectory)
-        idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch=")
-          && f.getName != s"epoch=$epochId").map(_.getPath) else Array.empty[String]
+      val histEpochs = historyEpochs(spark, indexDir, epochId)
       def cs(a: String, b: String) =
         graft.Parity.r6(dotLambda(col(s"$a.e"), col(s"$b.e")) /
           (col(s"$a.nrm") * col(s"$b.nrm")))
