@@ -52,6 +52,7 @@ object AnnRecall {
       .getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBenignLogs()
     val m = measure(spark, sfDir)
     val variants = Variants.map { v =>
       val (r, n) = m(v)

@@ -7,6 +7,7 @@ object QSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBenignLogs()
     for (q <- args.tail) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, args(0))

@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBenignLogs()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
