@@ -1207,6 +1207,18 @@ object Statistics {
   private def statsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // MATERIALIZATION TRIED AND MEASURED (round 12): the five phases
+    // below re-consume this 4-column projection ~6 times, so the
+    // obvious move is to materialize it once. Measured warm at sf0.1
+    // (QSmoke, 3 runs): plain re-scans 2.8-3.0 s; localCheckpoint
+    // 3.6-4.1 s; fanout+localCheckpoint 4.3-4.9 s; Dataset .cache()
+    // 3.7-4.3 s — every replay variant LOSES to re-reading the
+    // vectorized, column-pruned parquet locally, because the wall time
+    // here is job/collect barriers and windows, not the (sub-0.2 s)
+    // scans. Keeping the declarative scans: on a cluster where the
+    // projected fact slice is expensive to re-read, callers cache the
+    // source relation at the session level; cold-JVM latency is the
+    // bench warm-up's job (recorded as warmup_s since round 12).
     val li = lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("v"))
