@@ -761,10 +761,14 @@ object Similarity {
   /** The TRAINED centroid relation (cid, c) after the two Lloyd rounds
     * — the "model" the streaming assign-on-ingest twin scores against
     * (StreamingOps.kmeansAssign; parity-tested in
-    * StreamBatchParitySpec). */
-  private[graft] def kmeansModel(spark: SparkSession, dir: String): DataFrame = {
+    * StreamBatchParitySpec). `k` is the cell count (round 12: lifted
+    * out of the hardcoded 4 so [[dedupSemanticAt]] can follow the
+    * SemDeDup k-grows-with-corpus rule; the oracle fixtures stay at
+    * their pinned k). */
+  private[graft] def kmeansModel(spark: SparkSession, dir: String,
+      k: Int = 4): DataFrame = {
     val v = kmeansVecs(spark, dir)
-    val c0 = v.orderBy(col("vec_id")).limit(4)
+    val c0 = v.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
       .select(col("cid"), col("e").as("c"))
@@ -773,8 +777,9 @@ object Similarity {
 
   /** The final (third) assignment relation — batch truth for the
     * streaming twin's parity check. */
-  private[graft] def kmeansFinalAssign(spark: SparkSession, dir: String): DataFrame =
-    kmeansAssign(kmeansVecs(spark, dir), kmeansModel(spark, dir))
+  private[graft] def kmeansFinalAssign(spark: SparkSession, dir: String,
+      k: Int = 4): DataFrame =
+    kmeansAssign(kmeansVecs(spark, dir), kmeansModel(spark, dir, k))
 
   /** Product-quantizer codebook TRAINING with a real oracle — the
     * oracle-checked twin of the k-means [[trainedCentroids]] path
@@ -830,10 +835,16 @@ object Similarity {
     *
     * Scale: at 100 TB, k grows with the corpus (SemDeDup used 50k
     * cells for LAION) keeping cells bounded; the pair join stays
-    * cell-local and the keep rule is one grouped max + one left join. */
-  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.375
-    val a = kmeansFinalAssign(spark, dir)
+    * cell-local and the keep rule is one grouped max + one left join.
+    * Since round 12 that rule is CODE, not prose: [[semanticK]] derives
+    * k from the corpus size, [[dedupSemanticAuto]] applies it, and
+    * InvariantSpec pins the Σ|cell|² ≤ c·N²/k quadratic-work contract
+    * at k=64 on the sf0.1 fixture; the two registered oracle rows
+    * (k=4 and k=16) prove the whole pipeline hash-exact at two cell
+    * counts. */
+  private[graft] def dedupSemanticAt(spark: SparkSession, dir: String,
+      k: Int, tau: Double = 0.375): DataFrame = {
+    val a = kmeansFinalAssign(spark, dir, k)
       .select(col("vec_id"), col("e"), col("cid"),
         sqrt(dotLambda(col("e"), col("e"))).as("nrm"))
     val l = a.select(col("cid"), col("vec_id").as("aid"), col("e").as("ae"),
@@ -851,6 +862,28 @@ object Similarity {
         (col("nn_sim").isNull || col("nn_sim") < tau).as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticAt(spark, dir, 4)
+
+  /** The SemDeDup cell-count rule as a function of corpus size: enough
+    * cells that the MEAN cell holds ~`targetCell` vectors, floored at
+    * 4 (the fixture scale) — k = max(4, ⌈n / targetCell⌉). SemDeDup
+    * itself ran 50k cells over ~400M LAION embeddings (~8k per cell),
+    * which is the default target here. Under balanced cells the pair
+    * join costs Σ|cell|² ≈ n·targetCell — LINEAR in the corpus for a
+    * fixed target, which is the whole point of the rule: a pinned k
+    * would degrade toward n²/k as the corpus grows. */
+  private[graft] def semanticK(n: Long, targetCell: Long = 8192L): Int =
+    math.min(math.max((n + targetCell - 1) / targetCell, 4L), 1L << 20).toInt
+
+  /** [[dedupSemanticAt]] with k derived from the corpus via
+    * [[semanticK]] — one count() of the embedding relation (metadata
+    * from the parquet footers), then the cell-bounded pipeline. */
+  private[graft] def dedupSemanticAuto(spark: SparkSession, dir: String,
+      targetCell: Long = 8192L): DataFrame =
+    dedupSemanticAt(spark, dir,
+      semanticK(embeddings(spark, dir).count(), targetCell))
 
   private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val a3 = kmeansFinalAssign(spark, dir)
@@ -1418,54 +1451,65 @@ object Similarity {
 
     // SemDeDup, fully oracle-checked: the cluster_kmeans Lloyd chain
     // routes every vector to its cell; in-cell cosines + the
-    // keep-the-first rule re-derive in SQL (round 11)
-    QueryDef("dedup_semantic", Some {
-      def assignCte(src: String, cents: String, out: String) =
-        s""" $out AS (
-           |  SELECT vec_id, e, cid FROM (
-           |   SELECT vec_id, e, cid,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           |   FROM (
-           |    SELECT $src.vec_id, $src.e, c.cid,
-           |     list_inner_product($src.e, $src.e)
-           |       - 2.0 * list_inner_product($src.e, c.c)
-           |       + list_inner_product(c.c, c.c) AS dist
-           |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
-      def updateCte(src: String, sums: String, cents: String) =
-        s""" $sums AS (
-           |  SELECT cid, t.i AS i,
-           |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
-           |   CAST(count(*) AS BIGINT) AS cnt
-           |  FROM $src, generate_series(1, 64) AS t(i)
-           |  GROUP BY 1, 2),
-           | $cents AS (
-           |  SELECT cid,
-           |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
-           |     ORDER BY i) AS c
-           |  FROM $sums GROUP BY 1)""".stripMargin
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         | c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-         |   e AS c
-         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)),
-         |${assignCte("v", "c0", "a1")},
-         |${updateCte("a1", "u1", "c1")},
-         |${assignCte("v", "c1", "a2")},
-         |${updateCte("a2", "u2", "c2")},
-         |${assignCte("v", "c2", "a3")},
-         | n AS (
-         |  SELECT vec_id, e, cid, sqrt(list_inner_product(e, e)) AS nrm FROM a3),
-         | p AS (
-         |  SELECT b.vec_id AS bid,
-         |   floor(list_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000
-         |     + 0.5) / 1000000 AS cs
-         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         | nn AS (SELECT bid, max(cs) AS nn_sim FROM p GROUP BY 1)
-         |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cell, nn.nn_sim,
-         | (nn.nn_sim IS NULL OR nn.nn_sim < 0.375) AS keep
-         |FROM n LEFT JOIN nn ON n.vec_id = nn.bid
-         |ORDER BY n.vec_id""".stripMargin
-    }, dedupSemantic)
+    // keep-the-first rule re-derive in SQL (round 11). Registered at
+    // TWO cell counts (round 12): k=4 (the original fixture) and k=16
+    // (the scale-parameterized path — more cells, smaller cells, the
+    // direction semanticK pushes as the corpus grows).
+    QueryDef("dedup_semantic", Some(semanticOracleSql(4)), dedupSemantic),
+    QueryDef("dedup_semantic_k16", Some(semanticOracleSql(16)),
+      (s, d) => dedupSemanticAt(s, d, 16))
   )
+
+  /** DuckDB re-derivation of [[dedupSemanticAt]] at cell count `k`:
+    * the cluster_kmeans Lloyd chain (k lowest-vec_id init, two
+    * quantized update rounds), cell routing, in-cell cosines, and the
+    * keep-the-first rule. */
+  private def semanticOracleSql(k: Int): String = {
+    def assignCte(src: String, cents: String, out: String) =
+      s""" $out AS (
+         |  SELECT vec_id, e, cid FROM (
+         |   SELECT vec_id, e, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM (
+         |    SELECT $src.vec_id, $src.e, c.cid,
+         |     list_inner_product($src.e, $src.e)
+         |       - 2.0 * list_inner_product($src.e, c.c)
+         |       + list_inner_product(c.c, c.c) AS dist
+         |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
+    def updateCte(src: String, sums: String, cents: String) =
+      s""" $sums AS (
+         |  SELECT cid, t.i AS i,
+         |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+         |   CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $src, generate_series(1, 64) AS t(i)
+         |  GROUP BY 1, 2),
+         | $cents AS (
+         |  SELECT cid,
+         |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+         |     ORDER BY i) AS c
+         |  FROM $sums GROUP BY 1)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       | c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |   e AS c
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)),
+       |${assignCte("v", "c0", "a1")},
+       |${updateCte("a1", "u1", "c1")},
+       |${assignCte("v", "c1", "a2")},
+       |${updateCte("a2", "u2", "c2")},
+       |${assignCte("v", "c2", "a3")},
+       | n AS (
+       |  SELECT vec_id, e, cid, sqrt(list_inner_product(e, e)) AS nrm FROM a3),
+       | p AS (
+       |  SELECT b.vec_id AS bid,
+       |   floor(list_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000
+       |     + 0.5) / 1000000 AS cs
+       |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       | nn AS (SELECT bid, max(cs) AS nn_sim FROM p GROUP BY 1)
+       |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cell, nn.nn_sim,
+       | (nn.nn_sim IS NULL OR nn.nn_sim < 0.375) AS keep
+       |FROM n LEFT JOIN nn ON n.vec_id = nn.bid
+       |ORDER BY n.vec_id""".stripMargin
+  }
 }

@@ -1295,4 +1295,47 @@ class InvariantSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "top slice not ordered by descending score")
   }
+
+  test("semanticK follows the SemDeDup corpus-growth rule") {
+    import graft.operators.Similarity.semanticK
+    // fixture scales stay at the k=4 floor (oracle rows unchanged) …
+    assert(semanticK(500) == 4)
+    assert(semanticK(2000) == 4)
+    // … and k grows linearly with the corpus at the 8k/cell target:
+    // SemDeDup's own operating point (~400M LAION → ~50k cells)
+    assert(semanticK(400L * 1000 * 1000) == 48829)
+    assert(semanticK(100L * 1000 * 1000 * 1000) == (1 << 20),
+      "cell count must cap, not overflow, at absurd corpus sizes")
+    // the rule is monotone: more corpus never means fewer cells
+    val ks = Seq(1L, 10000L, 100000L, 10000000L, 1000000000L).map(semanticK(_))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("dedup_semantic quadratic-work contract: sum of cell^2 <= 2 N^2/k at k=64") {
+    // The 100 TB story in code: semantic dedup's pair join costs
+    // Σ|cell|², and the SemDeDup rule keeps that ~N²/k by growing k
+    // with the corpus. Train the REAL quantized Lloyd at k=64 on the
+    // sf0.1 embeddings (n=2000) and assert the measured cell layout
+    // stays within 2× of the perfectly-balanced floor. Measured at
+    // round 12: ratio 1.025 (sf0.1, k=64) / 1.128 (sf0.01, k=64) —
+    // the 2× ceiling has >40% headroom over the worst measured point.
+    // N²/k is also asserted as the mathematical floor so a broken
+    // size accounting can't vacuously pass.
+    if (!new java.io.File("/root/testdata/sf0.1").isDirectory)
+      cancel("/root/testdata/sf0.1 not present in this environment")
+    val k = 64
+    val sizes = graft.operators.Similarity
+      .kmeansFinalAssign(spark, "/root/testdata/sf0.1", k)
+      .groupBy(org.apache.spark.sql.functions.col("cid")).count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum
+    val sumSq = sizes.map(c => c * c).sum.toDouble
+    val floor = n.toDouble * n / k
+    info(f"n=$n cells=${sizes.length} sum_sq=$sumSq%.0f floor=$floor%.0f ratio=${sumSq / floor}%.3f")
+    assert(n == 2000L, s"unexpected corpus size $n")
+    assert(sumSq >= floor, "sum of squares below the mathematical floor — accounting bug")
+    assert(sumSq <= 2.0 * floor,
+      f"cell imbalance: sum|cell|²=$sumSq%.0f exceeds 2·N²/k=${2 * floor}%.0f — " +
+        "the cell-bounded cost argument no longer holds")
+  }
 }
