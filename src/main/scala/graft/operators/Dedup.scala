@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -348,7 +348,11 @@ object Dedup {
 
   /** Content-defined chunk fingerprints via the codegen'd rolling hash:
     * boundaries where `hash & 63 == 0` (expected chunk ≈ 64 bytes) —
-    * shift-resistant dedup units. Hash is Spark-only ⇒ rows-only. */
+    * shift-resistant dedup units. Fully oracle-checked since round 12:
+    * DuckDB re-derives every mod-2⁶⁴ window hash through the HUGEINT
+    * wrapping recipe ([[graft.Parity.wrappedPowers]]), and
+    * `(h & 63) == 0` on the signed Long is exactly `hu % 64 == 0` on
+    * the unsigned value. */
   private def dedupRollingChunks(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.RollingHash.register(spark)
     fanout(documents(spark, dir))
@@ -1090,7 +1094,35 @@ object Dedup {
         |    AND a.block = b.block AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY hamming, doc_a, doc_b""".stripMargin), dedupSimhashPairs),
-    QueryDef("dedup_rolling_chunks", None, dedupRollingChunks),
+    // Full oracle since round 12 via the HUGEINT wrapping-mod-2^64
+    // recipe (Parity.wrappedPowers): each 16-byte window hash is the
+    // exact polynomial sum of '0x'-cast bytes times PRE-WRAPPED
+    // coefficients, reduced once mod 2^64 — byte-for-byte the value
+    // Spark's natural Long overflow produces.
+    QueryDef("dedup_rolling_chunks", Some {
+      val terms = Parity.wrappedPowers(1000003L, 16).zipWithIndex
+        .map { case (c, j) => Parity.hashTerm("hx", j, c) }
+        .mkString("\n     + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |   CAST(octet_length(encode(text)) AS BIGINT) AS len
+         |  FROM documents),
+         | w AS (
+         |  SELECT doc_id,
+         |   ($terms) % 18446744073709551616 AS hu
+         |  FROM d, unnest(generate_series(1, len - 15)) AS t(i)
+         |  WHERE len >= 16),
+         | g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |   CAST(sum(CASE WHEN hu % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_boundaries
+         |  FROM w GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(COALESCE(g.n_windows, 0) AS BIGINT) AS n_windows,
+         | CAST(COALESCE(g.n_boundaries, 0) AS BIGINT) AS n_boundaries
+         |FROM d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }, dedupRollingChunks),
 
     QueryDef("dedup_ngram_jaccard", Some(
       """WITH tk AS (

@@ -850,6 +850,49 @@ object Multimodal {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB re-derivation of [[mmSimhashCore]] up to a CTE
+    * `sgn(doc_id, fu, simhash)`: byte 4-gram window hashes via the
+    * HUGEINT wrapping-mod-2⁶⁴ recipe ([[graft.Parity.wrappedPowers]]),
+    * then the SimHashAgg vote as 64 exact bit-count sums (bit j of
+    * the fingerprint is set iff `2·count_set(j) > n`, which is the
+    * aggregate's `Σ(2·bit−1) > 0`), packed unsigned (`fu`) and
+    * re-signed to Spark's Long (`simhash`). Shared by the mm_simhash
+    * and mm_simhash_pairs oracles. */
+  private lazy val simhashFingerprintSql: String = {
+    val terms = Parity.wrappedPowers(1000003L, 4).zipWithIndex
+      .map { case (c, j) => Parity.hashTerm("hx", j, c) }
+      .mkString("\n     + ")
+    def pow2(j: Int): String = java.lang.Long.toUnsignedString(1L << j)
+    val bitSums = (0 until 64).map { j =>
+      s"   CAST(sum(CAST((hu // CAST('${pow2(j)}' AS HUGEINT)) % 2 AS BIGINT)) AS BIGINT) AS s$j"
+    }.mkString(",\n")
+    val packTerms = (0 until 64).map { j =>
+      s"   CASE WHEN 2 * s$j > n THEN CAST('${pow2(j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n   + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |   CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       | w AS (
+       |  SELECT doc_id,
+       |   ($terms) % 18446744073709551616 AS hu
+       |  FROM d, unnest(generate_series(1, len - 3)) AS t(i)
+       |  WHERE len >= 4),
+       | g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |$bitSums
+       |  FROM w GROUP BY 1),
+       | f AS (
+       |  SELECT doc_id,
+       |  ($packTerms) AS fu
+       |  FROM g),
+       | sgn AS (
+       |  SELECT doc_id, fu,
+       |   CAST(CASE WHEN fu >= 9223372036854775808
+       |     THEN fu - 18446744073709551616 ELSE fu END AS BIGINT) AS simhash
+       |  FROM f)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_embed_quantize", Some(
       """WITH v AS (
@@ -945,7 +988,33 @@ object Multimodal {
 
     QueryDef("mm_decode_stub", None, mmDecodeStub),
     QueryDef("mm_frame_sample", None, mmFrameSample),
-    QueryDef("mm_simhash", None, mmSimhash),
-    QueryDef("mm_simhash_pairs", None, mmSimhashPairs)
+    // Full oracles since round 12: the byte-4-gram rolling hashes
+    // re-derive through the HUGEINT wrapping-mod-2^64 recipe
+    // (Parity.wrappedPowers), the SimHashAgg vote is 64 exact-integer
+    // bit sums (bit j set iff 2*count_set > n), and the fingerprint
+    // re-signs from unsigned HUGEINT to Spark's Long.
+    QueryDef("mm_simhash",
+      Some(simhashFingerprintSql +
+        "\nSELECT doc_id, simhash FROM sgn ORDER BY doc_id"),
+      mmSimhash),
+    QueryDef("mm_simhash_pairs",
+      Some(simhashFingerprintSql + s"""
+        |, blk AS (
+        |  SELECT doc_id, simhash,
+        |   CAST(t.b AS INT) AS block_idx,
+        |   CAST((fu // (CASE t.b WHEN 0 THEN CAST(1 AS HUGEINT)
+        |     WHEN 1 THEN 65536 WHEN 2 THEN 4294967296
+        |     ELSE 281474976710656 END)) % 65536 AS BIGINT) AS block
+        |  FROM sgn, generate_series(0, 3) AS t(b)),
+        | p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM blk a JOIN blk b
+        |   ON a.block_idx = b.block_idx AND a.block = b.block
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p
+        |WHERE hamming <= 3
+        |ORDER BY hamming, doc_a, doc_b""".stripMargin),
+      mmSimhashPairs)
   )
 }
