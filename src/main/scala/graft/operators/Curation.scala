@@ -446,9 +446,11 @@ object Curation {
     * combinable counts); λ broadcasts; the per-doc score is one
     * grouped exact-int sum — no shuffle beyond the feature hash-agg,
     * no model, no driver state beyond the 512-row λ. */
-  private def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+  /** The hashed n-gram feature stream behind [[corpusDsirSelect]] —
+    * one (doc_id, lang, bucket) row per unigram/bigram occurrence. */
+  private def dsirFeats(spark: SparkSession, dir: String): DataFrame = {
     val b = 512
-    val feats = fanout(documents(spark, dir))
+    fanout(documents(spark, dir))
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"),
         explode(concat(col("t"),
@@ -459,26 +461,43 @@ object Curation {
             .otherwise(array().cast("array<string>")))).as("f"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType) % b).as("b"))
-    val counts = feats.groupBy(col("b")).agg(
+  }
+
+  /** The TRAINED per-bucket importance relation (b, lam_q) — the DSIR
+    * "model" the batch selector joins and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.dsirScoreIngest]]) inlines as a
+    * ≤512-entry literal map. lam_q is the 1e-9-quantized smoothed
+    * frequency difference (see [[corpusDsirSelect]]'s log-free
+    * exactness note). */
+  private[graft] def dsirLambda(spark: SparkSession, dir: String): DataFrame = {
+    val b = 512
+    val counts = dsirFeats(spark, dir).groupBy(col("b")).agg(
       count(lit(1)).as("n_r"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
     val tot = counts.agg(sum(col("n_r")).as("d_r"), sum(col("n_t")).as("d_t"))
     def q9(n: Column, d: Column): Column =
       floor(n.cast("double") / d.cast("double") * lit(1000000000.0) + lit(0.5))
         .cast(LongType)
-    val lam = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"),
         (q9(col("n_t") + 1L, col("d_t") + b) -
           q9(col("n_r") + 1L, col("d_r") + b)).as("lam_q"))
-    feats.join(broadcast(lam), "b")
+  }
+
+  /** The full per-doc score relation (pre-limit) — the batch truth the
+    * streaming ingest twin's parity test compares against. */
+  private[graft] def dsirFeatsScored(spark: SparkSession, dir: String): DataFrame =
+    dsirFeats(spark, dir).join(broadcast(dsirLambda(spark, dir)), "b")
       .groupBy(col("doc_id"))
       .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
         sum(col("lam_q")).as("score_q"))
       .select(col("doc_id"), col("lang"), col("n_feats"),
         (col("score_q").cast("double") / lit(1000000000.0)).as("score"))
+
+  private def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirFeatsScored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
-  }
 
   /** Temperature-scaled source mixture (the multilingual-sampling
     * recipe from XLM-R and friends): up-weight small sources by

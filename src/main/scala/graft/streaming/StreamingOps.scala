@@ -358,6 +358,49 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
     }
 
+  /** DSIR-score-on-ingest — the streaming twin of the batch
+    * `corpus_dsir_select` scorer (round 12): the per-bucket importance
+    * relation λ is TRAINED IN BATCH (Curation.dsirLambda, ≤512 rows),
+    * collected once, and inlined here as a literal map — after which
+    * scoring is a PURE STATELESS per-row projection: tokenize,
+    * build unigram+bigram features, hash each to its md5 bucket, and
+    * fold Σ λ_q[bucket] with `aggregate` over the feature array (no
+    * explode, no per-doc aggregation state, append mode). Emits the
+    * same (doc_id, lang, n_feats, score) relation the batch query
+    * ranks; the global top-k SELECTION stays a downstream/batch
+    * concern — a stream cannot know the final rank of an unbounded
+    * corpus. `lamDefault` scores buckets the training corpus never
+    * populated (the batch λ omits them); parity replays of the
+    * training corpus itself never hit it.
+    * StreamBatchParitySpec asserts row equality with the batch
+    * scorer's pre-limit relation on a replayed corpus. */
+  def dsirScoreIngest(docs: DataFrame, lam: Seq[(Long, Long)],
+      lamDefault: Long = 0L): DataFrame = {
+    val b = 512
+    val lamMap = map_from_arrays(
+      array(lam.map(x => lit(x._1)): _*),
+      array(lam.map(x => lit(x._2)): _*))
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val feats = concat(t,
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    docs
+      .select(col("doc_id"), col("lang"), feats.as("f"))
+      .filter(size(col("f")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("f")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("f"), f =>
+            conv(substring(md5(f), 1, 8), 16, 10).cast("long") % b),
+          lit(0L),
+          (acc, bk) => acc + coalesce(element_at(lamMap, bk), lit(lamDefault)))
+          .as("score_q"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        (col("score_q").cast("double") / lit(1000000000.0)).as("score"))
+  }
+
   /** Tokenize-on-ingest: the batch `text_bpe_tokenize` projection
     * (graft.operators.TextOps.bpeTokenizeCols) applied UNCHANGED to a
     * streaming document source — per doc, whitespace token count,

@@ -315,6 +315,47 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("streamed DSIR scores equal the batch corpus_dsir_select pre-limit relation") {
+    // train λ in batch (the 512-bucket importance relation), inline it
+    // into the stateless streaming scorer, replay the training corpus,
+    // and demand EXACT per-doc equality with the batch scorer before
+    // its top-50 limit: same n_feats, same exact-integer score fold.
+    val lam = graft.operators.Curation.dsirLambda(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lam.nonEmpty && lam.size <= 512)
+
+    val batchDocs = Tables.documents(spark, TestSpark.sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dsir"
+    batchDocs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir)
+    val q = StreamingOps.dsirScoreIngest(stream, lam)
+      .writeStream.format("memory").queryName("dsir_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dsir_parity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the batch query's scoring relation, un-limited: rebuild it from
+    // the same public surface by dropping the rank cut — the registered
+    // query is top-50, so compare through a fresh scoring pass
+    val batch = graft.operators.Curation.dsirFeatsScored(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed DSIR scores diverged: stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+    // and the registered top-50 is exactly the top slice of the stream
+    val top50 = SparkEntry.queries("corpus_dsir_select")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val streamTop = streamed.toSeq.sortBy { case (id, _, _, s) => (-s, id) }
+      .take(50).map { case (id, _, _, s) => (id, s) }.toSet
+    assert(top50 == streamTop,
+      "batch top-50 is not the top slice of the streamed score relation")
+  }
+
   test("streamed classifier score equals the batch text_classifier_score row set") {
     // different plan shapes, identical semantics: the batch query
     // scores via explode -> broadcast model join -> per-doc agg, the
