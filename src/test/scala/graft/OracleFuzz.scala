@@ -256,7 +256,13 @@ object OracleFuzz {
       if (preds.isEmpty) "" else " WHERE " + preds.map(_.sql).mkString(" AND ")
 
     val name = f"fuzz_$seed%04d"
-    val mode = r.nextInt(20) // 0-11 agg, 12-16 sort-limit, 17 setop, 18 window, 19 scalar
+    // 0-11 agg, 12-16 sort-limit, 17 setop, 18 window-rank, 19 scalar,
+    // 20 window-frame (running sum), 21 full-outer nullable keys,
+    // 22 rollup, 23 cube (round 12 — the historically riskiest parity
+    // seams: frames, outer-join null extension, grouping-set nulls).
+    // A mode whose structural guard fails falls through to
+    // agg/sort-limit, exactly like modes 17-19 always have.
+    val mode = r.nextInt(24)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -356,6 +362,123 @@ object OracleFuzz {
         preds.foreach(p => df = df.filter(p.spark))
         df.select(outs.map(_.spark): _*)
           .orderBy(orderCols(ord): _*).limit(limit)
+      })
+    }
+
+    if (mode == 20 && chain.tables.size == 1) {
+      // window-FRAME shape: running cents sum per enum partition over
+      // the pk order. The frame is deliberately the DEFAULT (RANGE
+      // UNBOUNDED PRECEDING .. CURRENT ROW) on both engines: with a
+      // ROWS frame, pk ties (the synthetic lineitem has duplicate pk
+      // pairs!) would get order-dependent running sums; RANGE gives
+      // every peer the same value, so tied rows are full-row
+      // duplicates and the LIMIT cut stays deterministic. The sum is
+      // exact-integer cents, so any mismatch is frame semantics, not
+      // float noise.
+      val t = chain.tables.head
+      val enums = t.cols.collect { case c @ Col2(_, EnumK(vs)) if vs.nonEmpty => c }
+      val moneys = t.cols.filter(_.kind == MoneyK)
+      if (enums.nonEmpty && moneys.nonEmpty) {
+        val g = enums(r.nextInt(enums.size)).name
+        val m = moneys(r.nextInt(moneys.size)).name
+        val pk = t.pk
+        val limit = 10 + r.nextInt(41)
+        val ord = pk ++ Seq(g, "rs")
+        val sql = s"SELECT ${pk.mkString(", ")}, $g," +
+          s" CAST(sum(CAST(floor($m * 100 + 0.5) AS BIGINT))" +
+          s" OVER (PARTITION BY $g ORDER BY ${pk.mkString(", ")}) AS BIGINT) AS rs" +
+          s" FROM ${t.name}$whereSql ORDER BY ${orderSql(ord)} LIMIT $limit"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          var df = spark.read.parquet(s"$dir/${t.name}.parquet")
+          preds.foreach(p => df = df.filter(p.spark))
+          df.select((pk.map(col) :+ col(g)) :+
+              sum(floor(col(m) * 100 + lit(0.5)).cast("long"))
+                .over(Window.partitionBy(col(g)).orderBy(pk.map(col): _*))
+                .cast("long").as("rs"): _*)
+            .orderBy(orderCols(ord): _*).limit(limit)
+        })
+      }
+    }
+
+    if (mode == 21 && chain.tables.size == 2) {
+      // FULL OUTER with null-extended keys: both sides pre-filtered so
+      // null extension occurs in BOTH directions, join keys projected
+      // raw (each nullable in the opposite side's extension rows) —
+      // the null-ordering + null-group seam outer joins expose.
+      val tL = chain.tables.head
+      val tR = chain.tables(1)
+      val (a, b) = chain.conds.head
+      val pL = r.shuffle(tL.cols).flatMap(predFor(r, _)).headOption
+      val pR = r.shuffle(tR.cols).flatMap(predFor(r, _)).headOption
+      val eL = r.shuffle(tL.cols.filterNot(_.name == a)).head
+      val eR = r.shuffle(tR.cols.filterNot(_.name == b)).head
+      val keyOuts = Seq(Out(col(a), a, a), Out(col(b), b, b))
+      val outs = keyOuts ++ Seq(projFor(eL), projFor(eR))
+      val limit = 10 + r.nextInt(41)
+      val ord = outs.map(_.name)
+      def side(t: Table, p: Option[Pred]) =
+        p.map(x => s"(SELECT * FROM ${t.name} WHERE ${x.sql}) ${t.name}")
+          .getOrElse(t.name)
+      val sql = s"SELECT ${outs.map(_.sql).mkString(", ")}" +
+        s" FROM ${side(tL, pL)} FULL JOIN ${side(tR, pR)} ON $a = $b" +
+        s" ORDER BY ${orderSql(ord)} LIMIT $limit"
+      return FuzzQuery(name, sql, (spark, dir) => {
+        var dfL = spark.read.parquet(s"$dir/${tL.name}.parquet")
+        pL.foreach(p => dfL = dfL.filter(p.spark))
+        var dfR = spark.read.parquet(s"$dir/${tR.name}.parquet")
+        pR.foreach(p => dfR = dfR.filter(p.spark))
+        dfL.join(dfR, col(a) === col(b), "full")
+          .select(outs.map(_.spark): _*)
+          .orderBy(orderCols(ord): _*).limit(limit)
+      })
+    }
+
+    if ((mode == 22 || mode == 23) && {
+      val dims = allCols.filter {
+        case Col2(_, EnumK(_)) => true
+        case Col2(n, IntK) => n.endsWith("nationkey") || n.endsWith("regionkey")
+        case _ => false
+      }
+      dims.size >= 2 && allCols.exists(_.kind == MoneyK)
+    }) {
+      // GROUPING-SETS shape: rollup/cube over two dims with exact
+      // aggregates plus the GROUPING flags — super-aggregate rows put
+      // NULLs in the grouping columns, exercising null-group identity
+      // and the flag encoding on both engines.
+      //
+      // Dialect rule found BY this production (seed 70, round 12):
+      // over EMPTY input, DuckDB emits the standard's grand-total ()
+      // row (cnt=0) while Spark's rollup/cube emit nothing. The
+      // HAVING cnt > 0 below pins the Spark semantics — it can only
+      // ever drop that empty-input artifact, since every real grouped
+      // row has cnt >= 1.
+      val dims = r.shuffle(allCols.filter {
+        case Col2(_, EnumK(_)) => true
+        case Col2(n, IntK) => n.endsWith("nationkey") || n.endsWith("regionkey")
+        case _ => false
+      }).take(2).map(_.name)
+      val moneys = allCols.filter(_.kind == MoneyK)
+      val m = moneys(r.nextInt(moneys.size)).name
+      val (opName, sqlOp) =
+        if (mode == 22) ("rollup", "ROLLUP") else ("cube", "CUBE")
+      val sql = s"SELECT ${dims.mkString(", ")}," +
+        dims.zipWithIndex.map { case (d, i) =>
+          s" CAST(GROUPING($d) AS BIGINT) AS gf$i" }.mkString(",") + "," +
+        s" CAST(count(*) AS BIGINT) AS cnt," +
+        s" CAST(sum(CAST(floor($m * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents" +
+        s" FROM $fromSql$whereSql GROUP BY $sqlOp(${dims.mkString(", ")})" +
+        s" HAVING count(*) > 0"
+      return FuzzQuery(name, sql, (spark, dir) => {
+        var df = joined(spark, dir, chain, leftJoin, rightPred)
+        preds.foreach(p => df = df.filter(p.spark))
+        val base = if (opName == "rollup") df.rollup(dims.map(col): _*)
+          else df.cube(dims.map(col): _*)
+        base.agg(
+          grouping(col(dims.head)).cast("long").as("gf0"),
+          grouping(col(dims(1))).cast("long").as("gf1"),
+          count(lit(1)).as("cnt"),
+          sum(floor(col(m) * 100 + lit(0.5)).cast("long")).cast("long").as("cents"))
       })
     }
 

@@ -14,7 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * join-coercion change — any of which would show up here as a
   * failing seed that replays deterministically
   * (`OracleFuzz.gen(seed)` prints the SQL in the failure output).
-  * For a deeper sweep than the in-suite 120 seeds, run
+  * Round 12 added the historically riskiest parity seams as grammar
+  * productions — window frames (running sums), full-outer joins with
+  * null-extended keys, rollup/cube grouping sets — and widened the
+  * in-suite sweep to 160 seeds. For a deeper sweep, run
   * `sbt "Test/runMain graft.FuzzMain <sfDir> <outDir> <from> <to>"`.
   *
   * DuckDB runs via `python3 tools/fuzz_check.py` — the same
@@ -22,7 +25,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * test cancels rather than fails (exit code 2 contract).
   */
 class OracleFuzzSpec extends AnyFunSuite {
-  private val seeds = 1 to 120
+  private val seeds = 1 to 160
 
   test(s"${seeds.size} seeded random query shapes hash-match DuckDB") {
     val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
