@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-point scaling harness (round 12, VERDICT task 1): time the
+  * named queries at TWO scale factors in one JVM and report the
+  * per-query scaling exponent α = log(t_B/t_A) / log(|B|/|A|) — the
+  * empirical check behind every "linear at 100 TB" design argument:
+  * α ≈ 1 is linear, α ≈ 0 is overhead-bound (fixed cost dominates at
+  * these sizes), α ≫ 1.3 is a hidden super-linearity that would bite
+  * at cluster scale.
+  *
+  * Protocol per (query, dir): one untimed warm run (JIT/codegen —
+  * the Bench discipline), then best-of-2 timed noop-sink runs.
+  * Queries run A then B back-to-back so both points share identical
+  * JVM/JIT state. Output: one line per query plus a trailing JSON
+  * object (committed observations land in SCALING.md).
+  *
+  * Usage:
+  * `sbt "runMain graft.ScaleBench <dirA> <dirB> <sizeRatio> <q>..."`
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dirA = args(0)
+    val dirB = args(1)
+    val ratio = args(2).toDouble
+    val names = args.drop(3).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.applyOptimizations(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBenignLogs()
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (uncounted)
+      math.min(once(), once())
+    }
+
+    val rows = names.map { n =>
+      try {
+        val tA = time(n, dirA)
+        val tB = time(n, dirB)
+        val alpha = math.log(tB / tA) / math.log(ratio)
+        println(f"[scale] $n%-28s A=$tA%8.2fs B=$tB%8.2fs alpha=$alpha%6.2f")
+        (n, tA, tB, alpha)
+      } catch {
+        case e: Throwable =>
+          println(s"[scale] $n FAILED: ${e.getMessage}")
+          (n, -1.0, -1.0, Double.NaN)
+      }
+    }
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(rows.map { case (n, a, b, al) =>
+      s""""$n":{"a_s":${f3(a)},"b_s":${f3(b)},"alpha":${f3(al)}}"""
+    }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
