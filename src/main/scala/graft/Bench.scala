@@ -61,7 +61,9 @@ object Bench {
     "stats_power_sample_size", "text_style_similarity",
     "timeseries_crosscorr",
     // round-11 additions
-    "dedup_semantic", "corpus_dsir_select")
+    "dedup_semantic", "corpus_dsir_select",
+    // round-12 additions: newly oracle-checked / scale-parameterized
+    "dedup_semantic_k16", "dedup_rolling_chunks", "mm_simhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1311,6 +1311,21 @@ class InvariantSpec extends AnyFunSuite {
     assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
   }
 
+  test("dedupSemanticAuto resolves the fixture corpus to the k=4 oracle pipeline") {
+    // the corpus-derived entry point must agree EXACTLY with the
+    // pinned-k pipeline at the k its rule selects — semanticK(500)=4,
+    // so auto on the fixture IS the oracle-checked dedup_semantic
+    import org.apache.spark.sql.functions.col
+    val auto = graft.operators.Similarity.dedupSemanticAuto(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).toSeq
+    val pinned = graft.operators.Similarity.dedupSemanticAt(spark, sf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).toSeq
+    assert(auto == pinned, "auto-k pipeline diverged from the pinned-k fixture")
+    assert(auto.map(_._1) == auto.map(_._1).sorted && auto.nonEmpty)
+  }
+
   test("dedup_semantic quadratic-work contract: sum of cell^2 <= 2 N^2/k at k=64") {
     // The 100 TB story in code: semantic dedup's pair join costs
     // Σ|cell|², and the SemDeDup rule keeps that ~N²/k by growing k
