@@ -198,26 +198,62 @@ object Statistics {
     * weighted median doc length, quantity-weighted price bands): the
     * smallest value v whose cumulative weight reaches q·W. Exact and
     * deterministic: weights (quantities) are integer-valued doubles,
-    * so both the ordered cumulative sum and the partition total are
-    * EXACT in IEEE arithmetic regardless of addition order — no
-    * rounding formula, no ulp-boundary risk on the threshold compare.
-    * One window pass (ordered cumsum + partition total share a
-    * shuffle) and one hash-agg; never a per-group sort collect. */
+    * so every cumulative/partial weight sum is EXACT in IEEE
+    * arithmetic regardless of addition order — no rounding formula,
+    * no ulp-boundary risk on the threshold compare, and crucially the
+    * freedom to REARRANGE the summation: the two-phase bin-select
+    * below reproduces the ordered full-table cumsum bit-for-bit as
+    * `cum_prev(bin) + local_cw`.
+    *
+    * Scale (round 12, measured): the original single window over the
+    * fact table partitioned by l_returnflag capped reducer
+    * parallelism at #groups = 3 — the 10× rehearsal measured it
+    * α ≈ 0.97 at 10.2 s, the slowest sf1 point. This form is the
+    * [[binSelectQuantilesOn]] discipline for weights instead of
+    * counts: phase 1 is one map-side-combinable (flag, bin) weight
+    * agg + metadata-row cumsums locating the bins where q·W is
+    * crossed; phase 2 opens ONLY the located bins and runs the
+    * ordered cumsum over their few rows. Same output, shuffle volume
+    * = #bins + located-bin rows. (sf1: 10.2 s → ~1 s.) */
   private def aggWeightedPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy(col("l_returnflag"))
+    val binW = 1000.0
+    val li = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") / binW).cast("long").as("bin"))
+    val wBin = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = li.groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("l_quantity")).as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        wBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("w"))
+      .withColumn("tw", sum(col("w")).over(wFlag))
+    // per (flag, q): the threshold q·W and the single bin that crosses
+    // it — cum_prev < thr ≤ cum (metadata rows only)
+    val targets = cum.select(col("l_returnflag"), col("tw")).distinct()
+      .select(col("l_returnflag"),
+        explode(array(lit(0.5), lit(0.9))).as("q"), col("tw"))
+      .withColumn("thr", col("q") * col("tw"))
+    val located = targets.join(cum, Seq("l_returnflag"))
+      .filter(col("thr") > col("cum_prev") && col("thr") <= col("cum"))
+      .select(col("l_returnflag"), col("q"), col("thr"),
+        col("bin"), col("cum_prev"))
+    // phase 2: ordered local cumsum inside the located bins only; the
+    // global cumulative weight is exactly cum_prev + local
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("bin"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col("l_returnflag"))
-    lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cw", sum(col("l_quantity")).over(ord))
-      .withColumn("tw", sum(col("l_quantity")).over(all))
+    li.join(broadcast(located.select(col("l_returnflag"), col("bin")).distinct()),
+        Seq("l_returnflag", "bin"))
+      .withColumn("lcw", sum(col("l_quantity")).over(wLocal))
+      .join(broadcast(located), Seq("l_returnflag", "bin"))
+      .filter(col("cum_prev") + col("lcw") >= col("thr"))
       .groupBy(col("l_returnflag"))
       .agg(
-        min(when(col("cw") >= lit(0.5) * col("tw"), col("l_extendedprice"))).as("wp50"),
-        min(when(col("cw") >= lit(0.9) * col("tw"), col("l_extendedprice"))).as("wp90"))
+        min(when(col("q") === 0.5, col("l_extendedprice"))).as("wp50"),
+        min(when(col("q") === 0.9, col("l_extendedprice"))).as("wp90"))
       .orderBy(col("l_returnflag"))
   }
 
