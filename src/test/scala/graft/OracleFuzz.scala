@@ -258,11 +258,12 @@ object OracleFuzz {
     val name = f"fuzz_$seed%04d"
     // 0-11 agg, 12-16 sort-limit, 17 setop, 18 window-rank, 19 scalar,
     // 20 window-frame (running sum), 21 full-outer nullable keys,
-    // 22 rollup, 23 cube (round 12 — the historically riskiest parity
-    // seams: frames, outer-join null extension, grouping-set nulls).
-    // A mode whose structural guard fails falls through to
-    // agg/sort-limit, exactly like modes 17-19 always have.
-    val mode = r.nextInt(24)
+    // 22 rollup, 23 cube, 24-25 semi/anti (round 12 — the historically
+    // riskiest parity seams: frames, outer-join null extension,
+    // grouping-set nulls, EXISTS/NOT-EXISTS decorrelation). A mode
+    // whose structural guard fails falls through to agg/sort-limit,
+    // exactly like modes 17-19 always have.
+    val mode = r.nextInt(26)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -479,6 +480,45 @@ object OracleFuzz {
           grouping(col(dims(1))).cast("long").as("gf1"),
           count(lit(1)).as("cnt"),
           sum(floor(col(m) * 100 + lit(0.5)).cast("long")).cast("long").as("cents"))
+      })
+    }
+
+    if ((mode == 24 || mode == 25) && chain.tables.size == 2) {
+      // SEMI/ANTI shape: the left table filtered by (NOT) EXISTS of a
+      // filtered right side — Catalyst's EXISTS decorrelation into
+      // LeftSemi/LeftAnti vs DuckDB's native semi join. NOT EXISTS is
+      // used rather than NOT IN deliberately: NOT IN's three-valued
+      // null semantics are a trap for USERS, not an engine seam, and
+      // the FK columns here are non-null anyway.
+      val tL = chain.tables.head
+      val tR = chain.tables(1)
+      val (a, b) = chain.conds.head
+      // own predicates (NOT the shared whereSql/preds: those may
+      // reference right-table columns, which are out of scope for the
+      // outer query of an EXISTS shape)
+      val pL = r.shuffle(tL.cols).flatMap(predFor(r, _)).headOption
+      val pR = r.shuffle(tR.cols).flatMap(predFor(r, _)).headOption
+      val anti = mode == 25
+      val outs = tL.pk.map(n => projFor(Col2(n, KeyK))) ++
+        r.shuffle(tL.cols.filterNot(c => tL.pk.contains(c.name)))
+          .take(1 + r.nextInt(2)).map(projFor)
+      val limit = 10 + r.nextInt(41)
+      val ord = outs.map(_.name)
+      val rightWhere = pR.map(p => s" WHERE ${p.sql}").getOrElse("")
+      val not = if (anti) "NOT " else ""
+      val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${tL.name}" +
+        pL.map(p => s" WHERE ${p.sql} AND ").getOrElse(" WHERE ") +
+        s"${not}EXISTS (SELECT 1 FROM (SELECT * FROM ${tR.name}$rightWhere) " +
+        s"${tR.name} WHERE $b = ${tL.name}.$a)" +
+        s" ORDER BY ${orderSql(ord)} LIMIT $limit"
+      return FuzzQuery(name, sql, (spark, dir) => {
+        var dfL = spark.read.parquet(s"$dir/${tL.name}.parquet")
+        pL.foreach(p => dfL = dfL.filter(p.spark))
+        var dfR = spark.read.parquet(s"$dir/${tR.name}.parquet")
+        pR.foreach(p => dfR = dfR.filter(p.spark))
+        dfL.join(dfR, col(a) === col(b), if (anti) "left_anti" else "left_semi")
+          .select(outs.map(_.spark): _*)
+          .orderBy(orderCols(ord): _*).limit(limit)
       })
     }
 
