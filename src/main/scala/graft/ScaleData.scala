@@ -28,16 +28,18 @@ import org.apache.spark.sql.functions._
   * The small dimension tables (region, nation) are copied verbatim,
   * exactly like a real lake: dims grow ~never, facts grow 10×.
   *
-  * Usage: `sbt "runMain graft.ScaleData [srcDir] [dstDir] [copies]"`
-  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
-  */
+  * Usage:
+  * `sbt "runMain graft.ScaleData [srcDir] [dstDir] [copies] [keyOffset]"`
+  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10, offset 10¹⁰).
+  * When re-replicating an already-synthesized corpus (sf1 → sf10),
+  * pass a keyOffset exceeding its full key span — reusing the same
+  * offset would collide copy i+j pairs. */
 object ScaleData {
-  private val K = 10000000000L
-
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val K = args.lift(3).map(_.toLong).getOrElse(10000000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
