@@ -238,6 +238,42 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat(good) == "avi")
   }
 
+  test("RIFF walk survives 100k-deep LIST nesting and still finds the frame") {
+    // the round-12 advisor scenario: LIST chunks nest at 12 bytes per
+    // level, so a ~1.2 MB crafted AVI reaches 100k depth — recursive
+    // descent would StackOverflowError (an Error, invisible to the
+    // Exception-based poison contract). The iterative walk must (a)
+    // return rather than kill the task and (b) preserve in-order
+    // traversal deep enough to surface a planted frame at the bottom.
+    def u32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val depth = 100000
+    val frame = Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3, 4)
+    // innermost content: one valid 00dc jpeg-marker chunk
+    var inner = "00dc".getBytes("ISO-8859-1") ++ u32le(frame.length) ++ frame
+    val bufLen = 12 + depth * 12 + inner.length
+    val out = new Array[Byte](bufLen)
+    // build outward-in directly into the buffer: each level is
+    // LIST <size> 'lst ' wrapping the next
+    "RIFF".getBytes("ISO-8859-1").copyToArray(out, 0)
+    u32le(bufLen - 8).copyToArray(out, 4)
+    "AVI ".getBytes("ISO-8859-1").copyToArray(out, 8)
+    var o = 12
+    var remaining = bufLen - 12
+    for (_ <- 0 until depth) {
+      "LIST".getBytes("ISO-8859-1").copyToArray(out, o)
+      u32le(remaining - 8).copyToArray(out, o + 4)
+      "lst ".getBytes("ISO-8859-1").copyToArray(out, o + 8)
+      o += 12
+      remaining -= 12
+    }
+    inner.copyToArray(out, o)
+    val got = Multimodal.demuxMjpegAvi(out) // must not StackOverflow
+    assert(got.length == 1 && got.head.sameElements(frame),
+      s"expected the planted frame at depth $depth, got ${got.length} frames")
+  }
+
   test("phash: poisoned blobs yield ok=false, hash 0") {
     val spark2 = spark
     import spark2.implicits._
