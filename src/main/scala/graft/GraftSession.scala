@@ -53,18 +53,25 @@ object GraftSession {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.RewriteDotProduct
 
-  /** Quiet the one benign-but-flooding log category in the driver-run
+  /** Quiet the benign-but-flooding log categories in the driver-run
     * mains: `WindowExec`'s "No Partition Defined" warning fires on
     * every metadata-sized global window (quantile-literal relations,
     * ≤k-row model tables — each site's bounded-cardinality argument is
-    * in PLANS.md), drowning the harness's ~2000-char output tail in
-    * dozens of identical lines per run. Opt-in from mains only: user
-    * sessions keep default logging, so a REAL unpartitioned window
-    * over fact data still warns where it matters. */
+    * in PLANS.md), and `SimpleFunctionRegistry` warns "replaced a
+    * previously registered function" every time a fresh session
+    * re-registers graft's extension functions — both drown the
+    * harness's ~2000-char output tail in dozens of identical lines per
+    * run. Opt-in from mains only: user sessions keep default logging,
+    * so a REAL unpartitioned window over fact data still warns where
+    * it matters. */
   def quietBenignLogs(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () }
 
   def builder(master: String = "local[*]"): SparkSession.Builder = {
     val cores = Runtime.getRuntime.availableProcessors()

@@ -60,8 +60,13 @@ object ScaleBench {
           (n, -1.0, -1.0, Double.NaN)
       }
     }
+    // Failed queries carry NaN alpha (and -1 sentinel times, which are
+    // valid JSON); emit JSON null for the NaN — a literal NaN token
+    // would make the trailing object unparseable. Negative alphas from
+    // successful runs are real measurements and pass through.
     def f3(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (v.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(rows.map { case (n, a, b, al) =>
       s""""$n":{"a_s":${f3(a)},"b_s":${f3(b)},"alpha":${f3(al)}}"""
     }.mkString("{", ",", "}"))

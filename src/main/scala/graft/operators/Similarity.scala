@@ -1457,14 +1457,47 @@ object Similarity {
     // direction semanticK pushes as the corpus grows).
     QueryDef("dedup_semantic", Some(semanticOracleSql(4)), dedupSemantic),
     QueryDef("dedup_semantic_k16", Some(semanticOracleSql(16)),
-      (s, d) => dedupSemanticAt(s, d, 16))
+      (s, d) => dedupSemanticAt(s, d, 16)),
+
+    // The SCALE-RULED path end-to-end (round 13, VERDICT task 3): k is
+    // DERIVED from the corpus (semanticK = max(4, ⌈n/targetCell⌉)) on
+    // BOTH sides — the oracle recomputes the same rule from count(*),
+    // so one static SQL is hash-exact at every SF even though the
+    // derived k differs (targetCell=256: k=4 at sf0.01's 500 vectors,
+    // k=8 at sf0.1's 2,000 — the default 8192 target would floor to
+    // k=4 at both test SFs and never exercise the rule).
+    QueryDef("dedup_semantic_auto", Some(semanticOracleSqlAutoK(256)),
+      (s, d) => dedupSemanticAuto(s, d, 256L))
   )
 
   /** DuckDB re-derivation of [[dedupSemanticAt]] at cell count `k`:
     * the cluster_kmeans Lloyd chain (k lowest-vec_id init, two
     * quantized update rounds), cell routing, in-cell cosines, and the
     * keep-the-first rule. */
-  private def semanticOracleSql(k: Int): String = {
+  private def semanticOracleSql(k: Int): String =
+    semanticOracleCore(
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |   e AS c
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k))""".stripMargin)
+
+  /** [[semanticOracleSql]] with k DERIVED in SQL by the same rule as
+    * [[semanticK]] — max(4, ⌈n/targetCell⌉) via integer floor-division
+    * over count(*) — so the one static oracle matches
+    * [[dedupSemanticAuto]] at any scale factor (the derived k differs
+    * per SF; the rule, not a pinned k, is what the row proves). */
+  private def semanticOracleSqlAutoK(targetCell: Long): String =
+    semanticOracleCore(
+      s"""kk AS (
+         |  SELECT GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
+         |                  4) AS k FROM v),
+         | c0 AS (
+         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS c
+         |  FROM (SELECT vec_id, e,
+         |         row_number() OVER (ORDER BY vec_id) AS rn FROM v), kk
+         |  WHERE rn <= kk.k)""".stripMargin)
+
+  private def semanticOracleCore(seedCte: String): String = {
     def assignCte(src: String, cents: String, out: String) =
       s""" $out AS (
          |  SELECT vec_id, e, cid FROM (
@@ -1490,10 +1523,7 @@ object Similarity {
          |  FROM $sums GROUP BY 1)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       | c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-       |   e AS c
-       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)),
+       | $seedCte,
        |${assignCte("v", "c0", "a1")},
        |${updateCte("a1", "u1", "c1")},
        |${assignCte("v", "c1", "a2")},

@@ -371,11 +371,19 @@ object StreamingOps {
     * concern — a stream cannot know the final rank of an unbounded
     * corpus. `lamDefault` scores buckets the training corpus never
     * populated (the batch λ omits them); parity replays of the
-    * training corpus itself never hit it.
+    * training corpus itself never hit it. Beyond replay, note the
+    * twins also diverge in `n_feats`, not just score: the batch path's
+    * inner join to the λ relation drops unseen-bucket features from
+    * BOTH score and n_feats, while this stream counts every feature in
+    * n_feats and scores unseen buckets `lamDefault` — on the training
+    * corpus the bucket sets coincide and the relations are equal.
     * StreamBatchParitySpec asserts row equality with the batch
     * scorer's pre-limit relation on a replayed corpus. */
   def dsirScoreIngest(docs: DataFrame, lam: Seq[(Long, Long)],
       lamDefault: Long = 0L): DataFrame = {
+    require(lam.nonEmpty,
+      "dsirScoreIngest needs a non-empty trained λ relation " +
+        "(map_from_arrays over empty untyped literal arrays fails analysis)")
     val b = 512
     val lamMap = map_from_arrays(
       array(lam.map(x => lit(x._1)): _*),
