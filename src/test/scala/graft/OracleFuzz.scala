@@ -260,10 +260,14 @@ object OracleFuzz {
     // 20 window-frame (running sum), 21 full-outer nullable keys,
     // 22 rollup, 23 cube, 24-25 semi/anti (round 12 — the historically
     // riskiest parity seams: frames, outer-join null extension,
-    // grouping-set nulls, EXISTS/NOT-EXISTS decorrelation). A mode
+    // grouping-set nulls, EXISTS/NOT-EXISTS decorrelation),
+    // 26 INTERSECT/EXCEPT ALL (bag semantics), 27 [NOT] IN subquery
+    // incl. a nullable inner (three-valued NOT IN), 28 correlated
+    // scalar subquery (the COUNT-bug seam) — round 13, the last two
+    // families where DuckDB/Spark NULL semantics diverge most. A mode
     // whose structural guard fails falls through to agg/sort-limit,
     // exactly like modes 17-19 always have.
-    val mode = r.nextInt(26)
+    val mode = r.nextInt(29)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -519,6 +523,121 @@ object OracleFuzz {
         dfL.join(dfR, col(a) === col(b), if (anti) "left_anti" else "left_semi")
           .select(outs.map(_.spark): _*)
           .orderBy(orderCols(ord): _*).limit(limit)
+      })
+    }
+
+    if (mode == 26 && chain.tables.size == 1) {
+      // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL over two
+      // filtered slices of one table projected to LOW-CARDINALITY
+      // columns, so multiset multiplicities genuinely differ from the
+      // distinct result. Mode 17 covers the DISTINCT variants; the ALL
+      // variants are a separate engine path entirely — Spark compiles
+      // intersectAll/exceptAll to an aggregate over per-side counts
+      // plus a replicate-rows Generate, DuckDB to a hash set-op with
+      // multiplicity counters — so multiplicity bookkeeping drift
+      // would be invisible to every other production.
+      val t = chain.tables.head
+      val enums = t.cols.collect { case c @ Col2(_, EnumK(vs)) if vs.nonEmpty => c }
+      val keys = t.cols.filter(c => c.kind == KeyK || c.kind == IntK)
+      if (enums.nonEmpty && keys.nonEmpty) {
+        val e = enums(r.nextInt(enums.size)).name
+        val k = keys(r.nextInt(keys.size)).name
+        val m = 2 + r.nextInt(5)
+        val outs = Seq(Out(col(e), e, e),
+          Out((col(k) % m).cast("long").as("km"),
+            s"CAST($k % $m AS BIGINT) AS km", "km"))
+        val p1 = t.cols.flatMap(predFor(r, _)).headOption
+        val p2 = t.cols.reverse.flatMap(predFor(r, _)).headOption
+        val (opName, sqlOp) = Seq(("intersect_all", "INTERSECT ALL"),
+          ("except_all", "EXCEPT ALL"))(r.nextInt(2))
+        val limit = 10 + r.nextInt(41)
+        def side(p: Option[Pred]) =
+          s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
+            p.map(x => s" WHERE ${x.sql}").getOrElse("")
+        val ord = outs.map(_.name)
+        val sql = s"SELECT * FROM (${side(p1)} $sqlOp ${side(p2)})" +
+          s" ORDER BY ${orderSql(ord)} LIMIT $limit"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val base = spark.read.parquet(s"$dir/${t.name}.parquet")
+          def slice(p: Option[Pred]) = {
+            val f = p.map(x => base.filter(x.spark)).getOrElse(base)
+            f.select(outs.map(_.spark): _*)
+          }
+          val composed =
+            if (opName == "intersect_all") slice(p1).intersectAll(slice(p2))
+            else slice(p1).exceptAll(slice(p2))
+          composed.orderBy(orderCols(ord): _*).limit(limit)
+        })
+      }
+    }
+
+    if ((mode == 27 || mode == 28) && chain.tables.size == 2) {
+      // Subquery shapes run the SAME SQL text through spark.sql AND
+      // DuckDB (temp views over the parquet on the Spark side), so the
+      // engine's OWN decorrelation is under test — hand-decorrelating
+      // into DataFrame joins would test this generator's translation,
+      // not Spark's subquery planner. The text stays dialect-neutral:
+      // no VARCHAR casts (TsK outputs excluded), % / IN / TIMESTAMP
+      // literals / NULLS FIRST parse identically on both engines.
+      //
+      // Mode 27: [NOT] IN, including a data-dependent-NULLABLE inner
+      // (CASE WHEN p THEN key END) for NOT IN — three-valued semantics
+      // say ONE inner NULL empties the whole result (Spark's
+      // null-aware anti join vs DuckDB's mark join).
+      // Mode 28: correlated scalar subqueries — count(*) over an
+      // empty correlated group must be 0, not NULL (the classic COUNT
+      // bug); min/max over an empty group must be NULL.
+      val tL = chain.tables.head
+      val tR = chain.tables(1)
+      val (a, b) = chain.conds.head
+      val pL = r.shuffle(tL.cols).flatMap(predFor(r, _)).headOption
+      val pR = r.shuffle(tR.cols).flatMap(predFor(r, _)).headOption
+      val extras = r.shuffle(tL.cols.filterNot(c =>
+        tL.pk.contains(c.name) || c.kind == TsK)).take(1 + r.nextInt(2))
+      val limit = 10 + r.nextInt(41)
+      val sql = if (mode == 27) {
+        val anti = r.nextBoolean()
+        val nullableInner = anti && r.nextBoolean()
+        val innerExpr =
+          if (nullableInner)
+            tR.cols.flatMap(predFor(r, _)).headOption
+              .map(p => s"CASE WHEN ${p.sql} THEN $b END").getOrElse(b)
+          else b
+        val outs = tL.pk.map(n => projFor(Col2(n, KeyK))) ++ extras.map(projFor)
+        val ord = outs.map(_.name)
+        val not = if (anti) "NOT " else ""
+        s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${tL.name}" +
+          pL.map(p => s" WHERE ${p.sql} AND ").getOrElse(" WHERE ") +
+          s"$a ${not}IN (SELECT $innerExpr FROM ${tR.name}" +
+          pR.map(p => s" WHERE ${p.sql}").getOrElse("") + ")" +
+          s" ORDER BY ${orderSql(ord)} LIMIT $limit"
+      } else {
+        val aggCols = tR.cols.filter(c =>
+          c.kind == KeyK || c.kind == IntK || c.kind == MoneyK)
+        val ac = aggCols(r.nextInt(aggCols.size))
+        val innerWhere = s" WHERE $b = ${tL.name}.$a" +
+          pR.map(p => s" AND ${p.sql}").getOrElse("")
+        // count(*) → 0 over empty groups (COUNT bug); min/max → NULL
+        // over empty groups; min/max on raw doubles is exact (stored
+        // bits, no arithmetic — header rule)
+        val scSql = r.nextInt(3) match {
+          case 0 =>
+            s"CAST((SELECT count(*) FROM ${tR.name}$innerWhere) AS BIGINT) AS sc"
+          case 1 => s"(SELECT min(${ac.name}) FROM ${tR.name}$innerWhere) AS sc"
+          case _ => s"(SELECT max(${ac.name}) FROM ${tR.name}$innerWhere) AS sc"
+        }
+        val outs = tL.pk.map(n => projFor(Col2(n, KeyK))) ++ extras.map(projFor)
+        val ord = outs.map(_.name) :+ "sc"
+        s"SELECT ${outs.map(_.sql).mkString(", ")}, $scSql FROM ${tL.name}" +
+          pL.map(p => s" WHERE ${p.sql}").getOrElse("") +
+          s" ORDER BY ${orderSql(ord)} LIMIT $limit"
+      }
+      return FuzzQuery(name, sql, (spark, dir) => {
+        spark.read.parquet(s"$dir/${tL.name}.parquet")
+          .createOrReplaceTempView(tL.name)
+        spark.read.parquet(s"$dir/${tR.name}.parquet")
+          .createOrReplaceTempView(tR.name)
+        spark.sql(sql)
       })
     }
 

