@@ -82,34 +82,34 @@ object Bench {
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietBenignLogs()
-    // Steady-state protocol: run EVERY query once untimed through the
-    // identical noop-sink path, then time the second run. The first
-    // execution of each expression shape pays one-time JVM JIT +
-    // whole-stage-codegen compilation that is a property of the process,
-    // not the plan (measured: dedup_exact_docs 15.6 s cold vs 0.47 s
-    // warm); charging it to whichever query hits the shape first
-    // corrupts the round-over-round signal. The warm pass also performs
-    // one-time cache materializations (bucketed tables, incremental-agg
-    // base partials) so timed numbers reflect the amortized read path.
-    // Its total duration is recorded as "warmup_s" so the cold-start
-    // cost is auditable instead of a driver-vs-builder mystery (round
-    // 11 spent judge time re-adjudicating 14 s cold / 2 s warm pairs).
-    val warmT0 = System.nanoTime()
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    val warmupS = (System.nanoTime() - warmT0) / 1e9
     // noop sink: forces full computation of every output column —
     // count() would let Catalyst prune the very work being measured.
     // Failed queries are recorded with a NEGATIVE elapsed time and
     // listed in "failed" so a crash can never pass as a fast result.
-    // Timed protocol: best-of-two back-to-back runs per query. The warm
-    // pass removes one-time JIT/codegen cost, but a 250+-query run in
-    // one JVM still shows 1.5-3x drift on sub-second queries from GC and
-    // scheduler contention accumulated over the run (r7 measured:
-    // text_langid 2.27 s in-bench vs 0.42-1.02 s warm standalone). The
-    // min of two adjacent runs is robust to a GC pause landing in one of
-    // them while still charging all real per-run work.
+    // Timed protocol (round 13): ONE untimed throwaway execution per
+    // query immediately before its best-of-two timed runs. The first
+    // execution of each expression shape pays one-time JVM JIT +
+    // whole-stage-codegen compilation that is a property of the
+    // process, not the plan (measured: dedup_exact_docs 15.6 s cold vs
+    // 0.47 s warm); charging it to whichever run hits the shape first
+    // corrupts the round-over-round signal. Rounds 11-12 warmed with
+    // one GLOBAL pass over all queries up front, but Spark's codegen
+    // class cache (spark.sql.codegen.cache.maxEntries = 100) holds far
+    // fewer shapes than the 300-query registry, so by the time the
+    // timed loop reached alphabetically-late families their warm-pass
+    // compilations had been evicted and BOTH timed runs re-paid them
+    // (r12: timeseries_motif recorded 6.7/5.1 s vs 1.3 s truly warm,
+    // on bytecode untouched since r10). The per-query throwaway is the
+    // same total work as the global pass — one extra execution per
+    // query — but adjacent in time to the measured runs, so nothing
+    // can be evicted between warm-up and measurement. The throwaway
+    // also performs the query's one-time cache materializations
+    // (bucketed tables, incremental-agg base partials), and its cost
+    // is recorded: summed as "warmup_s" and per query in "warm", so
+    // cold-start cost stays auditable instead of a driver-vs-builder
+    // mystery. The min of two adjacent timed runs is then robust to a
+    // GC pause landing in one of them while still charging all real
+    // per-run work.
     // Round-11 de-noising (two judge rounds were spent re-auditing
     // plans whose only problem was a GC pause in the driver's run):
     // when the two timed runs disagree by >1.5x AND >0.75 s — the
@@ -128,19 +128,21 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         if (ok) secs else -secs
       }
+      val w = once() // per-query throwaway: JIT/codegen + cache warm-up
       val a = once()
       val b = once()
       val noisy = a > 0 && b > 0 &&
         math.max(a, b) / math.min(a, b) > 1.5 && math.abs(a - b) > 0.75
       val runs = if (noisy || (a < 0) != (b < 0)) Seq(a, b, once()) else Seq(a, b)
       val ok = runs.filter(_ > 0)
-      // A query is "failed" only if EVERY run fails; one flaky success
-      // still yields a timed number (the min of the successful runs).
+      // A query is "failed" only if EVERY timed run fails; one flaky
+      // success still yields a timed number (min of successful runs).
       val v = if (ok.nonEmpty) ok.min else runs.min
       if (v < 0) failed ::= name
-      (name, v, runs)
+      (name, v, runs, w)
     }
-    val timed = results.map { case (n, v, _) => (n, v) }
+    val warmupS = results.map { case (_, _, _, w) => math.abs(w) }.sum
+    val timed = results.map { case (n, v, _, _) => (n, v) }
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) =>
         // Locale.ROOT: the f-interpolator honors the JVM default locale,
@@ -159,8 +161,16 @@ object Bench {
       // Raw per-run timings: bench_diff.py reads these to report
       // run-to-run spread next to round-over-round deltas, so a delta
       // inside the observed spread is never flagged as a regression.
-      val rLines = results.map { case (k, _, runs) =>
+      val rLines = results.map { case (k, _, runs, _) =>
         "    \"" + k + "\": [" + runs.map(fmt).mkString(", ") + "]"
+      }.mkString(",\n")
+      // Per-query throwaway (cold) times, kept OUT of "runs": the
+      // throwaway is systematically cold, so folding it into the
+      // spread that bench_diff uses to suppress flags would mask real
+      // regressions behind JIT cost. Recorded separately so cold-vs-
+      // warm adjudication (the r11/r12 judge time sink) is a lookup.
+      val wLines = results.map { case (k, _, _, w) =>
+        "    \"" + k + "\": " + fmt(w)
       }.mkString(",\n")
       s"""{
          |  "metric": "total",
@@ -175,6 +185,9 @@ object Bench {
          |  },
          |  "runs": {
          |$rLines
+         |  },
+         |  "warm": {
+         |$wLines
          |  }
          |}""".stripMargin
     }

@@ -57,12 +57,19 @@ def main():
 
     common = sorted(set(qn) & set(qo),
                     key=lambda k: abs(qn[k] - qo[k]), reverse=True)
+    # Regressions only (round 13): each recorded value is the min of
+    # 2-3 timed runs taken after a per-query warm throwaway, i.e. an
+    # upper bound on the query's true steady-state cost. A LOWER new
+    # number therefore cannot indicate a plan bug — it means the old
+    # bound was loose (cold-JIT artifact) or the plan got faster; both
+    # still print in the largest-moves list, just never as FLAG.
     flagged = [k for k in common
-               if abs(qn[k] - qo[k]) >= 0.75
-               and max(qn[k], qo[k]) >= 2.0 * max(min(qn[k], qo[k]), 0.05)
-               and abs(qn[k] - qo[k]) > 1.5 * max(spread(rn, k), spread(ro, k))]
-    print(f"\nlargest moves (flagged = >=0.75s AND >=2x AND outside the "
-          f"recorded per-run spread — below that is in-bench noise):")
+               if qn[k] - qo[k] >= 0.75
+               and qn[k] >= 2.0 * max(qo[k], 0.05)
+               and qn[k] - qo[k] > 1.5 * max(spread(rn, k), spread(ro, k))]
+    print(f"\nlargest moves (flagged = slower by >=0.75s AND >=2x AND "
+          f"outside the recorded per-run spread — below that is "
+          f"in-bench noise; speed-ups print but never flag):")
     # every flagged query prints, even when absolute-delta ranking
     # would push it below the top-15 noise rows
     shown = [k for k in common if k in common[:15] or k in flagged]
