@@ -61,8 +61,13 @@ object PlanShapes {
     * smallest SF, so the hash is invariant under which SF a sweep
     * verified (a few queries embed data-derived driver scalars —
     * learned BPE merges, max keys — as plan literals, which are
-    * deterministic for a fixed dir but differ across SFs). */
-  val CanonicalSf = "/root/testdata/sf0.001"
+    * deterministic for a fixed dir but differ across SFs).
+    * Env-overridable (round 13) so the TESTDATA-regeneration recovery
+    * can be rehearsed against a staged copy without touching the real
+    * fixtures: `GRAFT_CANONICAL_SF=/tmp/staged sbt ...` — the drill in
+    * CLAUDE.md's regeneration playbook uses exactly this. */
+  val CanonicalSf =
+    sys.env.getOrElse("GRAFT_CANONICAL_SF", "/root/testdata/sf0.001")
 
   /** Scala-side fingerprint of one registered query: sha256 of the
     * normalized ANALYZED logical plan built against [[CanonicalSf]].

@@ -330,20 +330,43 @@ object Dedup {
     * `bit_count(xor)` filter confirms. Same no-all-pairs shape as the
     * MinHash banding join. */
   private def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = dedupSimhashCore(spark, dir)
-    val blocks = sim.select(col("doc_id"), col("simhash"),
+    // Materialized once — five references below, and the fingerprint
+    // pass is the expensive part (see mm_simhash_pairs); n×16 bytes.
+    val sim = dedupSimhashCore(spark, dir).localCheckpoint()
+    // Signature-level banding, same refactor as mm_simhash_pairs
+    // (round 13): band-join the DISTINCT fingerprints, confirm
+    // Hamming ≤ 3 once per signature pair, then expand to doc pairs —
+    // same-sig groups directly (Hamming 0), cross-sig via two sig→doc
+    // equi-joins. Identical pair set (pigeonhole is a property of the
+    // signatures); candidate work drops from Σ bucket² over DOCS
+    // streamed through a global distinct to Σ bucket² over distinct
+    // sigs + |output| — the term that turned super-linear at the 10×
+    // rehearsal's second decade on the byte-shingle twin.
+    val sigs = sim.select(col("simhash")).distinct()
+    val blocks = sigs.select(col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("block_idx", "block")))
-    blocks.as("a").join(blocks.as("b"),
+    val sigPairs = blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
         col("a.block") === col("b.block") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+    val cross = sigPairs
+      .join(sim.as("da"), col("sa") === col("da.simhash"))
+      .join(sim.as("db"), col("sb") === col("db.simhash"))
+      .select(
+        least(col("da.doc_id"), col("db.doc_id")).as("doc_a"),
+        greatest(col("da.doc_id"), col("db.doc_id")).as("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType).as("hamming"))
+    val same = sim.as("x").join(sim.as("y"),
+        col("x.simhash") === col("y.simhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.union(same).orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
   /** Content-defined chunk fingerprints via the codegen'd rolling hash:

@@ -641,4 +641,43 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(finalPlan.contains("skew=true"),
       s"AQE did not split the skewed partition:\n$finalPlan")
   }
+
+  test("AQE splits the skewed partition WITHOUT a repartition crutch on the sf1 corpus") {
+    // Round 13 (VERDICT task 4): the sf0.1 test above needs
+    // repartition(12) because the single-row-group test parquet
+    // collapses the map side to ONE mapper — AQE splits at mapper
+    // boundaries only, so the hot partition is one indivisible piece.
+    // The synthesized sf1 corpus (graft.ScaleData) is multi-file by
+    // construction — the layout any real table has — so this is the
+    // first fixture where engagement can be asserted on the RAW scan,
+    // no layout help. Env-guarded: /tmp/graft_sf1 is a rehearsal
+    // artifact (sbt "runMain graft.ScaleData"); cancel when absent.
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_sf1"
+    if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+      cancel(s"$dir not present — run `sbt \"runMain graft.ScaleData\"` first")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val hot = (k: org.apache.spark.sql.Column) =>
+      when(pmod(k, lit(100)) < 90, lit(0L)).otherwise(k)
+    // NO repartition: the scan's own splits are the mappers
+    val fact = Tables.lineitem(s, dir)
+      .select(hot(col("l_orderkey")).as("k"), col("l_extendedprice"))
+    val dim = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(100)) >= 90)
+      .select(col("o_orderkey").as("k"))
+      .union(s.range(1).select(lit(0L).as("k")))
+    val joined = fact.join(dim, "k")
+    val expected = Tables.lineitem(s, dir).count()
+    val nrows = joined.queryExecution.executedPlan.execute().count()
+    assert(nrows == expected, s"unexpected join cardinality $nrows != $expected")
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the skewed partition at sf1:\n$finalPlan")
+  }
 }

@@ -573,4 +573,75 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream-only ${(streamed -- batch).take(3)}, " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  test("stateless ingest verdicts are replay-stable under out-of-order and duplicate batches") {
+    // Late-data contract for the STATELESS twins (round 13, VERDICT
+    // task 7): the stateful ops have watermark proofs, but the
+    // stateless scorers' claim — no watermark needed because each
+    // verdict is a pure function of its row — had only been exercised
+    // on in-order replays. Pin it operationally: feed the corpus out
+    // of order (late half first), then re-feed an entire earlier
+    // batch verbatim (the at-least-once failure mode), through the
+    // epoch-addressed parquet sink, and assert every document's
+    // verdict is IDENTICAL everywhere it appears, with the deduped
+    // union equal to the batch scorer on the full fed corpus.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val lam = graft.operators.Curation.dsirLambda(spark2, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables.documents(spark2, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).take(300).toSeq
+    val (early, late) = docs.splitAt(150)
+
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_replay_dsir_${System.nanoTime()}"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.sinkEpochParquet(
+        StreamingOps.dsirScoreIngest(
+          ms.toDF().toDF("doc_id", "lang", "text"), lam), s"$outDir/out")
+      .option("checkpointLocation", s"$outDir/ckpt").start()
+    ms.addData(late: _*); q.processAllAvailable()   // out of order
+    ms.addData(early: _*); q.processAllAvailable()
+    ms.addData(late: _*); q.processAllAvailable()   // duplicate batch
+    q.stop()
+
+    val emitted = spark2.read.parquet(s"$outDir/out") // epoch= partition col
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("score"),
+        col("epoch").cast("long").as("epoch"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3)),
+        r.getLong(4)))
+    // (a) the duplicate batch genuinely flowed: every EMITTED late
+    // doc's verdict landed in at least two distinct epochs (docs with
+    // empty text are filtered by the scorer on both sides)
+    val epochsPerDoc = emitted.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.size).toMap
+    val lateEmitted = late.filter(d => epochsPerDoc.contains(d._1))
+    assert(lateEmitted.size >= late.size / 2, "late half mostly filtered out?")
+    assert(lateEmitted.forall(d => epochsPerDoc(d._1) >= 2),
+      "duplicate batch did not re-emit the late half")
+    // (b) replay stability: one verdict per doc across ALL epochs —
+    // the score fold is exact integer arithmetic, so equality is
+    // exact, not approximate
+    val verdictsPerDoc = emitted.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+    val unstable = verdictsPerDoc.filter(_._2.size > 1)
+    assert(unstable.isEmpty,
+      s"verdicts changed across replays: ${unstable.take(3)}")
+    // (c) the deduped union equals the batch scorer restricted to the
+    // fed corpus (same pre-limit relation the in-order parity test
+    // uses)
+    val fedIds = docs.map(_._1).toSet
+    val streamed = verdictsPerDoc.map { case (id, vs) => (id, vs.head) }.toSet
+    val batch = graft.operators.Curation.dsirFeatsScored(spark2, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+      .filter(x => fedIds.contains(x._1)).toSet
+    assert(streamed == batch,
+      s"deduped stream union diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
