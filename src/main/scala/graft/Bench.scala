@@ -63,7 +63,10 @@ object Bench {
     // round-11 additions
     "dedup_semantic", "corpus_dsir_select",
     // round-12 additions: newly oracle-checked / scale-parameterized
-    "dedup_semantic_k16", "dedup_rolling_chunks", "mm_simhash")
+    "dedup_semantic_k16", "dedup_rolling_chunks", "mm_simhash",
+    // round-13 additions: scale-ruled + hierarchical semantic dedup
+    "dedup_semantic_auto", "dedup_semantic_coarse",
+    "dedup_semantic_coarse_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

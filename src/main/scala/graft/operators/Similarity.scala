@@ -885,6 +885,106 @@ object Similarity {
     dedupSemanticAt(spark, dir,
       semanticK(embeddings(spark, dir).count(), targetCell))
 
+  /** [[dedupSemanticAt]] with HIERARCHICAL two-level k-means — the
+    * coded form of the scale note SCALING.md's round-13 section makes
+    * in prose: the SemDeDup k-∝-corpus rule keeps PAIR work linear but
+    * leaves exact flat Lloyd at ~3 corpus passes of n·k·d each
+    * (2 training assigns + the final routing) = n²·d/targetCell, the
+    * k-means-at-scale term (α 1.16 measured at sf1→sf10 for the exact
+    * auto row; a first cut that only re-routed the FINAL assign
+    * measured 57 → 47 s at sf10 — the training assigns dominate, so
+    * the hierarchy must cover training too). Standard hierarchical
+    * k-means: train g = ⌈√k⌉ super-centroids over the corpus
+    * (n·g·d per round), partition the corpus into super-cells, then
+    * train m = ⌈k/g⌉ member centroids WITHIN each super-cell (each
+    * vector only ever sees its own cell's m candidates — n·m·d per
+    * round). Every pass is n·O(√k)·d, training included; with
+    * k ∝ n/c this is n^1.5·d/√c vs the flat n²·d/c, and the ladder
+    * extends (L levels → n·k^(1/L)·L·d; a tree → n·log k).
+    *
+    * The CLUSTERING differs from the flat rows by design (its cells
+    * are the hierarchy's cells) — which is why this is a SEPARATE
+    * registered op rather than a silent re-plan: pair/keep semantics
+    * are unchanged, cell membership is the hierarchy's. It is still
+    * fully DETERMINISTIC (quantized sums, sequential-fold dots,
+    * lowest-id tie-breaks, per-cell seeds = the cell's m lowest
+    * vec_ids), so it carries its own complete DuckDB oracle — both
+    * Lloyd layers and the per-cell training re-derive bit-for-bit.
+    * Output cell id = sid·m + cid (dense, deterministic). */
+  private[graft] def dedupSemanticCoarseAt(spark: SparkSession, dir: String,
+      k: Int, tau: Double = 0.375): DataFrame = {
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val m = (k + g - 1) / g
+    val v = kmeansVecs(spark, dir)
+    // level 1: g supers over the corpus (the clusterKmeans chain)
+    val s0 = v.orderBy(col("vec_id")).limit(g)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), col("e").as("c"))
+    val sCents =
+      kmeansUpdate(kmeansAssign(v, kmeansUpdate(kmeansAssign(v, s0))))
+    val vp = kmeansAssign(v, sCents)
+      .select(col("vec_id"), col("e"), col("cid").as("sid"))
+      .localCheckpoint() // corpus partition, reused by every level-2 pass
+    // level 2: m members per super-cell, trained within the cell only.
+    // Seeds = the cell's m lowest vec_ids; assign joins on sid so each
+    // vector sees exactly its cell's candidates (n·m·d, never n·k·d).
+    def hierAssign(cents: DataFrame): DataFrame =
+      vp.join(broadcast(cents), "sid")
+        .withColumn("dist",
+          dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
+            + dotLambda(col("c"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("sid"), col("cid"))
+    def hierUpdate(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("sid"), col("cid"), posexplode(transform(col("e"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as(Seq("i", "xq")))
+        .groupBy(col("sid"), col("cid"), col("i"))
+        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("ci", col("sq").cast("double") /
+          (col("cnt") * lit(1000000L)).cast("double"))
+        .groupBy(col("sid"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
+          s => s.getField("ci")).as("c"))
+    val h0 = vp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= m)
+      .select(col("sid"), (col("rn") - 1).cast("long").as("cid"),
+        col("e").as("c"))
+    val routed = hierAssign(hierUpdate(hierAssign(hierUpdate(hierAssign(h0)))))
+      .select(col("vec_id"), col("e"),
+        (col("sid") * m + col("cid")).as("cid"))
+    // pair + keep tail identical to [[dedupSemanticAt]]
+    val a = routed.select(col("vec_id"), col("e"), col("cid"),
+      sqrt(dotLambda(col("e"), col("e"))).as("nrm"))
+    val l = a.select(col("cid"), col("vec_id").as("aid"), col("e").as("ae"),
+      col("nrm").as("anrm"))
+    val r = a.select(col("cid"), col("vec_id").as("bid"), col("e").as("be"),
+      col("nrm").as("bnrm"))
+    val pairs = l.join(r, "cid").filter(col("aid") < col("bid"))
+      .select(col("bid"),
+        Parity.r6(dotLambda(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
+          .as("cs"))
+    val nn = pairs.groupBy(col("bid")).agg(max(col("cs")).as("nn_sim"))
+    a.select(col("vec_id"), col("cid").cast(LongType).as("cell"))
+      .join(nn, col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_sim"),
+        (col("nn_sim").isNull || col("nn_sim") < tau).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[dedupSemanticCoarseAt]] with k from [[semanticK]] (and g = ⌈√k⌉
+    * inside) — the fully scale-ruled hierarchical path. */
+  private[graft] def dedupSemanticCoarseAuto(spark: SparkSession,
+      dir: String, targetCell: Long = 8192L): DataFrame =
+    dedupSemanticCoarseAt(spark, dir,
+      semanticK(embeddings(spark, dir).count(), targetCell))
+
   private def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val a3 = kmeansFinalAssign(spark, dir)
     a3.groupBy(col("cid")).agg(
@@ -1467,7 +1567,22 @@ object Similarity {
     // k=8 at sf0.1's 2,000 — the default 8192 target would floor to
     // k=4 at both test SFs and never exercise the rule).
     QueryDef("dedup_semantic_auto", Some(semanticOracleSqlAutoK(256)),
-      (s, d) => dedupSemanticAuto(s, d, 256L))
+      (s, d) => dedupSemanticAuto(s, d, 256L)),
+
+    // Hierarchical (two-level) routing — the coded mitigation for the
+    // exact-routing n·k·d term the round-13 decade-2 rehearsal
+    // measured (α 1.16 on the exact auto row): route vector→super→
+    // member centroid at n·O(√k)·d. Approximate routing ⇒ its OWN
+    // oracle rows (cell membership can differ from the exact rows at
+    // boundaries), both fully DuckDB-re-derived including the
+    // super-layer Lloyd. Pinned k=16 (g=4) twins dedup_semantic_k16
+    // for side-by-side comparison; the auto row derives k AND g in
+    // SQL so one static oracle exercises the whole scale rule.
+    QueryDef("dedup_semantic_coarse", Some(semanticCoarseOracleSql(16)),
+      (s, d) => dedupSemanticCoarseAt(s, d, 16)),
+    QueryDef("dedup_semantic_coarse_auto",
+      Some(semanticCoarseOracleSqlAutoK(256)),
+      (s, d) => dedupSemanticCoarseAuto(s, d, 256L))
   )
 
   /** DuckDB re-derivation of [[dedupSemanticAt]] at cell count `k`:
@@ -1497,40 +1612,38 @@ object Similarity {
          |         row_number() OVER (ORDER BY vec_id) AS rn FROM v), kk
          |  WHERE rn <= kk.k)""".stripMargin)
 
-  private def semanticOracleCore(seedCte: String): String = {
-    def assignCte(src: String, cents: String, out: String) =
-      s""" $out AS (
-         |  SELECT vec_id, e, cid FROM (
-         |   SELECT vec_id, e, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |   FROM (
-         |    SELECT $src.vec_id, $src.e, c.cid,
-         |     list_inner_product($src.e, $src.e)
-         |       - 2.0 * list_inner_product($src.e, c.c)
-         |       + list_inner_product(c.c, c.c) AS dist
-         |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
-    def updateCte(src: String, sums: String, cents: String) =
-      s""" $sums AS (
-         |  SELECT cid, t.i AS i,
-         |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
-         |   CAST(count(*) AS BIGINT) AS cnt
-         |  FROM $src, generate_series(1, 64) AS t(i)
-         |  GROUP BY 1, 2),
-         | $cents AS (
-         |  SELECT cid,
-         |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
-         |     ORDER BY i) AS c
-         |  FROM $sums GROUP BY 1)""".stripMargin
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       | $seedCte,
-       |${assignCte("v", "c0", "a1")},
-       |${updateCte("a1", "u1", "c1")},
-       |${assignCte("v", "c1", "a2")},
-       |${updateCte("a2", "u2", "c2")},
-       |${assignCte("v", "c2", "a3")},
-       | n AS (
-       |  SELECT vec_id, e, cid, sqrt(list_inner_product(e, e)) AS nrm FROM a3),
+  /** Shared Lloyd-chain CTE generators (round 13: lifted out of
+    * [[semanticOracleCore]] so the hierarchical-routing oracle reuses
+    * them VERBATIM — the emitted text for the existing rows is
+    * byte-identical, so their oracle hashes are untouched). */
+  private def semanticAssignCte(src: String, cents: String, out: String) =
+    s""" $out AS (
+       |  SELECT vec_id, e, cid FROM (
+       |   SELECT vec_id, e, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (
+       |    SELECT $src.vec_id, $src.e, c.cid,
+       |     list_inner_product($src.e, $src.e)
+       |       - 2.0 * list_inner_product($src.e, c.c)
+       |       + list_inner_product(c.c, c.c) AS dist
+       |    FROM $src, $cents c)) WHERE rn = 1)""".stripMargin
+  private def semanticUpdateCte(src: String, sums: String, cents: String) =
+    s""" $sums AS (
+       |  SELECT cid, t.i AS i,
+       |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $src, generate_series(1, 64) AS t(i)
+       |  GROUP BY 1, 2),
+       | $cents AS (
+       |  SELECT cid,
+       |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+       |     ORDER BY i) AS c
+       |  FROM $sums GROUP BY 1)""".stripMargin
+  /** The in-cell pair + keep-the-first tail over an assignment
+    * relation `src(vec_id, e, cid)`. */
+  private def semanticTailSql(src: String) =
+    s""" n AS (
+       |  SELECT vec_id, e, cid, sqrt(list_inner_product(e, e)) AS nrm FROM $src),
        | p AS (
        |  SELECT b.vec_id AS bid,
        |   floor(list_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000
@@ -1541,5 +1654,115 @@ object Similarity {
        | (nn.nn_sim IS NULL OR nn.nn_sim < 0.375) AS keep
        |FROM n LEFT JOIN nn ON n.vec_id = nn.bid
        |ORDER BY n.vec_id""".stripMargin
+
+  private def semanticOracleCore(seedCte: String): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       | $seedCte,
+       |${semanticAssignCte("v", "c0", "a1")},
+       |${semanticUpdateCte("a1", "u1", "c1")},
+       |${semanticAssignCte("v", "c1", "a2")},
+       |${semanticUpdateCte("a2", "u2", "c2")},
+       |${semanticAssignCte("v", "c2", "a3")},
+       |${semanticTailSql("a3")}""".stripMargin
+
+  /** Per-super-cell Lloyd CTE generators for the hierarchical oracle:
+    * like [[semanticAssignCte]]/[[semanticUpdateCte]] but every
+    * centroid carries its super id, assignment joins on `sid` (each
+    * vector only meets its own cell's candidates) and updates group by
+    * (sid, cid). */
+  private def hierAssignCte(cents: String, out: String) =
+    s""" $out AS (
+       |  SELECT vec_id, e, sid, cid FROM (
+       |   SELECT vec_id, e, sid, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (
+       |    SELECT s.vec_id, s.e, s.sid, c.cid,
+       |     list_inner_product(s.e, s.e)
+       |       - 2.0 * list_inner_product(s.e, c.c)
+       |       + list_inner_product(c.c, c.c) AS dist
+       |    FROM vp s JOIN $cents c ON s.sid = c.sid)) WHERE rn = 1)""".stripMargin
+  private def hierUpdateCte(src: String, sums: String, cents: String) =
+    s""" $sums AS (
+       |  SELECT sid, cid, t.i AS i,
+       |   sum(CAST(floor(e[t.i] * 1000000 + 0.5) AS BIGINT)) AS sq,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $src, generate_series(1, 64) AS t(i)
+       |  GROUP BY 1, 2, 3),
+       | $cents AS (
+       |  SELECT sid, cid,
+       |   list(CAST(sq AS DOUBLE) / CAST(cnt * 1000000 AS DOUBLE)
+       |     ORDER BY i) AS c
+       |  FROM $sums GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB re-derivation of [[dedupSemanticCoarseAt]]: the g-super
+    * Lloyd chain over the corpus, the corpus partition `vp`, then the
+    * per-super-cell member Lloyd (seeds = each cell's m lowest
+    * vec_ids), final cell id sid·m + cid, and the unchanged pair/keep
+    * tail. `preCtes`/`superSeedCte`/`memberSeedCte`/`routedCte`
+    * differ between the pinned-k and SQL-derived-k variants. */
+  private def semanticCoarseOracleCore(preCtes: String, superSeedCte: String,
+      memberSeedCte: String, routedCte: String): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$preCtes $superSeedCte,
+       |${semanticAssignCte("v", "s0", "sa1")},
+       |${semanticUpdateCte("sa1", "su1", "s1")},
+       |${semanticAssignCte("v", "s1", "sa2")},
+       |${semanticUpdateCte("sa2", "su2", "s2")},
+       |${semanticAssignCte("v", "s2", "pa3")},
+       | vp AS (SELECT vec_id, e, cid AS sid FROM pa3),
+       | $memberSeedCte,
+       |${hierAssignCte("h0", "ha1")},
+       |${hierUpdateCte("ha1", "hu1", "h1")},
+       |${hierAssignCte("h1", "ha2")},
+       |${hierUpdateCte("ha2", "hu2", "h2")},
+       |${hierAssignCte("h2", "ha3")},
+       | $routedCte,
+       |${semanticTailSql("routed")}""".stripMargin
+
+  private def semanticCoarseOracleSql(k: Int): String = {
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val m = (k + g - 1) / g
+    semanticCoarseOracleCore(
+      "",
+      s"""s0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |   e AS c
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $g))""".stripMargin,
+      s"""h0 AS (
+         |  SELECT sid, CAST(rn - 1 AS BIGINT) AS cid, e AS c
+         |  FROM (SELECT sid, e,
+         |         row_number() OVER (PARTITION BY sid ORDER BY vec_id) AS rn
+         |        FROM vp)
+         |  WHERE rn <= $m)""".stripMargin,
+      s"routed AS (SELECT vec_id, e, sid * $m + cid AS cid FROM ha3)")
   }
+
+  /** Hierarchical oracle with k, g, AND m derived in SQL — k by the
+    * [[semanticK]] rule over count(*), g = max(2, ⌈√k⌉),
+    * m = (k + g − 1) // g — matching [[dedupSemanticCoarseAuto]] at
+    * every SF. */
+  private def semanticCoarseOracleSqlAutoK(targetCell: Long): String =
+    semanticCoarseOracleCore(
+      s""" kk AS (
+         |  SELECT GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
+         |                  4) AS k FROM v),
+         | gg AS (
+         |  SELECT GREATEST(CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT),
+         |                  2) AS g FROM kk),
+         | mm AS (SELECT (kk.k + gg.g - 1) // gg.g AS m FROM kk, gg),
+         |""".stripMargin,
+      s"""s0 AS (
+         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS c
+         |  FROM (SELECT vec_id, e,
+         |         row_number() OVER (ORDER BY vec_id) AS rn FROM v), gg
+         |  WHERE rn <= gg.g)""".stripMargin,
+      s"""h0 AS (
+         |  SELECT sid, CAST(rn - 1 AS BIGINT) AS cid, e AS c
+         |  FROM (SELECT sid, e,
+         |         row_number() OVER (PARTITION BY sid ORDER BY vec_id) AS rn
+         |        FROM vp), mm
+         |  WHERE rn <= mm.m)""".stripMargin,
+      s"routed AS (SELECT vec_id, e, sid * mm.m + cid AS cid FROM ha3, mm)")
 }
