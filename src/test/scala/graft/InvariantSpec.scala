@@ -730,6 +730,41 @@ class InvariantSpec extends AnyFunSuite {
       s"over-aggressive dedup: kept only $kept of ${rows.size}")
   }
 
+  test("hierarchical semantic dedup still catches the planted near-duplicates") {
+    // The round-13 scale path (dedup_semantic_coarse: two-level
+    // k-means, 16 cells here vs the flat row's 4) must not trade away
+    // the SemDeDup contract: a cosine≈0.997 pair straddles a cell
+    // boundary only if the two near-identical vectors argmin to
+    // different (super, member) cells — rarer than a wrong cell being
+    // merely SMALLER. Same planted fixture recipe as the flat test;
+    // measured 10/10 dropped at k=16; floor 8 leaves regeneration
+    // headroom while a routing regression scores ~0.
+    val planted = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planted_semhier").getAbsolutePath
+    val src = Tables.embeddings(spark, sf)
+    val dup = src.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          CAST(x + 0.08 * element_at(embedding,
+            (CAST(i + 1 AS INT) % size(embedding)) + 1) AS FLOAT))""").as("embedding"),
+        col("label"))
+    src.unionByName(dup).coalesce(1).write.mode("overwrite")
+      .parquet(s"$planted/embeddings.parquet")
+    val rows = SparkEntry.queries("dedup_semantic_coarse")(spark, planted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val dropped = (0 until 10).count { q =>
+      val r = rows(q + 1000L)
+      !r.getBoolean(3) && !r.isNullAt(2) && r.getDouble(2) > 0.9
+    }
+    info(s"planted copies dropped (hierarchical): $dropped/10")
+    assert(dropped >= 8,
+      s"hierarchical semantic dedup missed planted near-duplicates: " +
+        s"only $dropped/10 dropped")
+    val kept = rows.values.count(_.getBoolean(3))
+    assert(kept * 10 >= rows.size * 7,
+      s"over-aggressive hierarchical dedup: kept only $kept of ${rows.size}")
+  }
+
   test("IVF-PQ recovers planted near-duplicates through cells + ADC + rerank") {
     // same planted fixture as the multi-probe contract (cosine ≈ 0.997
     // partner per query): the partner must survive the whole IVF-PQ
