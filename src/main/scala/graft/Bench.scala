@@ -129,6 +129,12 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
+        // Drop the run's localCheckpoint blocks eagerly (each
+        // invocation re-materializes its own; stale ones are garbage
+        // that accumulates across the 306-query session and inflates
+        // later queries — see ScaleBench.time for the measured case)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         if (ok) secs else -secs
       }
       val w = once() // per-query throwaway: JIT/codegen + cache warm-up

@@ -41,7 +41,18 @@ object ScaleBench {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Each invocation of a checkpoint-using query materializes a
+        // FRESH localCheckpoint; the previous run's blocks are garbage
+        // that only a GC-triggered ContextCleaner pass would free.
+        // Left alone they accumulate across the warm+timed runs of
+        // every query in the session (GBs at sf10 — measured: they
+        // inflated later queries up to 8×, dedup_jaccard_prefix 8 s →
+        // 62 s at the same SF), so drop them eagerly: each run pays
+        // exactly its own materialization and nothing lingers.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        secs
       }
       once() // warm (uncounted)
       math.min(once(), once())

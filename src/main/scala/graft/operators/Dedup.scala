@@ -595,6 +595,23 @@ object Dedup {
     spark.read.parquet(tokBase).localCheckpoint()
   }
 
+  /** Per-doc shingle sets for the verify joins, as xxhash64 IDS rather
+    * than raw strings (round 13, found by the decade-2 rehearsal): the
+    * verify stage ships |cand| pairs × two ~50-element arrays, and at
+    * sf10 that was ~60 GB of STRING payload (the synthesis also
+    * lengthens shingle strings per replication level) — 8-byte ids cut
+    * the shuffle ~4× and turn the intersect into long equality. The
+    * intersection COUNT equals the string-set count unless two
+    * distinct shingles of the same doc pair collide in 64 bits —
+    * P ≈ (10² pairs per doc-pair)·2⁻⁶⁵ per candidate, ~5·10⁻⁹ across
+    * the sf10 corpus — and xxhash64 is deterministic, so a collision
+    * would surface as a REPRODUCIBLE DuckDB-gate failure (the oracle
+    * verifies on raw strings), never as silent drift. `n` stays the
+    * exact per-doc distinct-shingle count. */
+  private def shingleIdSets(tok: DataFrame): DataFrame =
+    tok.groupBy(col("doc_id"))
+      .agg(collect_list(xxhash64(col("tk"))).as("set"), count(lit(1)).as("n"))
+
   private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     val tok = shingleTok(spark, dir)
@@ -625,8 +642,7 @@ object Dedup {
     // two keyed joins of |cand| rows + an in-row array_intersect —
     // never the |cand|×|doc| row explosion of a token-level count join
     // (measured 5.7 s → the explosion was the whole cost)
-    val docSets = tok.groupBy(col("doc_id"))
-      .agg(collect_list(col("tk")).as("set"), count(lit(1)).as("n"))
+    val docSets = shingleIdSets(tok)
     val jac = col("inter_size").cast(DoubleType) /
       (col("na") + col("nb") - col("inter_size")).cast(DoubleType)
     cand
@@ -679,8 +695,7 @@ object Dedup {
           (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
             ceil(lit(t) * col("a.n")))
       .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup")).distinct()
-    val docSets = tok.groupBy(col("doc_id"))
-      .agg(collect_list(col("tk")).as("set"), count(lit(1)).as("n"))
+    val docSets = shingleIdSets(tok)
     val cont = col("inter_size").cast(DoubleType) / col("na").cast(DoubleType)
     cand
       .join(docSets.select(col("doc_id").as("doc_sub"), col("set").as("sa"),
