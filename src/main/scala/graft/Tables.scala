@@ -56,10 +56,21 @@ object Tables {
   /** Fan-out for CPU-heavy per-row operators (hashing, vector math): a
     * small parquet arrives as one split, which would pin the whole
     * computation to a single core. At lake scale the file-split planner
-    * provides this parallelism naturally; the explicit repartition is
-    * cheap insurance that also spreads skewed single-split inputs. */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * provides this parallelism naturally — and there the repartition is
+    * NOT free insurance but a pure tax: a round-robin shuffle of the
+    * full payload (document text included, since pruning can't drop
+    * the columns the operator needs) plus Spark's
+    * sort-before-repartition pass over every row. Measured at sf100
+    * (decade 3, round 13): the unconditional repartition cost
+    * corpus_dsir_select two full-text shuffles per run. So fan out
+    * ONLY when the planned scan has fewer splits than cores; results
+    * are partition-layout-independent by design (every oracle is a
+    * hash compare over sorted output), so the branch is
+    * plan-conditional, never semantic. */
+  def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }
 
 /** One oracle-checked operator: `name` keys `SparkEntry.queries`;

@@ -167,17 +167,25 @@ object SpecQueries {
         |     i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
         |  FROM tk WHERE len(t) >= 3),
         | sig AS (SELECT doc_id,
-        |   list_min(list_transform(shingles, s -> md5('0:' || s))) AS h0,
-        |   list_min(list_transform(shingles, s -> md5('1:' || s))) AS h1,
-        |   list_min(list_transform(shingles, s -> md5('2:' || s))) AS h2,
-        |   list_min(list_transform(shingles, s -> md5('3:' || s))) AS h3,
-        |   list_min(list_transform(shingles, s -> md5('4:' || s))) AS h4,
-        |   list_min(list_transform(shingles, s -> md5('5:' || s))) AS h5,
-        |   list_min(list_transform(shingles, s -> md5('6:' || s))) AS h6,
-        |   list_min(list_transform(shingles, s -> md5('7:' || s))) AS h7
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS h0,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS BIGINT))) AS h1,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS BIGINT))) AS h2,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS BIGINT))) AS h3,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('4:' || s), 1, 15)) AS BIGINT))) AS h4,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('5:' || s), 1, 15)) AS BIGINT))) AS h5,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('6:' || s), 1, 15)) AS BIGINT))) AS h6,
+        |   list_min(list_transform(shingles,
+        |     s -> CAST(('0x' || substr(md5('7:' || s), 1, 15)) AS BIGINT))) AS h7
         |  FROM sh),
         | bands AS (SELECT doc_id,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -36,8 +36,21 @@ object Dedup {
   private def shingles(t: Column): Column =
     transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ", slice(t, i, lit(3))))
 
-  /** MinHash signatures via explode → per-shingle md5 (whole-stage
-    * codegen) → map-side-combined min aggregation. The equivalent
+  /** MinHash signatures via explode → per-shingle 60-bit md5-prefix
+    * hash (whole-stage codegen) → map-side-combined min aggregation.
+    * The hash values are LONGS, not md5 hex strings, for two measured
+    * reasons (round 13, decade 3): (a) `min(string)`'s agg buffer is
+    * variable-width, which disqualifies HashAggregateExec — Spark
+    * silently plans SortAggregate and SORTS the entire exploded
+    * shingle stream (8 × 32-char strings per row); at sf100 that
+    * external sort was the engine's only α ≈ 1.5 red-line crossing
+    * (260 s for a structurally linear op). A long buffer restores the
+    * codegen'd hash agg and the linear exponent. (b) the exploded row
+    * narrows ~5×. A 60-bit minhash (15 hex chars via the proven
+    * conv/'0x'-cast parity idiom, exactly [[dedupSimhashCore]]'s
+    * token hash) is the standard practice — collision odds 2⁻⁶⁰ per
+    * shingle comparison are irrelevant to LSH banding, and the DuckDB
+    * oracles recompute the identical integers. The equivalent
     * 8×`array_min(transform(...))` projection form re-evaluates the
     * interpreted shingle-building lambdas once per signature column
     * (no CSE inside higher-order functions) — measured ~10× slower. */
@@ -53,7 +66,8 @@ object Dedup {
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(shingles(col("tk"))).as("s"))
     val hashCols = (0 until NumHashes).map { i =>
-      md5(concat(lit(s"$i:"), col("s"))).as(s"m$i")
+      conv(substring(md5(concat(lit(s"$i:"), col("s"))), 1, 15), 16, 10)
+        .cast(LongType).as(s"m$i")
     }
     sh.select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
@@ -61,16 +75,22 @@ object Dedup {
         (1 until NumHashes).map(i => min(col(s"m$i")).as(s"h$i")): _*)
   }
 
+  /** LSH band key for band j: md5 over the ':'-joined pair of 60-bit
+    * signature longs (concat_ws renders each long in decimal on both
+    * engines — the oracle mirror is `md5(h_2j || ':' || h_2j+1)`). */
+  private def bandKey(j: Int): Column =
+    md5(concat_ws(":", col(s"h${2 * j}"), col(s"h${2 * j + 1}")))
+
   /** MinHash signatures + LSH band keys per document — fully
     * deterministic, oracle-checked. */
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     withSignature(spark, dir)
       .select(
         col("doc_id"),
-        md5(concat(col("h0"), col("h1"))).as("band0"),
-        md5(concat(col("h2"), col("h3"))).as("band1"),
-        md5(concat(col("h4"), col("h5"))).as("band2"),
-        md5(concat(col("h6"), col("h7"))).as("band3"))
+        bandKey(0).as("band0"),
+        bandKey(1).as("band1"),
+        bandKey(2).as("band2"),
+        bandKey(3).as("band3"))
       .orderBy(col("doc_id"))
 
   /** INCREMENTAL dedup against a PERSISTED LSH index — the production
@@ -89,8 +109,7 @@ object Dedup {
   /** LSH band keys of a signature frame — shared by the batch
     * incremental path and the streaming ingest (StreamingOps). */
   private[graft] def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
-    posexplode(array((0 until NumBands).map(j =>
-      md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*))
+    posexplode(array((0 until NumBands).map(bandKey): _*))
       .as(Seq("band_idx", "band")))
 
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -126,8 +145,7 @@ object Dedup {
     val sig = withSignature(spark, dir)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"),
-        array((0 until NumBands).map(j =>
-          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+        array((0 until NumBands).map(bandKey): _*).as("bands"))
     val exploded = sig.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band")))
     exploded.as("a").join(exploded.as("b"),
@@ -185,8 +203,7 @@ object Dedup {
   private[graft] def verifiedPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
     val sig = signatureOf(docs)
       .select(col("doc_id"),
-        array((0 until NumBands).map(j =>
-          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+        array((0 until NumBands).map(bandKey): _*).as("bands"))
     val exploded = sig.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band")))
     val cands = exploded.as("a").join(exploded.as("b"),
@@ -237,8 +254,7 @@ object Dedup {
     val sig = withSignature(spark, dir)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"),
-        array((0 until NumBands).map(j =>
-          md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))): _*).as("bands"))
+        array((0 until NumBands).map(bandKey): _*).as("bands"))
     val ex = sig.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("bi", "band")))
     val near = ex.filter(col("doc_id") % 20 =!= 0).as("c")
@@ -492,14 +508,22 @@ object Dedup {
       |  FROM tk WHERE len(t) >= 3),
       | sig AS (
       |  SELECT doc_id,
-      |   list_min(list_transform(shingles, s -> md5('0:' || s))) AS h0,
-      |   list_min(list_transform(shingles, s -> md5('1:' || s))) AS h1,
-      |   list_min(list_transform(shingles, s -> md5('2:' || s))) AS h2,
-      |   list_min(list_transform(shingles, s -> md5('3:' || s))) AS h3,
-      |   list_min(list_transform(shingles, s -> md5('4:' || s))) AS h4,
-      |   list_min(list_transform(shingles, s -> md5('5:' || s))) AS h5,
-      |   list_min(list_transform(shingles, s -> md5('6:' || s))) AS h6,
-      |   list_min(list_transform(shingles, s -> md5('7:' || s))) AS h7
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS h0,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS BIGINT))) AS h1,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS BIGINT))) AS h2,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS BIGINT))) AS h3,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('4:' || s), 1, 15)) AS BIGINT))) AS h4,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('5:' || s), 1, 15)) AS BIGINT))) AS h5,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('6:' || s), 1, 15)) AS BIGINT))) AS h6,
+      |   list_min(list_transform(shingles,
+      |     s -> CAST(('0x' || substr(md5('7:' || s), 1, 15)) AS BIGINT))) AS h7
       |  FROM sh)
       |""".stripMargin
 
@@ -715,7 +739,7 @@ object Dedup {
   private val clusterCte: String =
     """, bands AS (
       |  SELECT doc_id,
-      |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+      |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
       |   unnest([0, 1, 2, 3]) AS bi
       |  FROM sig),
       | cand AS (
@@ -846,7 +870,7 @@ object Dedup {
     QueryDef("dedup_minhash_eval", Some(minhashSigCte +
       """, bands AS (
         |  SELECT doc_id,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | pred AS (
@@ -988,14 +1012,14 @@ object Dedup {
 
     QueryDef("dedup_minhash", Some(minhashSigCte +
       """SELECT doc_id,
-        | md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
-        | md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+        | md5(h0 || ':' || h1) AS band0, md5(h2 || ':' || h3) AS band1,
+        | md5(h4 || ':' || h5) AS band2, md5(h6 || ':' || h7) AS band3
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
 
     QueryDef("dedup_incremental", Some(minhashSigCte +
       """, bands AS (
         |  SELECT doc_id,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | hist AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
@@ -1016,7 +1040,7 @@ object Dedup {
     QueryDef("dedup_minhash_pairs", Some(minhashSigCte +
       """, bands AS (
         |  SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sig,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | cand AS (
@@ -1032,7 +1056,7 @@ object Dedup {
     QueryDef("text_decontaminate", Some(minhashSigCte +
       """, bands AS (
         |  SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sig,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | fp AS (
@@ -1086,7 +1110,7 @@ object Dedup {
     QueryDef("dedup_minhash_verified", Some(minhashSigCte +
       """, bands AS (
         |  SELECT doc_id,
-        |   unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band,
+        |   unnest([md5(h0 || ':' || h1), md5(h2 || ':' || h3), md5(h4 || ':' || h5), md5(h6 || ':' || h7)]) AS band,
         |   unnest([0, 1, 2, 3]) AS bi
         |  FROM sig),
         | cand AS (

@@ -526,8 +526,13 @@ class InvariantSpec extends AnyFunSuite {
 
   test("IVF centroids train once: a second invocation reuses the stored layout") {
     q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
+    // _q6 = the algorithm-version suffix in the store key (round 11).
+    // Until round 13 this test checked the PRE-rename filename and
+    // passed vacuously against a stale cache file from an old build;
+    // clearing /tmp/graft_cache exposed it. Keep this name in sync
+    // with Similarity.trainedCentroids.
     val f = new java.io.File(
-      Caches.dir("ivfcent", sf, Seq("embeddings")), "centroids_k10_i2.csv")
+      Caches.dir("ivfcent", sf, Seq("embeddings")), "centroids_k10_i2_q6.csv")
     assert(f.exists(), "first invocation must publish the centroid store")
     val published = f.lastModified()
     q("sim_ann_ivf").write.format("noop").mode("overwrite").save()
