@@ -79,7 +79,12 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4×-cores rule (measured, GraftSession.shufflePartitions);
+      // AQE parallelismFirst keeps the small-SF bench un-taxed.
+      .config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitions(cpus.toInt).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.applyOptimizations(spark)
@@ -132,7 +137,15 @@ object Bench {
         // Drop the run's localCheckpoint blocks eagerly (each
         // invocation re-materializes its own; stale ones are garbage
         // that accumulates across the 306-query session and inflates
-        // later queries — see ScaleBench.time for the measured case)
+        // later queries — see ScaleBench.time for the measured case).
+        // INVARIANT this relies on: no operator memoizes a persisted/
+        // checkpointed DataFrame across invocations (every checkpoint
+        // in the registry is created and consumed within one fn call).
+        // An object-level cache of a localCheckpoint'd frame would be
+        // unrecoverable after this blanket unpersist (checkpoint blocks
+        // cannot be recomputed) and would fail on the NEXT query, far
+        // from the cause — if such a cache is ever added, switch this
+        // to tracking and unpersisting only RDD ids created this run.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         if (ok) secs else -secs

@@ -71,16 +71,39 @@ object GraftSession {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
         org.apache.logging.log4j.Level.ERROR)
+      // DAGScheduler's "Broadcasting large task binary" WARN fires for
+      // every stage whose serialized closure tops 1 MiB — at local[32]
+      // with broadcast dims that is most stages, and it floods the
+      // captured bench tail. MapPartitionsRDD warns "RDD ... was locally
+      // checkpointed" when Bench's eager per-run unpersist (deliberate —
+      // see Bench.once) drops checkpoint blocks; benign by construction
+      // because every invocation re-materializes its own.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     } catch { case _: Throwable => () }
+
+  /** Shuffle sizing for every graft session. MEASURED (round 13,
+    * decade 3): partitions = cores hits the spill cliff at 600 M rows —
+    * join_sortmerge went α 1.58 → 0.90 purely from 128 partitions +
+    * AQE coalesce on a 32-core box. 4× cores is the default; AQE's
+    * `coalescePartitions.parallelismFirst` (true by default) keeps
+    * small-SF shuffles at ~cores partitions so the larger upper bound
+    * costs nothing when the data is small. `SPARK_GRAFT_SHUFFLE`
+    * remains the explicit override for experiments. */
+  def shufflePartitions(cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.trim.toInt).getOrElse(cores * 4)
 
   def builder(master: String = "local[*]"): SparkSession.Builder = {
     val cores = Runtime.getRuntime.availableProcessors()
     SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
   }
 

@@ -3,7 +3,8 @@ package graft
 object QSmoke {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[16]").config("spark.sql.shuffle.partitions", 16)
+      .master("local[16]").config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitions(16).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")

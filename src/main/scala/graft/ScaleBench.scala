@@ -26,18 +26,18 @@ object ScaleBench {
     val ratio = args(2).toDouble
     val names = args.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle-partition override (round 13, decade 3): partitions
-    // pinned to core count hit the spill cliff once a partition's
-    // shuffle slice outgrows executor memory (measured at sf100:
-    // join_sortmerge α 1.58 with 32 partitions over 600 M rows —
-    // ~2 GB/partition/side). GraftSession.clusterBuilder documents the
-    // rule (shuffle.partitions = 4× total cores, AQE coalesces down);
-    // SPARK_GRAFT_SHUFFLE applies it here so the rule is measurable.
+    // Shuffle sizing (round 13, decade 3): partitions pinned to core
+    // count hit the spill cliff once a partition's shuffle slice
+    // outgrows executor memory (measured at sf100: join_sortmerge
+    // α 1.58 with 32 partitions over 600 M rows — ~2 GB/partition/
+    // side). Since round 14 the measured 4×-cores rule IS the session
+    // default (GraftSession.shufflePartitions) — no env needed at
+    // sf100; SPARK_GRAFT_SHUFFLE stays as the experiment override.
     // AQE coalescing keeps the small-SF side from over-partitioning.
-    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuf)
+      .config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitions(cpus.toInt).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128L * 1024 * 1024).toString)

@@ -10,7 +10,8 @@ object SemDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sf10")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .master("local[32]").config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitions(32).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("ERROR")

@@ -1597,15 +1597,18 @@ object Similarity {
          |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k))""".stripMargin)
 
   /** [[semanticOracleSql]] with k DERIVED in SQL by the same rule as
-    * [[semanticK]] — max(4, ⌈n/targetCell⌉) via integer floor-division
-    * over count(*) — so the one static oracle matches
+    * [[semanticK]] — min(2²⁰, max(4, ⌈n/targetCell⌉)) via integer
+    * floor-division over count(*), INCLUDING the 2²⁰ upper clamp
+    * (unreachable below ~2.7e8 vectors at the default target, but the
+    * oracle must mirror the impl exactly, not approximately) — so the
+    * one static oracle matches
     * [[dedupSemanticAuto]] at any scale factor (the derived k differs
     * per SF; the rule, not a pinned k, is what the row proves). */
   private def semanticOracleSqlAutoK(targetCell: Long): String =
     semanticOracleCore(
       s"""kk AS (
-         |  SELECT GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
-         |                  4) AS k FROM v),
+         |  SELECT LEAST(GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
+         |                  4), 1048576) AS k FROM v),
          | c0 AS (
          |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS c
          |  FROM (SELECT vec_id, e,
@@ -1746,8 +1749,8 @@ object Similarity {
   private def semanticCoarseOracleSqlAutoK(targetCell: Long): String =
     semanticCoarseOracleCore(
       s""" kk AS (
-         |  SELECT GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
-         |                  4) AS k FROM v),
+         |  SELECT LEAST(GREATEST((count(*) + ${targetCell - 1}) // $targetCell,
+         |                  4), 1048576) AS k FROM v),
          | gg AS (
          |  SELECT GREATEST(CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT),
          |                  2) AS g FROM kk),
