@@ -271,7 +271,11 @@ object PipelineSpec {
       val txt = strOpt(v, "text").getOrElse("text")
       val thr = doubleOpt(v, "threshold").getOrElse(0.5)
       df => {
-        val std = df.select(col(idc).as("doc_id"), col(txt).as("text"))
+        // fanout: a small single-split parquet source would otherwise
+        // pin the whole signature pass to one core (plan-conditional —
+        // a no-op once the file planner provides the parallelism)
+        val std = graft.Tables.fanout(
+          df.select(col(idc).as("doc_id"), col(txt).as("text")))
         val victims = graft.operators.Dedup.verifiedPairsOf(std, thr)
           .select(col("doc_b").as(idc)).distinct()
         df.join(victims, Seq(idc), "left_anti")

@@ -201,6 +201,18 @@ object Dedup {
     * threshold). Shared by dedup_minhash_verified and the declarative
     * spec grammar's `dedup_near` op (PipelineSpec). */
   private[graft] def verifiedPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    // Self-joins duplicate their input SUBTREE (Spark has no DAG-level
+    // CSE), so the band self-join runs the text→shingle→md5×8
+    // signature pass twice. Round 14 MEASURED the obvious fix —
+    // localCheckpoint the (doc_id, bands) frame — and it LOST at
+    // sf0.1 (verified 1.5 → 1.8 s, curate 1.7 → 2.1 s warm): the
+    // materialization is a barrier that serializes what the duplicated
+    // scan pipelines in parallel — the stats_mad_outliers lesson
+    // again. The duplicated pass is embarrassingly parallel CPU over
+    // the scan; on a real cluster the persistent form is a
+    // content-keyed signature TABLE beside the corpus (what
+    // dedupIncremental's band index already is), not an in-query
+    // checkpoint.
     val sig = signatureOf(docs)
       .select(col("doc_id"),
         array((0 until NumBands).map(bandKey): _*).as("bands"))
@@ -212,24 +224,31 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs
+    // Verify on per-doc shingle-ID ARRAYS — the round-13 containment
+    // recipe ([[shingleIdSets]]): two |cand|-keyed joins + an in-row
+    // array_intersect of 8-byte xxhash64 ids, instead of a token-level
+    // (cand × shingle) row explosion shipping raw shingle STRINGS.
+    // The string-based consumer oracles (dedup_minhash_verified,
+    // pipeline_spec_curate) stay as the deterministic collision
+    // tripwire. The doc-set relation is still built twice (aliased
+    // join sides) — materializing it would store ~the tokenized corpus
+    // (round-13 lesson: don't), while the sets themselves are arrays
+    // of longs, so the duplicated pass is scan-bound, not shuffle.
+    val tok = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Plain shuffle join on doc_a: on a duplicate-heavy corpus the
-    // candidate-pair set grows with the data, so it must never be
-    // broadcast unconditionally — AQE still picks a broadcast when the
-    // runtime size is genuinely small.
-    val common = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
+    val docSets = shingleIdSets(tok)
+    val jac = col("inter_size").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter_size")).cast(DoubleType)
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter_size",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -634,7 +653,11 @@ object Dedup {
     * exact per-doc distinct-shingle count. */
   private def shingleIdSets(tok: DataFrame): DataFrame =
     tok.groupBy(col("doc_id"))
-      .agg(collect_list(xxhash64(col("tk"))).as("set"), count(lit(1)).as("n"))
+      // collect_SET (advisor, round 14): the input shingles are already
+      // per-doc distinct, so set vs list only differs if two of a doc's
+      // OWN shingles collide in 64 bits — collect_set makes the array a
+      // true set even then, while `n` stays the exact string count.
+      .agg(collect_set(xxhash64(col("tk"))).as("set"), count(lit(1)).as("n"))
 
   private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
