@@ -625,7 +625,7 @@ object Dedup {
     * first checkpointed; the parquet cache also amortizes ACROSS
     * invocations). On a cluster this IS the persisted shingle table
     * every set-similarity pipeline keeps beside the corpus. */
-  private def shingleTok(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleTok(spark: SparkSession, dir: String): DataFrame = {
     val tokBase = graft.Caches.dir("jacshingle", dir, Seq("documents"))
     if (!new java.io.File(tokBase, "_SUCCESS").exists()) {
       fanout(documents(spark, dir))
@@ -659,32 +659,63 @@ object Dedup {
       // true set even then, while `n` stays the exact string count.
       .agg(collect_set(xxhash64(col("tk"))).as("set"), count(lit(1)).as("n"))
 
-  private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+  /** Jaccard candidate stage, exposed for [[graft.PpStats]] (the
+    * FP-ratio diagnostic the 100 TB sizing rests on). */
+  private[graft] def jaccardPrefixCandidates(tok: DataFrame): DataFrame = {
     val t = 0.5
-    val tok = shingleTok(spark, dir)
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
     // set size folds into the SAME window partitioning as the prefix
     // rank — one doc-keyed shuffle computes both (no separate size join)
     val wDoc = Window.partitionBy(col("doc_id"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tk"))
+    // m=2 EXTENDED prefix (round 14): indexing n − ⌈t·n⌉ + 2 rarest
+    // shingles guarantees (same pigeonhole, one more slot) that a
+    // J ≥ t pair shares at least TWO tokens within both prefixes
+    // whenever its required overlap r = ⌈t/(1+t)·(na+nb)⌉ is ≥ 2 — so
+    // the candidate stage can demand cp ≥ min(2, r) common prefix
+    // tokens and discard the single-chance-collision pairs that
+    // dominated the 137:1 verify false-positive ratio at sf10.
     val pref = tok.join(freq, "tk")
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(2))
       .select(col("doc_id"), col("tk"), col("n"), col("rn"))
-    // candidate join carries TWO lossless PPJoin prunes: the LENGTH
-    // filter (J ≥ t forces t ≤ |A|/|B| ≤ 1/t) and the POSITIONAL
-    // filter — a match on the FIRST common token w in canonical order
-    // bounds the overlap by 1 + min(|A|−rank_A(w), |B|−rank_B(w)), so
-    // require that bound to reach ⌈t/(1+t)·(|A|+|B|)⌉ (the overlap a
-    // J ≥ t pair must have). Measured: 310k → 125k candidates at sf0.1.
-    val cand = pref.as("a").join(pref.as("b"),
+    // Candidate stage, three LOSSLESS PPJoin prunes (round 14 re-plan):
+    //  1. LENGTH filter in the join (J ≥ t forces t ≤ |A|/|B| ≤ 1/t).
+    //  2. Weak PER-ROW positional filter 2 + min(|A|−ra, |B|−rb) ≥ r:
+    //     for the j-th common token the valid bound is j + min(...),
+    //     so the "2+" form can only drop a rank-SUFFIX of a true
+    //     pair's matches (min(...) decreases with rank) — tokens #1
+    //     and #2 always survive, which the aggregate stage relies on.
+    //  3. AGGREGATED positional filter per pair: survivors are exactly
+    //     the common tokens ≤ β (the max-rank survivor, same token in
+    //     both docs' orders since ranks follow one global (f, tk)
+    //     order), hence overlap ≤ cp + min(|A|−ra(β), |B|−rb(β));
+    //     require that to reach r, and cp ≥ min(2, r).
+    // The groupBy replaces the old .distinct() — same (doc_a, doc_b)
+    // shuffle keys, strictly more pruning after it.
+    val r = ceil(lit(t) / (lit(1.0) + lit(t)) * (col("na") + col("nb")))
+    pref.as("a").join(pref.as("b"),
         col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= ceil(lit(t) * col("a.n")) &&
           col("a.n") >= ceil(lit(t) * col("b.n")) &&
-          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+          (lit(2) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
             ceil(lit(t) / (lit(1.0) + lit(t)) * (col("a.n") + col("b.n"))))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cp"), max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+      .filter(col("cp") >= least(lit(2), r) &&
+        (col("cp") + least(col("na") - col("mra"), col("nb") - col("mrb"))) >= r)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val tok = shingleTok(spark, dir)
+    val cand = jaccardPrefixCandidates(tok)
     // verify via per-doc shingle ARRAYS (sets are already distinct):
     // two keyed joins of |cand| rows + an in-row array_intersect —
     // never the |cand|×|doc| row explosion of a token-level count join
@@ -719,9 +750,9 @@ object Dedup {
     * |B| ≥ ⌈t·|A|⌉ (B must have room for the overlap). Verify is the
     * same two keyed joins + in-row array_intersect as
     * [[dedupJaccardPrefix]] — never a token-level pair explosion. */
-  private def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** Containment candidate stage, exposed for [[graft.PpStats]]. */
+  private[graft] def containmentCandidates(tok: DataFrame): DataFrame = {
     val t = 0.8
-    val tok = shingleTok(spark, dir)
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tk"))
@@ -729,19 +760,33 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wOrd))
       .select(col("doc_id"), col("tk"), col("n"), col("rn"))
-    val prefSub = ranked.filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
-    // positional filter, containment form (lossless, same argument as
-    // PPJoin's): both sides order shingles canonically (global freq,
-    // tk), so a match at ranks (rn_a, rn_b) bounds the remaining
-    // overlap by 1 + min(|A|−rn_a, |B|−rn_b), which must reach the
-    // ⌈t·|A|⌉ a C ≥ t pair needs — checked INSIDE the join condition
-    // so over-long candidates never leave the probe
-    val cand = prefSub.as("a").join(ranked.as("b"),
+    // m=2 EXTENDED sub-side prefix + aggregated positional filter —
+    // the same three lossless prunes as [[dedupJaccardPrefix]] in
+    // containment form (required overlap r = ⌈t·|A|⌉; the sup side
+    // indexes ALL its shingles, so every common token ≤ β is still a
+    // matched row and the aggregate bound argument carries over).
+    val prefSub = ranked.filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(2))
+    val r = ceil(lit(t) * col("na"))
+    prefSub.as("a").join(ranked.as("b"),
         col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id") &&
           col("b.n") >= ceil(lit(t) * col("a.n")) &&
-          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+          (lit(2) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
             ceil(lit(t) * col("a.n")))
-      .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup")).distinct()
+      .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .groupBy(col("doc_sub"), col("doc_sup"))
+      .agg(count(lit(1)).as("cp"), max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+      .filter(col("cp") >= least(lit(2), r) &&
+        (col("cp") + least(col("na") - col("mra"), col("nb") - col("mrb"))) >= r)
+      .select(col("doc_sub"), col("doc_sup"))
+  }
+
+  private def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val tok = shingleTok(spark, dir)
+    val cand = containmentCandidates(tok)
     val docSets = shingleIdSets(tok)
     val cont = col("inter_size").cast(DoubleType) / col("na").cast(DoubleType)
     cand
