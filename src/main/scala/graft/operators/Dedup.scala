@@ -634,8 +634,36 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
         .write.mode("overwrite").parquet(tokBase)
     }
-    // checkpoint the cached scan so the consumers share ONE read
-    spark.read.parquet(tokBase).localCheckpoint()
+    // Project to xxhash64 shingle IDS at the scan (round 14): every
+    // downstream shuffle — global frequency, the per-doc rank window's
+    // external sort, the prefix self-join, the doc-set collect — ships
+    // 8-byte longs instead of ~30-byte shingle strings (~3-4× less
+    // volume; at sf100 the string form's window sort alone out-spilled
+    // this box). Any consistent global total order works for the
+    // prefix/positional proofs, so (freq, id) replaces (freq, string)
+    // losslessly; an id collision can only MERGE two shingles, which
+    // adds verify-rejected candidates and at worst perturbs a doc
+    // pair's intersect count by the already-documented
+    // [[shingleIdSets]] tripwire margin. The string-based oracles are
+    // the deterministic cross-check at the gate SFs.
+    //
+    // Checkpoint SMALL caches so the four consumers share one
+    // in-memory read (measured 8.8 → 2.6 s at sf0.1). PLAN-CONDITIONAL
+    // (the fanout precedent): a localCheckpoint re-stores the relation
+    // as row-oriented serialized blocks — at sf100 that block store is
+    // itself a disk eater — so past the threshold consumers pay the
+    // compressed columnar re-scans, the cluster-honest posture for a
+    // persisted shingle table. The canonical-fixture SF is far below
+    // the branch point, so the impl fingerprint is unaffected (same
+    // caveat as Tables.fanout).
+    val cached = spark.read.parquet(tokBase)
+      .select(col("doc_id"), xxhash64(col("tk")).as("tk"))
+    val cacheBytes = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+      sz(new java.io.File(tokBase))
+    }
+    if (cacheBytes < (8L << 30)) cached.localCheckpoint() else cached
   }
 
   /** Per-doc shingle sets for the verify joins, as xxhash64 IDS rather
@@ -651,13 +679,21 @@ object Dedup {
     * would surface as a REPRODUCIBLE DuckDB-gate failure (the oracle
     * verifies on raw strings), never as silent drift. `n` stays the
     * exact per-doc distinct-shingle count. */
-  private def shingleIdSets(tok: DataFrame): DataFrame =
+  private def shingleIdSets(tok: DataFrame): DataFrame = {
+    // Branch on the tk dtype (the Tables.events precedent): the PPJoin
+    // path hands ids straight from [[shingleTok]]; verifiedPairsOf
+    // still hands raw shingle strings.
+    val id = tok.schema("tk").dataType match {
+      case org.apache.spark.sql.types.LongType => col("tk")
+      case _ => xxhash64(col("tk"))
+    }
     tok.groupBy(col("doc_id"))
       // collect_SET (advisor, round 14): the input shingles are already
       // per-doc distinct, so set vs list only differs if two of a doc's
       // OWN shingles collide in 64 bits — collect_set makes the array a
       // true set even then, while `n` stays the exact string count.
-      .agg(collect_set(xxhash64(col("tk"))).as("set"), count(lit(1)).as("n"))
+      .agg(collect_set(id).as("set"), count(lit(1)).as("n"))
+  }
 
   /** Jaccard candidate stage, exposed for [[graft.PpStats]] (the
     * FP-ratio diagnostic the 100 TB sizing rests on). */

@@ -911,8 +911,40 @@ object Similarity {
     * vec_ids), so it carries its own complete DuckDB oracle — both
     * Lloyd layers and the per-cell training re-derive bit-for-bit.
     * Output cell id = sid·m + cid (dense, deterministic). */
-  private[graft] def dedupSemanticCoarseAt(spark: SparkSession, dir: String,
-      k: Int, tau: Double = 0.375): DataFrame = {
+  /** Level-2 assign: each vector sees exactly its super-cell's m
+    * member candidates (n·m·d, never n·k·d). Exposed as an object
+    * method (not a closure) so [[coarseModel]] can hand the trained
+    * member table to the streaming ingest twin. */
+  private def hierAssignOn(vp: DataFrame, cents: DataFrame): DataFrame =
+    vp.join(broadcast(cents), "sid")
+      .withColumn("dist",
+        dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
+          + dotLambda(col("c"), col("c")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("sid"), col("cid"))
+
+  private def hierUpdateOn(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sid"), col("cid"), posexplode(transform(col("e"),
+        x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+        .as(Seq("i", "xq")))
+      .groupBy(col("sid"), col("cid"), col("i"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("ci", col("sq").cast("double") /
+        (col("cnt") * lit(1000000L)).cast("double"))
+      .groupBy(col("sid"), col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
+        s => s.getField("ci")).as("c"))
+
+  /** The TRAINED two-level model of [[dedupSemanticCoarseAt]]:
+    * (m, super centroids (cid, c), super-routed corpus vp, member
+    * centroids (sid, cid, c) after both Lloyd layers). The streaming
+    * ingest twin collects supers + members from here so its per-row
+    * routing replays the exact batch arithmetic. */
+  private[graft] def coarseModel(spark: SparkSession, dir: String,
+      k: Int): (Int, DataFrame, DataFrame, DataFrame) = {
     val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val m = (k + g - 1) / g
     val v = kmeansVecs(spark, dir)
@@ -927,36 +959,22 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("cid").as("sid"))
       .localCheckpoint() // corpus partition, reused by every level-2 pass
     // level 2: m members per super-cell, trained within the cell only.
-    // Seeds = the cell's m lowest vec_ids; assign joins on sid so each
-    // vector sees exactly its cell's candidates (n·m·d, never n·k·d).
-    def hierAssign(cents: DataFrame): DataFrame =
-      vp.join(broadcast(cents), "sid")
-        .withColumn("dist",
-          dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
-            + dotLambda(col("c"), col("c")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("sid"), col("cid"))
-    def hierUpdate(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("sid"), col("cid"), posexplode(transform(col("e"),
-          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
-          .as(Seq("i", "xq")))
-        .groupBy(col("sid"), col("cid"), col("i"))
-        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
-        .withColumn("ci", col("sq").cast("double") /
-          (col("cnt") * lit(1000000L)).cast("double"))
-        .groupBy(col("sid"), col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
-          s => s.getField("ci")).as("c"))
+    // Seeds = the cell's m lowest vec_ids.
     val h0 = vp
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("sid")).orderBy(col("vec_id"))))
       .filter(col("rn") <= m)
       .select(col("sid"), (col("rn") - 1).cast("long").as("cid"),
         col("e").as("c"))
-    val routed = hierAssign(hierUpdate(hierAssign(hierUpdate(hierAssign(h0)))))
+    val mCents =
+      hierUpdateOn(hierAssignOn(vp, hierUpdateOn(hierAssignOn(vp, h0))))
+    (m, sCents, vp, mCents)
+  }
+
+  private[graft] def dedupSemanticCoarseAt(spark: SparkSession, dir: String,
+      k: Int, tau: Double = 0.375): DataFrame = {
+    val (m, _, vp, mCents) = coarseModel(spark, dir, k)
+    val routed = hierAssignOn(vp, mCents)
       .select(col("vec_id"), col("e"),
         (col("sid") * m + col("cid")).as("cid"))
     // pair + keep tail identical to [[dedupSemanticAt]]

@@ -334,28 +334,98 @@ object StreamingOps {
           element_at(array_sort(array(scored: _*)), 1).getField("cid").as("cell"))
         .withColumn("nrm", sqrt(dotLambda(col("e"), col("e"))))
         .localCheckpoint()
-      val histEpochs = historyEpochs(spark, indexDir, epochId)
-      def cs(a: String, b: String) =
-        graft.Parity.r6(dotLambda(col(s"$a.e"), col(s"$b.e")) /
-          (col(s"$a.nrm") * col(s"$b.nrm")))
-      val vsBatch = cur.as("a").join(cur.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("bid"), cs("a", "b").as("cs"))
-      val cands = if (histEpochs.isEmpty) vsBatch else {
-        val hist = spark.read.parquet(histEpochs.toIndexedSeq: _*)
-        vsBatch.unionByName(
-          cur.as("n").join(hist.as("h"),
-              col("n.cell") === col("h.cell") && col("h.vec_id") < col("n.vec_id"))
-            .select(col("n.vec_id").as("bid"), cs("h", "n").as("cs")))
+      cellVerdictTail(cur, indexDir, outDir, epochId, tau)
+    }
+
+  /** Shared cell-keyed compare/keep/index tail of the semantic ingest
+    * twins: `cur` is the routed micro-batch (vec_id, e, cell, nrm),
+    * already localCheckpoint()ed. Compares against persisted
+    * cell-mates + lower-id batch-mates, writes the epoch-addressed
+    * verdicts and the epoch's index contribution. */
+  private def cellVerdictTail(cur: DataFrame, indexDir: String,
+      outDir: String, epochId: Long, tau: Double): Unit = {
+    import graft.operators.Similarity.dotLambda
+    val spark = cur.sparkSession
+    val histEpochs = historyEpochs(spark, indexDir, epochId)
+    def cs(a: String, b: String) =
+      graft.Parity.r6(dotLambda(col(s"$a.e"), col(s"$b.e")) /
+        (col(s"$a.nrm") * col(s"$b.nrm")))
+    val vsBatch = cur.as("a").join(cur.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("bid"), cs("a", "b").as("cs"))
+    val cands = if (histEpochs.isEmpty) vsBatch else {
+      val hist = spark.read.parquet(histEpochs.toIndexedSeq: _*)
+      vsBatch.unionByName(
+        cur.as("n").join(hist.as("h"),
+            col("n.cell") === col("h.cell") && col("h.vec_id") < col("n.vec_id"))
+          .select(col("n.vec_id").as("bid"), cs("h", "n").as("cs")))
+    }
+    val nn = cands.groupBy(col("bid")).agg(max(col("cs")).as("nn_sim"))
+    cur.select(col("vec_id"), col("cell"))
+      .join(nn, col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_sim"),
+        (col("nn_sim").isNull || col("nn_sim") < tau).as("keep"))
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    cur.select(col("vec_id"), col("e"), col("cell"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+  }
+
+  /** Hierarchical semantic-dedup-on-ingest — the streaming twin of
+    * `dedup_semantic_coarse` (round 14, VERDICT task 6): at the corpus
+    * sizes that motivate the two-level batch path, the flat ingest
+    * twin would route each row against all k cells (k ∝ corpus under
+    * the SemDeDup rule); this twin replays the batch hierarchy
+    * per row — argmin over the g broadcast SUPER centroids, then
+    * argmin over that super-cell's m MEMBER centroids — O(√k) literal
+    * comparisons per row, cell id = sid·m + cid exactly as the batch
+    * routing. Both argmins use the identical sequential-fold distance
+    * (e·e − 2e·c + c·c) and (dist, cid) tie-break as
+    * `Similarity.coarseModel`'s trained layers, so on an id-ordered
+    * replay of the training corpus the verdict stream equals the
+    * batch `dedup_semantic_coarse` output EXACTLY
+    * (StreamBatchParitySpec). A vector whose nearest super acquired
+    * no trained members (possible only for supers EMPTY at train
+    * time) routes to a null cell and keeps — the batch op cannot see
+    * such a vector at all, so the seam is new-data-only and
+    * documented rather than hidden.
+    *
+    * `supers` is (sid, centroid); `members` is (sid, cid, centroid)
+    * with cid ∈ [0, m); both collected from the batch-trained
+    * [[graft.operators.Similarity.coarseModel]] — k×dim literals
+    * total, no driver state across batches. */
+  def semanticDedupCoarseIngest(vecs: DataFrame,
+      supers: Seq[(Long, Seq[Double])],
+      members: Seq[(Long, Long, Seq[Double])], m: Int,
+      indexDir: String, outDir: String, tau: Double = 0.375):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      import graft.operators.Similarity.dotLambda
+      val ec = col("e")
+      def distTo(c: Seq[Double]): org.apache.spark.sql.Column = {
+        val cl = array(c.map(lit): _*)
+        dotLambda(ec, ec) - lit(2.0) * dotLambda(ec, cl) + dotLambda(cl, cl)
       }
-      val nn = cands.groupBy(col("bid")).agg(max(col("cs")).as("nn_sim"))
-      cur.select(col("vec_id"), col("cell"))
-        .join(nn, col("vec_id") === col("bid"), "left")
-        .select(col("vec_id"), col("cell"), col("nn_sim"),
-          (col("nn_sim").isNull || col("nn_sim") < tau).as("keep"))
-        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-      cur.select(col("vec_id"), col("e"), col("cell"), col("nrm"))
-        .write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+      val superScored = supers.sortBy(_._1).map { case (sid, c) =>
+        struct(distTo(c).as("dist"), lit(sid).as("cid"))
+      }
+      val memberCid = members.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (sid, ms) =>
+          val scored = ms.sortBy(_._2).map { case (_, cid, c) =>
+            struct(distTo(c).as("dist"), lit(cid).as("cid"))
+          }
+          when(col("sid") === lit(sid),
+            element_at(array_sort(array(scored: _*)), 1).getField("cid"))
+      }
+      val cur = batch.toDF()
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+        .withColumn("sid",
+          element_at(array_sort(array(superScored: _*)), 1).getField("cid"))
+        .withColumn("cell", col("sid") * lit(m.toLong) + coalesce(memberCid: _*))
+        .select(col("vec_id"), col("e"), col("cell"))
+        .withColumn("nrm", sqrt(dotLambda(col("e"), col("e"))))
+        .localCheckpoint()
+      cellVerdictTail(cur, indexDir, outDir, epochId, tau)
     }
 
   /** DSIR-score-on-ingest — the streaming twin of the batch

@@ -264,10 +264,15 @@ object OracleFuzz {
     // 26 INTERSECT/EXCEPT ALL (bag semantics), 27 [NOT] IN subquery
     // incl. a nullable inner (three-valued NOT IN), 28 correlated
     // scalar subquery (the COUNT-bug seam) — round 13, the last two
-    // families where DuckDB/Spark NULL semantics diverge most. A mode
-    // whose structural guard fails falls through to agg/sort-limit,
-    // exactly like modes 17-19 always have.
-    val mode = r.nextInt(29)
+    // families where DuckDB/Spark NULL semantics diverge most.
+    // 29-31 EVENT-TIME (round 14, VERDICT task 7): random-width
+    // tumbling windows, sliding windows incl. width NOT a multiple of
+    // the slide, and gaps-and-islands sessionization with random gap
+    // thresholds — the epoch-alignment and boundary-inclusion seams
+    // the fixed window queries only pin at whole-minute parameters.
+    // A mode whose structural guard fails falls through to
+    // agg/sort-limit, exactly like modes 17-19 always have.
+    val mode = r.nextInt(32)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -638,6 +643,130 @@ object OracleFuzz {
         spark.read.parquet(s"$dir/${tR.name}.parquet")
           .createOrReplaceTempView(tR.name)
         spark.sql(sql)
+      })
+    }
+
+    if (mode >= 29 && mode <= 31) {
+      // EVENT-TIME productions over the events table (self-contained:
+      // chain/preds above are ignored — they reference chain tables).
+      // All boundary arithmetic is exact integer MICROSECONDS on both
+      // engines: the events ts carries sub-second µs, so windows are
+      // derived from epoch_us and rendered as NAIVE timestamps
+      // (ts - to_microseconds(...)) — never to_timestamp, whose
+      // TIMESTAMPTZ rendering is a tz trap, and never time_bucket,
+      // whose 2000-01-01 origin diverges from Spark's 1970 epoch
+      // alignment for widths that don't divide 946684800 s.
+      val evT = Table("events", Seq("event_id"), Seq(
+        Col2("event_id", KeyK), Col2("user_id", KeyK),
+        Col2("event_type", EnumK(Seq("click", "error", "purchase", "signup", "view")))))
+      val evPreds = r.shuffle(evT.cols).take(r.nextInt(3)).flatMap(predFor(r, _))
+      val evWhere =
+        if (evPreds.isEmpty) "" else " WHERE " + evPreds.map(_.sql).mkString(" AND ")
+      def evDf(spark: SparkSession, dir: String): DataFrame = {
+        var df = Tables.events(spark, dir)
+        evPreds.foreach(p => df = df.filter(p.spark))
+        df
+      }
+      val cents = Out(
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).cast("long").as("cents"),
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents",
+        "cents")
+      val cnt = Out(count(lit(1)).as("cnt"), "CAST(count(*) AS BIGINT) AS cnt", "cnt")
+
+      if (mode == 29) {
+        // Tumbling: width drawn from primes/odd seconds as well as the
+        // usual round figures — Spark aligns window starts to the 1970
+        // epoch for ANY width, which the oracle reproduces as
+        // ts − (epoch_us(ts) % width_µs).
+        val widths = Seq(7, 13, 59, 60, 61, 127, 300, 900, 3600, 5400, 7200)
+        val w = widths(r.nextInt(widths.size))
+        val byType = r.nextBoolean()
+        val wsSql = s"ts - to_microseconds(CAST(epoch_us(ts) % ${w}000000 AS BIGINT))"
+        val gCols = "window_start" +: (if (byType) Seq("event_type") else Nil)
+        val sql = s"SELECT ${gCols.mkString(", ")}, ${cnt.sql}, ${cents.sql}" +
+          s" FROM (SELECT *, strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start" +
+          s" FROM events$evWhere) GROUP BY ${gCols.mkString(", ")}"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val gb = if (byType)
+            evDf(spark, dir).groupBy(window(col("ts"), s"$w seconds").as("w"),
+              col("event_type"))
+          else evDf(spark, dir).groupBy(window(col("ts"), s"$w seconds").as("w"))
+          gb.agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select((gCols.map(col) ++ Seq(col("cnt"), col("cents"))): _*)
+        })
+      }
+
+      if (mode == 30) {
+        // Sliding: starts are aligned to the SLIDE's epoch multiples;
+        // when the slide does not divide the width the per-event window
+        // count varies by position, which the oracle's k-expansion
+        // reproduces with the integer guard rem + k·S_µs < W_µs
+        // (equivalently ts < ws + W) — Spark's own emission rule.
+        val slides = Seq(120, 300, 600, 900, 1800)
+        val s = slides(r.nextInt(slides.size))
+        val mult = 2 + r.nextInt(3)
+        val wSec = if (r.nextBoolean()) s * mult else s * mult - s / 2
+        val k = (wSec + s - 1) / s
+        val byType = r.nextBoolean()
+        val wsSql = "ts - to_microseconds(CAST(epoch_us(ts) % " +
+          s"${s}000000 + ${s}000000 * t.k AS BIGINT))"
+        val gCols = "window_start" +: (if (byType) Seq("event_type") else Nil)
+        val sql = s"SELECT ${gCols.mkString(", ")}, ${cnt.sql}, ${cents.sql}" +
+          s" FROM (SELECT value, event_type," +
+          s" strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start" +
+          s" FROM events CROSS JOIN (SELECT unnest([${(0 until k).mkString(", ")}]) AS k) t" +
+          s"${if (evWhere.isEmpty) " WHERE " else s"$evWhere AND "}" +
+          s"epoch_us(ts) % ${s}000000 + ${s}000000 * t.k < ${wSec}000000)" +
+          s" GROUP BY ${gCols.mkString(", ")}"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val gb = if (byType)
+            evDf(spark, dir).groupBy(
+              window(col("ts"), s"$wSec seconds", s"$s seconds").as("w"),
+              col("event_type"))
+          else evDf(spark, dir).groupBy(
+            window(col("ts"), s"$wSec seconds", s"$s seconds").as("w"))
+          gb.agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select((gCols.map(col) ++ Seq(col("cnt"), col("cents"))): _*)
+        })
+      }
+
+      // mode 31 — gaps-and-islands sessionization with a random gap:
+      // lag + running sum over (ts, event_id) — the tie order the
+      // fixed query pinned — then per-session aggregates. The gap
+      // compare is exact integer µs on both engines.
+      val gaps = Seq(60, 300, 900, 1800, 3600, 7201)
+      val g = gaps(r.nextInt(gaps.size))
+      val sql =
+        s"""WITH x AS (
+           |  SELECT user_id, ts, event_id, value,
+           |   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id)) > ${g}000000
+           |    THEN 1 ELSE 0 END AS newsess
+           |  FROM events$evWhere),
+           | y AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x)
+           |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           | ${cnt.sql}, ${cents.sql}
+           |FROM y GROUP BY user_id, sess_id""".stripMargin
+      return FuzzQuery(name, sql, (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        evDf(spark, dir)
+          .withColumn("newsess",
+            when(unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(byUser)) > g * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("newsess")).over(run))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            cnt.spark, cents.spark)
       })
     }
 

@@ -574,6 +574,53 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("hierarchical semantic dedup on ingest equals batch dedup_semantic_coarse on the replayed corpus") {
+    // Two-level parity (round 14, VERDICT task 6): the coarse twin
+    // routes super-then-member against the batch-trained hierarchy —
+    // O(√k) literal comparisons per row instead of the flat twin's k.
+    // On an id-ordered replay the verdict stream must equal the batch
+    // dedup_semantic_coarse output EXACTLY: same sequential-fold
+    // distances, same (dist, cid) tie-breaks in both layers, same
+    // sid·m + cid cell ids, and the persisted index preserves the
+    // batch lower-id comparison set.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val (m, sCents, _, mCents) =
+      graft.operators.Similarity.coarseModel(spark2, TestSpark.sf, 16)
+    val supers = sCents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val members = mCents.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(members.nonEmpty && supers.nonEmpty)
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_semcoarse_${System.nanoTime()}"
+    val ms = MemoryStream[VecRow]
+    val q = StreamingOps.semanticDedupCoarseIngest(ms.toDF(), supers,
+        members, m, s"$base/idx", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val rows = Tables.embeddings(spark2, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_.vec_id)
+    rows.grouped(180).foreach { chunk =>
+      ms.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    val streamed = spark2.read.parquet(s"$base/out/epoch=*")
+      .collect().map(canon).toSet
+    val batch = SparkEntry.queries("dedup_semantic_coarse")(spark2, TestSpark.sf)
+      .collect().map(canon).toSet
+    assert(streamed.size == rows.length, "one verdict per ingested vector")
+    assert(streamed == batch,
+      s"hierarchical semantic dedup on ingest diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
+
   test("stateless ingest verdicts are replay-stable under out-of-order and duplicate batches") {
     // Late-data contract for the STATELESS twins (round 13, VERDICT
     // task 7): the stateful ops have watermark proofs, but the

@@ -23,7 +23,7 @@ except Exception:
 SF = sys.argv[1]
 OUT = sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "documents"]
+          "orders", "lineitem", "documents", "events"]
 
 con = duckdb.connect()
 for t in TABLES:
