@@ -710,15 +710,19 @@ object OracleFuzz {
         val wSec = if (r.nextBoolean()) s * mult else s * mult - s / 2
         val k = (wSec + s - 1) / s
         val byType = r.nextBoolean()
+        // the slide-µs constant is BIGINT-cast BEFORE multiplying by k:
+        // DuckDB types bare 900000000 as INT32 and overflows at k=3
+        // (found by the 500-seed sweep, seeds 194/195/259/483)
+        val sUs = s"CAST(${s}000000 AS BIGINT)"
         val wsSql = "ts - to_microseconds(CAST(epoch_us(ts) % " +
-          s"${s}000000 + ${s}000000 * t.k AS BIGINT))"
+          s"$sUs + $sUs * t.k AS BIGINT))"
         val gCols = "window_start" +: (if (byType) Seq("event_type") else Nil)
         val sql = s"SELECT ${gCols.mkString(", ")}, ${cnt.sql}, ${cents.sql}" +
           s" FROM (SELECT value, event_type," +
           s" strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start" +
           s" FROM events CROSS JOIN (SELECT unnest([${(0 until k).mkString(", ")}]) AS k) t" +
           s"${if (evWhere.isEmpty) " WHERE " else s"$evWhere AND "}" +
-          s"epoch_us(ts) % ${s}000000 + ${s}000000 * t.k < ${wSec}000000)" +
+          s"epoch_us(ts) % $sUs + $sUs * t.k < ${wSec}000000)" +
           s" GROUP BY ${gCols.mkString(", ")}"
         return FuzzQuery(name, sql, (spark, dir) => {
           val gb = if (byType)
