@@ -64,6 +64,19 @@ object ScaleBench {
         // exactly its own materialization and nothing lingers.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // SHUFFLE files are the other garbage class (round 14): they
+        // are reaped only when ContextCleaner sees the dead
+        // ShuffleDependency via driver GC, and a 64 g driver heap can
+        // run a whole decade-3 session without one — measured:
+        // graph_pagerank's three sf10 runs left ~25 GB of dead
+        // shuffle scratch, and its sf100 run then hit ENOSPC on a
+        // box that fits the live query with room to spare. Force the
+        // collection between (untimed boundaries of) runs and give
+        // the async cleaner a beat to land the deletions. This is
+        // the in-session analogue of spark.cleaner.periodicGC (whose
+        // 30 min default never fires inside one session).
+        System.gc()
+        Thread.sleep(500)
         secs
       }
       once() // warm (uncounted)
