@@ -47,7 +47,7 @@ object AnnRecall {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(cpus.toInt).toString)
+        GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(sfDir)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

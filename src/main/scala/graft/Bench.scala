@@ -77,14 +77,20 @@ object Bench {
     // a line-per-query committed artifact makes every round-over-round
     // timing diff a one-line `git diff bench_results.json` read.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    GraftSession.quietStartup()
+    // Scale-aware shuffle sizing (round 15): cores at bench SF — the
+    // round-14 blanket 4×-cores default cost a measured +15% bench
+    // total / up to 2.2× per query at sf0.1 — growing with input
+    // bytes toward the spill-safe sf100 value. Rationale and both
+    // measurements: GraftSession.shufflePartitions.
+    val shuffleParts =
+      GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(sfDir))
+    val advisoryMb = 128
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // 4×-cores rule (measured, GraftSession.shufflePartitions);
-      // AQE parallelismFirst keeps the small-SF bench un-taxed.
-      .config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(cpus.toInt).toString)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (128L * 1024 * 1024).toString)
+        (advisoryMb * 1024L * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.applyOptimizations(spark)
@@ -126,6 +132,26 @@ object Bench {
     // committed artifact ("runs") so the round-over-round diff can
     // tell a real regression from in-bench contention without a
     // rebuild.
+    // Calibration canary (round 15, VERDICT task 3): a fixed
+    // registry-independent reference workload — 200 M-row range →
+    // hash → 1 M-key groupBy (one scan leg + one shuffle leg, the two
+    // costs every registered query is made of) — timed FIRST, before
+    // any query can touch the page cache. Cross-round diffs divide by
+    // the canary ratio to separate uniform session drift (box/boot/
+    // cache state; measured 25-33% on IDENTICAL bytecode in r8/r9 and
+    // again by the r14 judge) from genuine plan regressions: the r14
+    // bench total doubled and nobody could cheaply tell how much was
+    // config vs session until the judge re-ran both ends.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) % 1000000 as k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm: JIT + codegen, the per-query discipline
+    val canaryS = math.min(canaryOnce(), canaryOnce())
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -199,6 +225,8 @@ object Bench {
          |  "value": ${fmt(total)},
          |  "unit": "sec",
          |  "sf": "$sfDir",
+         |  "canary_s": ${fmt(canaryS)},
+         |  "config": {"cpus": $cpus, "shuffle_partitions": $shuffleParts, "advisory_mb": $advisoryMb},
          |  "warmup_s": ${fmt(warmupS)},
          |  "n_queries": ${timed.size},
          |  "failed": $failedJson,
@@ -226,7 +254,7 @@ object Bench {
     val slowest40 = timed.sortBy { case (_, v) => -math.abs(v) }
       .take(40).sortBy(_._1)
     val json =
-      s"""{"metric":"total","queries":${queriesJson(slowest40)},"warmup_s":${fmt(warmupS)},"value":$total,"unit":"sec","failed":$failedJson,"n_queries":${timed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","queries":${queriesJson(slowest40)},"warmup_s":${fmt(warmupS)},"canary_s":${fmt(canaryS)},"shuffle_partitions":$shuffleParts,"value":$total,"unit":"sec","failed":$failedJson,"n_queries":${timed.size},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outFile)
       try w.println(fullJson) finally w.close()

@@ -84,16 +84,72 @@ object GraftSession {
         "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     } catch { case _: Throwable => () }
 
-  /** Shuffle sizing for every graft session. MEASURED (round 13,
-    * decade 3): partitions = cores hits the spill cliff at 600 M rows —
-    * join_sortmerge went α 1.58 → 0.90 purely from 128 partitions +
-    * AQE coalesce on a 32-core box. 4× cores is the default; AQE's
-    * `coalescePartitions.parallelismFirst` (true by default) keeps
-    * small-SF shuffles at ~cores partitions so the larger upper bound
-    * costs nothing when the data is small. `SPARK_GRAFT_SHUFFLE`
-    * remains the explicit override for experiments. */
-  def shufflePartitions(cores: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.trim.toInt).getOrElse(cores * 4)
+  /** Startup quieting for the driver-run mains (round 15, VERDICT
+    * task 5): session CREATION logs INFO (BlockManager/SharedState)
+    * before `setLogLevel("WARN")` can run, and because the mains are
+    * otherwise stdout-silent those startup lines land inside the
+    * harness's captured output tail right before the result JSON.
+    * The load-bearing half of the fix is `src/main/resources/
+    * log4j2.properties` (root=WARN): with a real config file on the
+    * classpath, Spark's `Logging.initializeLogging` sees log4j2 as
+    * user-configured and never installs its INFO-rooted defaults, so
+    * the startup lines are filtered from the first message. This
+    * method is the belt-and-braces half for environments where that
+    * resource is shadowed: call BEFORE `getOrCreate()`. It also
+    * raises SparkStringUtils' "Truncated the string representation of
+    * a plan" WARN to ERROR: with 300+ registered queries some
+    * analyzed plans exceed the default 25-field toString budget by
+    * design, and the advisory fires once per session run. */
+  def quietStartup(): Unit =
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+        org.apache.logging.log4j.Level.WARN)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.util.StringUtils", org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () }
+
+  /** Shuffle sizing for every graft session — SCALE-AWARE since
+    * round 15. Two measured facts bound the rule from both ends:
+    *
+    *  - partitions = cores hits the spill cliff once a shuffle slice
+    *    outgrows executor memory (round 13, sf100: join_sortmerge
+    *    α 1.58 with 32 partitions over 600 M rows ≈ 2 GB/partition/
+    *    side; 128 partitions + AQE coalesce → α 0.90);
+    *  - a blanket 4×-cores default taxes SMALL inputs (round-14 judge
+    *    A/B at sf0.1, identical bytecode: +15% bench total, median
+    *    +13%/query, up to 2.2× on sub-second queries — AQE coalesces
+    *    the reduce side, but the 4× map-side buckets and per-stage
+    *    scheduling overhead are NOT free at sub-second query sizes;
+    *    round 14's "parallelismFirst keeps the small-SF bench
+    *    un-taxed" claim was measured false).
+    *
+    * So the upper bound scales with the data, the `Tables.fanout`
+    * plan-conditional precedent applied to session config: partitions
+    * = cores until the input is big enough that cores partitions
+    * would spill, then one partition per ~128 MB of source bytes,
+    * capped at 4× cores (the measured-good sf100 value). Callers that
+    * know their data directory pass [[dirBytes]]; callers that don't
+    * (generic [[builder]]) get the cores default, which is correct
+    * for everything up to ~decade-2 corpora on a 32-core box.
+    * `SPARK_GRAFT_SHUFFLE` remains the explicit override. */
+  def shufflePartitions(cores: Int, inputBytes: Long = 0L): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.trim.toInt).getOrElse {
+      val byBytes = math.ceil(inputBytes / (128.0 * 1024 * 1024)).toInt
+      math.min(math.max(cores, byBytes), cores * 4)
+    }
+
+  /** Total bytes under a data directory, via Hadoop FileSystem so the
+    * probe works on HDFS/S3A paths as well as local ones; 0 on any
+    * error or missing path (callers then fall back to the cores
+    * default in [[shufflePartitions]]). */
+  def dirBytes(dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: Throwable => 0L }
 
   def builder(master: String = "local[*]"): SparkSession.Builder = {
     val cores = Runtime.getRuntime.availableProcessors()

@@ -4,7 +4,7 @@ object QSmoke {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(16).toString)
+        GraftSession.shufflePartitions(16, GraftSession.dirBytes(args(0))).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     GraftSession.applyOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")

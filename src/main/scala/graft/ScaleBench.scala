@@ -26,18 +26,20 @@ object ScaleBench {
     val ratio = args(2).toDouble
     val names = args.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle sizing (round 13, decade 3): partitions pinned to core
-    // count hit the spill cliff once a partition's shuffle slice
-    // outgrows executor memory (measured at sf100: join_sortmerge
-    // α 1.58 with 32 partitions over 600 M rows — ~2 GB/partition/
-    // side). Since round 14 the measured 4×-cores rule IS the session
-    // default (GraftSession.shufflePartitions) — no env needed at
-    // sf100; SPARK_GRAFT_SHUFFLE stays as the experiment override.
-    // AQE coalescing keeps the small-SF side from over-partitioning.
+    GraftSession.quietStartup()
+    // Shuffle sizing is SCALE-AWARE per data directory (round 15):
+    // each (query, dir) pair runs at the partitions the engine would
+    // use for that corpus size — cores until the input outgrows them,
+    // one partition per ~128 MB of source bytes after, capped at 4×
+    // cores (GraftSession.shufflePartitions; the round-13 sf100 spill
+    // cliff and the round-14 small-SF tax are the two measurements
+    // bounding the rule). shuffle.partitions is runtime-settable, so
+    // the per-dir value is applied in time() below; the session
+    // default here covers dirA.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(cpus.toInt).toString)
+        GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(dirA)).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128L * 1024 * 1024).toString)
@@ -48,8 +50,31 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietBenignLogs()
 
+    // Local-dir scratch bytes (sum over spark.local.dir roots) — the
+    // observable the GC-between-runs loop below is accountable to. -1
+    // when unreadable (never fail a measurement over a diagnostic).
+    def scratchBytes(): Long =
+      try {
+        val dirs = spark.sparkContext.getConf
+          .get("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", System.getProperty("java.io.tmpdir")))
+        dirs.split(",").map { d =>
+          val root = new java.io.File(d.trim)
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          // only Spark's own subtrees: blockmgr-* (block store) and
+          // spark-* (shuffle + temp) — /tmp holds unrelated files.
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+            .map(walk).sum
+        }.sum
+      } catch { case _: Throwable => -1L }
+
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
+      // Per-dir scale-aware partitions (see session comment above).
+      spark.conf.set("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(dir)).toString)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -74,9 +99,24 @@ object ScaleBench {
         // collection between (untimed boundaries of) runs and give
         // the async cleaner a beat to land the deletions. This is
         // the in-session analogue of spark.cleaner.periodicGC (whose
-        // 30 min default never fires inside one session).
-        System.gc()
-        Thread.sleep(500)
+        // 30 min default never fires inside one session). A single
+        // gc()+sleep is best-effort (ContextCleaner deletion is async
+        // and one GC hint may miss the dead ShuffleDependency —
+        // round-15 ADVICE), so loop until the scratch footprint stops
+        // shrinking (≤3 iterations) and LOG what remains: a missed
+        // cleanup must be visible before the next run inherits a
+        // fuller disk, not an ENOSPC three queries later.
+        var prev = Long.MaxValue
+        var i = 0
+        var cur = { System.gc(); Thread.sleep(500); scratchBytes() }
+        while (cur >= 0 && cur < prev && cur > (1L << 30) && i < 3) {
+          prev = cur
+          System.gc(); Thread.sleep(500)
+          cur = scratchBytes()
+          i += 1
+        }
+        if (cur > (8L << 30))
+          println(f"[scale] WARN: ${cur / (1L << 30)} GiB shuffle scratch survived GC after $name")
         secs
       }
       once() // warm (uncounted)

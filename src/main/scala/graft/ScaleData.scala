@@ -44,7 +44,8 @@ object ScaleData {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(cpus.toInt).toString)
+        GraftSession.shufflePartitions(cpus.toInt,
+          GraftSession.dirBytes(src) * copies).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,10 +10,11 @@ object Verify {
     // iteration aid; the driver always runs the full set)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    GraftSession.quietStartup()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        GraftSession.shufflePartitions(cpus.toInt).toString)
+        GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(sfDir)).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

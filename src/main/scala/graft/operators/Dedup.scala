@@ -658,11 +658,12 @@ object Dedup {
     // caveat as Tables.fanout).
     val cached = spark.read.parquet(tokBase)
       .select(col("doc_id"), xxhash64(col("tk")).as("tk"))
-    val cacheBytes = {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
-      sz(new java.io.File(tokBase))
-    }
+    // Hadoop FS probe (round-15 advisor): getContentSummary is
+    // null-safe where a recursive listFiles() walk is not, and it
+    // works on HDFS/S3A cache dirs like the rest of the path
+    // discovery since round 12. 0-on-error ⇒ checkpoint, the
+    // small-cache default.
+    val cacheBytes = graft.GraftSession.dirBytes(tokBase)
     if (cacheBytes < (8L << 30)) cached.localCheckpoint() else cached
   }
 

@@ -392,12 +392,18 @@ object StreamingOps {
     * `supers` is (sid, centroid); `members` is (sid, cid, centroid)
     * with cid ∈ [0, m); both collected from the batch-trained
     * [[graft.operators.Similarity.coarseModel]] — k×dim literals
-    * total, no driver state across batches. */
+    * total, no driver state across batches. PRECONDITION: both layers
+    * non-empty — `coalesce` over the per-super member argmins needs
+    * ≥1 argument at analysis time, and a model with zero trained
+    * members would otherwise surface as an opaque planner error
+    * inside foreachBatch (round-15 advisor). */
   def semanticDedupCoarseIngest(vecs: DataFrame,
       supers: Seq[(Long, Seq[Double])],
       members: Seq[(Long, Long, Seq[Double])], m: Int,
       indexDir: String, outDir: String, tau: Double = 0.375):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(supers.nonEmpty && members.nonEmpty,
+      "semanticDedupCoarseIngest needs a trained model: supers and members must be non-empty")
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
       import org.apache.spark.sql.types.{ArrayType, DoubleType}
       import graft.operators.Similarity.dotLambda
@@ -427,6 +433,7 @@ object StreamingOps {
         .localCheckpoint()
       cellVerdictTail(cur, indexDir, outDir, epochId, tau)
     }
+  }
 
   /** DSIR-score-on-ingest — the streaming twin of the batch
     * `corpus_dsir_select` scorer (round 12): the per-bucket importance

@@ -1393,4 +1393,43 @@ class InvariantSpec extends AnyFunSuite {
       f"cell imbalance: sum|cell|²=$sumSq%.0f exceeds 2·N²/k=${2 * floor}%.0f — " +
         "the cell-bounded cost argument no longer holds")
   }
+
+  test("PPJoin candidate:true ratios stay tight (sf0.01 and sf0.1 ceilings)") {
+    // Round-15 tripwire (VERDICT r14 task 4): the m=2 extended-prefix
+    // + positional-filter candidate stage cut sf10 containment
+    // candidates 137:1 → 3.1:1, and that TIGHTNESS — not just
+    // losslessness — is what makes the family complete at sf100. The
+    // string oracles prove no true pair is lost; nothing proves a
+    // future prefix/filter edit doesn't silently reopen the candidate
+    // flood. Pin the measured ratios with 2× headroom (PpStats,
+    // round 15): sf0.01 jaccard 25/25 = 1.0, containment 51/50 = 1.02;
+    // sf0.1 jaccard 12.4:1, containment 6.1:1 (SCALING.md round-14
+    // table, stable across sf0.1 and sf1). The data is deterministic,
+    // so a ceiling breach is a real candidate-stage loosening, never
+    // noise — if a deliberate re-plan changes the tradeoff, re-measure
+    // via PpStats and move the ceiling WITH a PLANS.md note.
+    val ceilings = Seq(
+      // (dir, jaccard ceiling, containment ceiling)
+      ("/root/testdata/sf0.01", 3.0, 3.0),
+      ("/root/testdata/sf0.1", 25.0, 13.0))
+    for ((dir, jacCeil, conCeil) <- ceilings) {
+      if (!new java.io.File(dir).isDirectory) cancel(s"$dir not present")
+      val tok = graft.operators.Dedup.shingleTok(spark, dir)
+      val jacCand = graft.operators.Dedup.jaccardPrefixCandidates(tok).count()
+      val jacTrue = SparkEntry.queries("dedup_jaccard_prefix")(spark, dir).count()
+      val conCand = graft.operators.Dedup.containmentCandidates(tok).count()
+      val conTrue = SparkEntry.queries("dedup_containment")(spark, dir).count()
+      val jacRatio = jacCand.toDouble / math.max(1L, jacTrue)
+      val conRatio = conCand.toDouble / math.max(1L, conTrue)
+      info(f"$dir jaccard $jacCand/$jacTrue=$jacRatio%.2f (ceil $jacCeil) " +
+        f"containment $conCand/$conTrue=$conRatio%.2f (ceil $conCeil)")
+      assert(jacTrue > 0 && conTrue > 0, s"$dir: no true pairs — vacuous")
+      assert(jacRatio <= jacCeil,
+        f"$dir jaccard candidate:true $jacRatio%.2f exceeds $jacCeil — " +
+          "the prefix candidate stage has loosened (re-measure via graft.PpStats)")
+      assert(conRatio <= conCeil,
+        f"$dir containment candidate:true $conRatio%.2f exceeds $conCeil — " +
+          "the extended-prefix/positional stage has loosened (re-measure via graft.PpStats)")
+    }
+  }
 }

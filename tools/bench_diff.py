@@ -6,10 +6,20 @@ Usage:
   python3 tools/bench_diff.py <ref>        # working tree vs <ref>
   python3 tools/bench_diff.py <refA> <refB>
 
-Reads bench_results.json (full 263-query map) from each side and prints
+Reads bench_results.json (full per-query map) from each side and prints
 total drift plus the queries that moved most, with a noise hint: the
 r8/r9 episode showed identical bytecode drifting 25% run-over-run, so
 only flag a query when BOTH the ratio and the absolute delta are large.
+
+Canary normalization (round 15, VERDICT task 3): Bench times a fixed
+registry-independent reference workload first and records it as
+"canary_s", alongside a "config" provenance block. When both sides
+carry a canary, per-query expectations are scaled by the canary ratio
+before flagging — the r14 bench total doubled from a mix of a config
+regression and uniform cross-boot session drift, and nothing in the
+artifact could separate the two. A >25% total move still requires a
+one-paragraph adjudication in PLANS.md (CLAUDE.md rule) — the canary
+tells you WHICH paragraph to write, it does not waive it.
 """
 import json
 import subprocess
@@ -41,6 +51,27 @@ def main():
     qn, qo = new["queries"], old["queries"]
     print(f"total: {old['value']:.1f}s ({labels[1]}) -> {new['value']:.1f}s "
           f"({labels[0]})  [{new['n_queries']} vs {old['n_queries']} queries]")
+
+    # Session-drift normalization via the calibration canary. drift > 1
+    # means THIS box/boot/cache state runs the identical workload slower
+    # than the reference side did; per-query flag thresholds scale by it
+    # so uniform drift is attributed, not flagged. Clamped to [0.5, 2]:
+    # a canary move beyond 2x is itself suspicious and should not
+    # silently excuse arbitrary per-query slowdowns.
+    cn, co = new.get("canary_s"), old.get("canary_s")
+    drift = 1.0
+    if cn and co:
+        drift = min(2.0, max(0.5, cn / co))
+        print(f"canary: {co:.2f}s -> {cn:.2f}s  "
+              f"(session drift x{cn / co:.2f}; flags normalized by x{drift:.2f})")
+    else:
+        missing = [lab for lab, c in ((labels[1], co), (labels[0], cn)) if not c]
+        print(f"canary: absent on {', '.join(missing)} — no drift normalization")
+    for side, lab in ((old, labels[1]), (new, labels[0])):
+        cfg = side.get("config")
+        if cfg:
+            print(f"config {lab}: {json.dumps(cfg)}")
+
     for name, side in (("added", set(qn) - set(qo)), ("removed", set(qo) - set(qn))):
         if side:
             print(f"{name}: {', '.join(sorted(side))}")
@@ -55,8 +86,12 @@ def main():
         rs = [r for r in runs_map.get(k, []) if r > 0]
         return (max(rs) - min(rs)) if len(rs) >= 2 else 0.0
 
+    # expected value of the old measurement under this session's drift
+    def exp_old(k):
+        return qo[k] * drift
+
     common = sorted(set(qn) & set(qo),
-                    key=lambda k: abs(qn[k] - qo[k]), reverse=True)
+                    key=lambda k: abs(qn[k] - exp_old(k)), reverse=True)
     # Regressions only (round 13): each recorded value is the min of
     # 2-3 timed runs taken after a per-query warm throwaway, i.e. an
     # upper bound on the query's true steady-state cost. A LOWER new
@@ -64,12 +99,13 @@ def main():
     # bound was loose (cold-JIT artifact) or the plan got faster; both
     # still print in the largest-moves list, just never as FLAG.
     flagged = [k for k in common
-               if qn[k] - qo[k] >= 0.75
-               and qn[k] >= 2.0 * max(qo[k], 0.05)
-               and qn[k] - qo[k] > 1.5 * max(spread(rn, k), spread(ro, k))]
+               if qn[k] - exp_old(k) >= 0.75
+               and qn[k] >= 2.0 * max(exp_old(k), 0.05)
+               and qn[k] - exp_old(k) > 1.5 * max(spread(rn, k), spread(ro, k))]
     print(f"\nlargest moves (flagged = slower by >=0.75s AND >=2x AND "
-          f"outside the recorded per-run spread — below that is "
-          f"in-bench noise; speed-ups print but never flag):")
+          f"outside the recorded per-run spread, after canary drift "
+          f"normalization — below that is in-bench noise; speed-ups "
+          f"print but never flag):")
     # every flagged query prints, even when absolute-delta ranking
     # would push it below the top-15 noise rows
     shown = [k for k in common if k in common[:15] or k in flagged]
