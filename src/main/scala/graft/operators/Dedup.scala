@@ -36,6 +36,19 @@ object Dedup {
   private def shingles(t: Column): Column =
     transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ", slice(t, i, lit(3))))
 
+  /** The per-doc distinct shingle-ID relation (doc_id, tk: long) over
+    * an arbitrary (doc_id, text) frame — EXACTLY the rows
+    * [[shingleTok]] caches for a corpus directory, factored out so
+    * the streaming containment twin shingles each micro-batch with
+    * the identical tokenize → 3-shingle → distinct → xxhash64 chain
+    * (any drift here would silently break stream/batch parity). */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("tk"))
+
   /** MinHash signatures via explode → per-shingle 60-bit md5-prefix
     * hash (whole-stage codegen) → map-side-combined min aggregation.
     * The hash values are LONGS, not md5 hex strings, for two measured

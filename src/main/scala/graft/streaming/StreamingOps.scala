@@ -292,6 +292,111 @@ object StreamingOps {
       bands.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
     }
 
+  /** CONTAINMENT-SCREEN-ON-INGEST — the streaming twin of the batch
+    * `dedup_containment` PPJoin (round 15, VERDICT task 7): the
+    * asymmetric overlap C(sub→sup) = |sub∩sup|/|sub| ≥ t that
+    * quoted/subset dedup and DECONTAMINATION need (an arriving train
+    * doc containing — or contained in — an already-ingested benchmark
+    * doc must be flagged at ingest, not at the next batch sweep).
+    *
+    * Each micro-batch is shingled with the batch op's exact chain
+    * ([[graft.operators.Dedup.shingleRows]]: tokenize → 3-word
+    * shingles → per-doc distinct → xxhash64 ids) and ranked by
+    * SHINGLE-ID order. The batch op ranks by global rarest-first
+    * frequency — a selectivity heuristic whose ranks CHANGE as the
+    * corpus grows; the prefix/positional proofs only need SOME
+    * consistent global total order (Dedup scaladoc), and id order is
+    * TIME-INVARIANT: a doc's (n, rn, prefix-membership) persisted at
+    * epoch e is still a valid m=2 extended prefix at epoch e+k, so
+    * the index never needs re-ranking. Both stages keep the same
+    * LOSSLESS m=2 candidate rule as the batch op — extended prefix
+    * rn ≤ n − ⌈t·n⌉ + 2, per-row positional bound, per-pair
+    * aggregated bound cp + min(|A|−ra(β), |B|−rb(β)) ≥ r = ⌈t·|A|⌉,
+    * cp ≥ min(2, r) — so candidates differ from the batch stage
+    * (different order ⇒ different prefixes) but the VERIFIED output
+    * is identical; verification is exact (the index stores shingle
+    * ids, not a lossy sketch), so unlike [[dedupIngest]] every emitted
+    * row is a verdict, no unverified tier.
+    *
+    * Directions covered per epoch — all ordered pairs whose LATER
+    * member is in this batch, each pair exactly once across the run:
+    * batch-sub→{batch ∪ history}-sup in one probe, history-sub→
+    * batch-sup in the other. Work per ingest is O(batch): the rank
+    * window partitions by batch doc only; both candidate joins are
+    * keyed equi-joins sized by the batch's prefix tokens × index
+    * bucket width (the PPJoin Σ bound with one side batch-bounded);
+    * verify builds shingle sets ONLY for docs named by a candidate
+    * (left-semi restriction). On a cluster the index is bucketed by
+    * tk so the probe prunes to matching buckets. Epoch-addressed
+    * overwrite on both sinks ⇒ at-least-once replay safe.
+    *
+    * Output per epoch: (doc_sub, doc_sup, inter_size, containment) —
+    * the batch op's exact schema; union over an id-ordered replay's
+    * epochs equals the batch output exactly (StreamBatchParitySpec). */
+  def containmentIngest(docs: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val spark = batch.sparkSession
+      val t = threshold
+      val stable = batch.toDF().localCheckpoint()
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("tk"))
+      val cur = graft.operators.Dedup.shingleRows(stable)
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("pref",
+          col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(2))
+        .localCheckpoint() // consumed by 2 probes + verify + index sink
+      val histEpochs = historyEpochs(spark, indexDir, epochId)
+      val hist = if (histEpochs.isEmpty) None
+        else Some(spark.read.parquet(histEpochs.toIndexedSeq: _*))
+
+      // the batch op's candidate stage, parameterized by which side
+      // is the probing SUBSET — identical prunes, identical columns
+      def candidates(sub: DataFrame, sup: DataFrame): DataFrame = {
+        val r = ceil(lit(t) * col("na"))
+        sub.filter(col("pref")).as("a").join(sup.as("b"),
+            col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id") &&
+              col("b.n") >= ceil(lit(t) * col("a.n")) &&
+              (lit(2) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+                ceil(lit(t) * col("a.n")))
+          .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"),
+            col("a.n").as("na"), col("b.n").as("nb"),
+            col("a.rn").as("ra"), col("b.rn").as("rb"))
+          .groupBy(col("doc_sub"), col("doc_sup"))
+          .agg(count(lit(1)).as("cp"), max(col("na")).as("na"), max(col("nb")).as("nb"),
+            max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+          .filter(col("cp") >= least(lit(2), r) &&
+            (col("cp") + least(col("na") - col("mra"), col("nb") - col("mrb"))) >= r)
+          .select(col("doc_sub"), col("doc_sup"))
+      }
+      val fromBatchSub = candidates(cur, hist.map(cur.unionByName(_)).getOrElse(cur))
+      val cand = hist.map(h => fromBatchSub.unionByName(candidates(h, cur)))
+        .getOrElse(fromBatchSub)
+
+      // exact verify, restricted to candidate-named docs (O(cand))
+      val allTok = hist.map(cur.unionByName(_)).getOrElse(cur)
+      val ids = cand.select(col("doc_sub").as("doc_id"))
+        .unionByName(cand.select(col("doc_sup").as("doc_id"))).distinct()
+      val sets = allTok.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("tk")).as("set"), max(col("n")).as("n"))
+      val cont = col("inter_size").cast(DoubleType) / col("na").cast(DoubleType)
+      cand
+        .join(sets.select(col("doc_id").as("doc_sub"), col("set").as("sa"),
+          col("n").as("na")), "doc_sub")
+        .join(sets.select(col("doc_id").as("doc_sup"), col("set").as("sb")), "doc_sup")
+        .withColumn("inter_size",
+          size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+        .filter(cont >= t)
+        .select(col("doc_sub"), col("doc_sup"), col("inter_size"),
+          cont.as("containment"))
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      cur.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+    }
+
   /** Semantic-dedup-on-ingest — the streaming twin of
     * `dedup_semantic` (SemDeDup, round 11): each micro-batch of
     * (vec_id, embedding) rows is routed to its Lloyd cell by the
