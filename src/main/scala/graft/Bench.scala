@@ -66,7 +66,9 @@ object Bench {
     "dedup_semantic_k16", "dedup_rolling_chunks", "mm_simhash",
     // round-13 additions: scale-ruled + hierarchical semantic dedup
     "dedup_semantic_auto", "dedup_semantic_coarse",
-    "dedup_semantic_coarse_auto")
+    "dedup_semantic_coarse_auto",
+    // round-15 addition: score-fusion reranker
+    "sim_rerank_fuse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

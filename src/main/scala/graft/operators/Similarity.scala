@@ -689,6 +689,103 @@ object Similarity {
     r1.unionByName(r2).unionByName(r3).orderBy(col("qid"), col("rnk"))
   }
 
+  /** Cross-encoder-style SCORE-FUSION reranker apply (round 15,
+    * VERDICT task 8) — the sibling of [[simMaxsimRerank]] on the other
+    * axis: instead of a finer similarity, fuse HETEROGENEOUS signals —
+    * the ANN similarity, a lexical BM25 score (k1=1.2, b=0.75,
+    * corpus-trained df/avgdl), and a freshness prior — through a small
+    * learned per-language weight table into one ranking, emitting the
+    * PER-FEATURE CONTRIBUTIONS next to the fused score (the
+    * explainability contract a production reranker ships with).
+    *
+    * The production shape end-to-end: (1) the ANN leg supplies an
+    * 8-candidate shortlist per bounded query (broadcast query side,
+    * same as the MaxSim/MMR reranks — at fleet scale this is the
+    * simAnnMultiprobe output); (2) the lexical leg TRAINS on the
+    * corpus (one token-explode pass for tf/df/doc-length — the
+    * text_tfidf cost class, map-side-combinable) but EVALUATES only on
+    * shortlist pairs: query terms join candidate term-frequencies on
+    * (cid, term), so the BM25 work is |shortlist|×|q-terms|-bounded,
+    * never corpus×corpus; (3) the weight table is |langs| rows —
+    * broadcast — and the fused score is one projection. BM25 is
+    * squashed to bm/(1+bm) ∈ [0,1) so the three features share scale.
+    * The "learned" weights here are a deterministic md5 fixture per
+    * language (the classifier tier's teacher-fixture discipline):
+    * what's under test is the fusion plan, not a training loop.
+    *
+    * Float parity: ann/contribution terms are r6-quantized, so every
+    * downstream sum is a sum of 1e-6 multiples (re-snaps exactly under
+    * the final r6); ln(idf) follows the text_tfidf precedent; all
+    * fractional constants are CAST AS DOUBLE in the oracle (DuckDB
+    * DECIMAL-literal trap); ties break on cid. */
+  private def simRerankFuse(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("ann").desc, col("cid"))
+    val short = v.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+      .join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm")))
+          .as("ann"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= 8)
+      .select(col("qid"), col("cid"), col("ann"))
+    val docs = fanout(documents(spark, dir))
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+      max(col("doc_id")).as("max_id"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val tnorm = col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl").cast(DoubleType) * col("n_docs").cast(DoubleType) /
+            col("sum_dl").cast(DoubleType))))
+    val bm25 = short.select(col("qid"), col("cid"))
+      .join(tf.select(col("doc_id").as("qid"), col("term")), "qid")
+      .join(tf.select(col("doc_id").as("cid"), col("term"), col("tf")),
+        Seq("cid", "term"))
+      .join(dfreq, "term")
+      .join(dlen.select(col("doc_id").as("cid"), col("dl")), "cid")
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("sum_dl"))))
+      .select(col("qid"), col("cid"), Parity.r6(idf * tnorm).as("w"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(Parity.r6(sum(col("w"))).as("bm"))
+    def mdw(salt: String, base: Double): Column =
+      lit(base) + (conv(substring(md5(concat(col("lang"), lit(salt))), 1, 12),
+        16, 10).cast(LongType) % 100).cast(DoubleType) / lit(1000.0)
+    val wtab = docs.select(col("lang")).distinct()
+      .withColumn("w_ann", mdw(":a", 0.5))
+      .withColumn("w_lex", mdw(":l", 0.3))
+      .withColumn("w_fresh", mdw(":f", 0.1))
+    val bmC = coalesce(col("bm"), lit(0.0))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short
+      .join(bm25, Seq("qid", "cid"), "left")
+      .join(docs.select(col("doc_id").as("cid"), col("lang")), "cid")
+      .join(broadcast(wtab), "lang")
+      .crossJoin(broadcast(stats.select(col("max_id"))))
+      .withColumn("lex", Parity.r6(bmC / (lit(1.0) + bmC)))
+      .withColumn("fresh",
+        Parity.r6(col("cid").cast(DoubleType) / col("max_id").cast(DoubleType)))
+      .withColumn("c_ann", Parity.r6(col("w_ann") * col("ann")))
+      .withColumn("c_lex", Parity.r6(col("w_lex") * col("lex")))
+      .withColumn("c_fresh", Parity.r6(col("w_fresh") * col("fresh")))
+      .withColumn("score", Parity.r6(col("c_ann") + col("c_lex") + col("c_fresh")))
+      .withColumn("rnk", row_number().over(wR).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("ann"), col("lex"),
+        col("fresh"), col("c_ann"), col("c_lex"), col("c_fresh"), col("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   private val topkCte =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1166,6 +1263,92 @@ object Similarity {
         | UNION ALL
         | SELECT qid, CAST(3 AS BIGINT), s3cid, s3rel, s3score FROM s3)
         |ORDER BY qid, rnk""".stripMargin), simMmrDiversify),
+
+    QueryDef("sim_rerank_fuse", Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+        | sc AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm)
+        |     * 1000000 + 0.5) / 1000000 AS ann
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        | short AS (
+        |  SELECT qid, cid, ann FROM (
+        |   SELECT qid, cid, ann,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ann DESC, cid) AS srn
+        |   FROM sc) WHERE srn <= 8),
+        | tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, max(doc_id) AS max_id
+        |  FROM dlen),
+        | contrib AS (
+        |  SELECT s.qid, s.cid,
+        |   floor(ln(CAST(1.0 AS DOUBLE)
+        |       + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |         / (df + CAST(0.5 AS DOUBLE)))
+        |     * (CAST(ct.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |        / (CAST(ct.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |           * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |              * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |                 / CAST(sum_dl AS DOUBLE)))))
+        |     * 1000000 + 0.5) / 1000000 AS w
+        |  FROM short s
+        |   JOIN tf qt ON qt.doc_id = s.qid
+        |   JOIN tf ct ON ct.doc_id = s.cid AND ct.term = qt.term
+        |   JOIN dfreq f ON f.term = qt.term
+        |   JOIN dlen d ON d.doc_id = s.cid
+        |   CROSS JOIN stats),
+        | bm25 AS (
+        |  SELECT qid, cid, floor(sum(w) * 1000000 + 0.5) / 1000000 AS bm
+        |  FROM contrib GROUP BY 1, 2),
+        | wt AS (
+        |  SELECT DISTINCT lang,
+        |   CAST(0.5 AS DOUBLE) + CAST(CAST(('0x' || substr(md5(lang || ':a'),
+        |     1, 12)) AS BIGINT) % 100 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS w_ann,
+        |   CAST(0.3 AS DOUBLE) + CAST(CAST(('0x' || substr(md5(lang || ':l'),
+        |     1, 12)) AS BIGINT) % 100 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS w_lex,
+        |   CAST(0.1 AS DOUBLE) + CAST(CAST(('0x' || substr(md5(lang || ':f'),
+        |     1, 12)) AS BIGINT) % 100 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS w_fresh
+        |  FROM documents),
+        | fused AS (
+        |  SELECT s.qid, s.cid, s.ann,
+        |   floor(COALESCE(bm, CAST(0 AS DOUBLE))
+        |     / (CAST(1.0 AS DOUBLE) + COALESCE(bm, CAST(0 AS DOUBLE)))
+        |     * 1000000 + 0.5) / 1000000 AS lex,
+        |   floor(CAST(s.cid AS DOUBLE) / CAST(max_id AS DOUBLE)
+        |     * 1000000 + 0.5) / 1000000 AS fresh,
+        |   w_ann, w_lex, w_fresh
+        |  FROM short s
+        |   LEFT JOIN bm25 b ON b.qid = s.qid AND b.cid = s.cid
+        |   JOIN documents doc ON doc.doc_id = s.cid
+        |   JOIN wt ON wt.lang = doc.lang
+        |   CROSS JOIN stats),
+        | scored AS (
+        |  SELECT qid, cid, ann, lex, fresh,
+        |   floor(w_ann * ann * 1000000 + 0.5) / 1000000 AS c_ann,
+        |   floor(w_lex * lex * 1000000 + 0.5) / 1000000 AS c_lex,
+        |   floor(w_fresh * fresh * 1000000 + 0.5) / 1000000 AS c_fresh
+        |  FROM fused),
+        | ranked AS (
+        |  SELECT qid, cid, ann, lex, fresh, c_ann, c_lex, c_fresh,
+        |   floor((c_ann + c_lex + c_fresh) * 1000000 + 0.5) / 1000000 AS score
+        |  FROM scored)
+        |SELECT qid, rnk, cid, ann, lex, fresh, c_ann, c_lex, c_fresh, score
+        |FROM (
+        | SELECT qid, cid, ann, lex, fresh, c_ann, c_lex, c_fresh, score,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+        |    AS BIGINT) AS rnk
+        | FROM ranked)
+        |WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin), simRerankFuse),
 
     QueryDef("sim_cosine_topk", Some(topkCte +
       """SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 5
