@@ -28,24 +28,57 @@ object Graph {
   import Tables._
 
   /** Distinct part↔supplier pairs as a symmetric directed edge list;
-    * nodes are namespaced ('p'/'s' prefix) so the two key spaces can't
-    * collide. Materialized once per source content through the
-    * write-once cache (graft.Caches): deriving an edge list from a
-    * fact table is a scan + distinct over the whole corpus, and every
-    * graph operator starts from it — at scale this IS the persisted
-    * edge table every graph pipeline keeps next to the facts. */
+    * nodes are namespaced so the two key spaces can't collide.
+    * Materialized once per source content through the write-once cache
+    * (graft.Caches): deriving an edge list from a fact table is a
+    * scan + distinct over the whole corpus, and every graph operator
+    * starts from it — at scale this IS the persisted edge table every
+    * graph pipeline keeps next to the facts.
+    *
+    * ID-SPACE since round 15 (the PPJoin shingle-id precedent, applied
+    * after graph_pagerank ENOSPC'd at sf100 on ~1.1 B string edges):
+    * nodes are LONGS — part k ↦ 2k, supplier k ↦ 2k+1 (a bijection,
+    * no hashing, so no collision caveat at all) — and the 'p…'/'s…'
+    * strings are reconstructed only at each operator's output boundary
+    * ([[nodeStr]]). Every shuffle in the tier (degree aggs, the
+    * per-iteration contribution/label joins, distinct) ships 8-byte
+    * ids instead of ~16-char strings, ~3× less volume, and every
+    * oracle is UNTOUCHED: the outputs are byte-identical strings, and
+    * DuckDB recomputes its own edges from lineitem either way. */
   private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.Caches.dir("graphedges", dir, Seq("lineitem"))
+    val base = graft.Caches.dir("graphedgesid", dir, Seq("lineitem"))
     if (!new java.io.File(base, "_SUCCESS").exists()) {
       val pairs = lineitem(spark, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val p = concat(lit("p"), col("l_partkey").cast("string"))
-      val s = concat(lit("s"), col("l_suppkey").cast("string"))
+      val p = (col("l_partkey") * 2).cast("long")
+      val s = (col("l_suppkey") * 2 + 1).cast("long")
       pairs.select(p.as("src"), s.as("dst"))
         .unionByName(pairs.select(s.as("src"), p.as("dst")))
         .write.mode("overwrite").parquet(base)
     }
     spark.read.parquet(base)
+  }
+
+  /** Node id → the namespaced string every output/oracle speaks:
+    * even ↦ "p"+(id/2), odd ↦ "s"+(id/2) (shiftright floors both). */
+  private def nodeStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+      shiftright(c, 1).cast("string"))
+
+  /** The shared edge relation, materialized for multi-consumer
+    * operators (pagerank's 3 iterations, communities' 2, the recursive
+    * frontier). PLAN-CONDITIONAL localCheckpoint, the shingleTok
+    * precedent: a checkpoint re-stores the relation as row-oriented
+    * serialized blocks — ~3-4× the compressed columnar footprint, and
+    * at sf100 (~1.1 B edges) that block store is itself the disk eater
+    * that ENOSPC'd round 14 — so past the threshold consumers pay the
+    * compressed parquet re-scans instead, the cluster-honest posture
+    * for a persisted edge table. Canonical-SF caches are far below the
+    * branch point, so impl fingerprints are unaffected. */
+  private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.dir("graphedgesid", dir, Seq("lineitem"))
+    val e = bipartiteEdges(spark, dir)
+    if (graft.GraftSession.dirBytes(base) < (4L << 30)) e.localCheckpoint() else e
   }
 
   /** One PageRank iteration: dst-keyed contribution aggregation
@@ -87,13 +120,14 @@ object Graph {
     // iteration count is unbounded (see dedup_clusters, which
     // checkpoints because it must converge). Measured warm at sf0.1:
     // 5.7 s per-iteration checkpoints → 2.8 s this form.
-    val (edgesDeg, nodes) =
-      pagerankParts(bipartiteEdges(spark, dir).localCheckpoint())
+    val (edgesDeg, nodes) = pagerankParts(edgesMaterialized(spark, dir))
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to 3)
       ranks = pagerankStep(nodes, edgesDeg, ranks, n)
-    ranks.select(col("node"), Parity.r8(col("pr")).as("pagerank"))
+    // string boundary: ranks/ties must order by the SAME node strings
+    // the oracle emits, so reconstruct before the final sort
+    ranks.select(nodeStr(col("node")).as("node"), Parity.r8(col("pr")).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node")).limit(50)
   }
 
@@ -109,17 +143,21 @@ object Graph {
     // materialize the edge list before recursing: the view is consulted
     // on every UnionLoop iteration, and an un-checkpointed view would
     // re-run the scan + distinct + union each time
-    bipartiteEdges(spark, dir).localCheckpoint()
+    edgesMaterialized(spark, dir)
       .createOrReplaceTempView("graft_graph_edges")
+    // seed 'p1' = id 2 in the 2k/2k+1 node-id space; the recursion runs
+    // on 8-byte ids and the output boundary reconstructs the strings
     spark.sql(
       """WITH RECURSIVE reach(node, hops) AS (
-        |  SELECT 'p1', 0
+        |  SELECT CAST(2 AS BIGINT), 0
         |  UNION ALL
         |  SELECT e.dst, r.hops + 1
         |  FROM reach r JOIN graft_graph_edges e ON e.src = r.node
         |  WHERE r.hops < 2)
-        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
-        |FROM reach GROUP BY node ORDER BY hops, node""".stripMargin)
+        |SELECT concat(CASE WHEN node % 2 = 0 THEN 'p' ELSE 's' END,
+        |              CAST(shiftright(node, 1) AS STRING)) AS node,
+        |       CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY 1 ORDER BY hops, node""".stripMargin)
   }
 
   /** Degree histogram per side of the bipartite graph — the standard
@@ -128,7 +166,8 @@ object Graph {
   private def graphDegree(spark: SparkSession, dir: String): DataFrame = {
     val deg = bipartiteEdges(spark, dir)
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-    deg.select(substring(col("src"), 1, 1).as("side"), col("degree"))
+    deg.select(when(col("src") % 2 === 0, lit("p")).otherwise(lit("s")).as("side"),
+        col("degree"))
       .groupBy(col("side"), col("degree"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("side"), col("degree"))
@@ -214,11 +253,17 @@ object Graph {
     * one node-partitioned window; label state is one row per node.
     * Deterministic throughout ⇒ oracle-checked. */
   private def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = bipartiteEdges(spark, dir).localCheckpoint()
+    val edges = edgesMaterialized(spark, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to 2) {
-      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+      // labels propagate as ids, but the mode tie-break is defined on
+      // the node STRINGS (lexicographically smallest, what the oracle
+      // computes) — nodeStr is a bijection, so ordering by it in the
+      // window picks the identical winner while the join/agg payloads
+      // stay 8-byte ids
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, nodeStr(col("lbl")))
       labels = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -226,7 +271,7 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
     }
-    labels.groupBy(col("lbl").as("community"))
+    labels.groupBy(nodeStr(col("lbl")).as("community"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community")).limit(20)
   }

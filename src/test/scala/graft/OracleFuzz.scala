@@ -270,9 +270,18 @@ object OracleFuzz {
     // the slide, and gaps-and-islands sessionization with random gap
     // thresholds — the epoch-alignment and boundary-inclusion seams
     // the fixed window queries only pin at whole-minute parameters.
+    // 32-34 µs-BOUNDARY ADVERSARIAL event-time (round 15, VERDICT
+    // task 6): the same three window families with event timestamps
+    // REBUILT to sit exactly ON the seams — ts == window start, 1 µs
+    // either side of it, consecutive gaps of exactly the session
+    // threshold ± 2 µs, and slides that divide the width exactly
+    // (zero remainder) — where inclusive-start/exclusive-end and
+    // strict-> rules live. Modes 29-31 draw boundary hits with
+    // probability ~0 from the organic sub-second µs in the data;
+    // these modes force them for every row.
     // A mode whose structural guard fails falls through to
     // agg/sort-limit, exactly like modes 17-19 always have.
-    val mode = r.nextInt(32)
+    val mode = r.nextInt(35)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -646,7 +655,7 @@ object OracleFuzz {
       })
     }
 
-    if (mode >= 29 && mode <= 31) {
+    if (mode >= 29 && mode <= 34) {
       // EVENT-TIME productions over the events table (self-contained:
       // chain/preds above are ignored — they reference chain tables).
       // All boundary arithmetic is exact integer MICROSECONDS on both
@@ -731,6 +740,145 @@ object OracleFuzz {
               col("event_type"))
           else evDf(spark, dir).groupBy(
             window(col("ts"), s"$wSec seconds", s"$s seconds").as("w"))
+          gb.agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select((gCols.map(col) ++ Seq(col("cnt"), col("cents"))): _*)
+        })
+      }
+
+      if (mode == 32) {
+        // Boundary-adversarial tumbling: snap each event's timestamp
+        // to EXACTLY a window start (off 0), 1 µs after it, or 1 µs
+        // before the NEXT start (off W−1) — the inclusive-start /
+        // exclusive-end seam itself. Spark's native window() must bin
+        // an event at exactly k·W into window k; the oracle reproduces
+        // the rule with pure integer µs arithmetic on the same snapped
+        // values (all width constants BIGINT-cast — the INT32 lesson).
+        val widths = Seq(7, 13, 59, 60, 61, 127, 300, 900, 3600, 5400, 7200)
+        val w = widths(r.nextInt(widths.size))
+        val wUs = s"CAST(${w}000000 AS BIGINT)"
+        val offSql = s"CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE $wUs - 1 END"
+        val byType = r.nextBoolean()
+        val gCols = "window_start" +: (if (byType) Seq("event_type") else Nil)
+        val sql = s"SELECT ${gCols.mkString(", ")}, ${cnt.sql}, ${cents.sql}" +
+          s" FROM (SELECT value, event_type," +
+          s" strftime(make_timestamp(CAST(us2 - us2 % $wUs AS BIGINT))," +
+          s" '%Y-%m-%d %H:%M:%S') AS window_start" +
+          s" FROM (SELECT *, CAST(epoch_us(ts) - epoch_us(ts) % $wUs + $offSql" +
+          s" AS BIGINT) AS us2 FROM events$evWhere))" +
+          s" GROUP BY ${gCols.mkString(", ")}"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val wUsL = w * 1000000L
+          val off = when(col("event_id") % 3 === 0, lit(0L))
+            .when(col("event_id") % 3 === 1, lit(1L))
+            .otherwise(lit(wUsL - 1))
+          val snapped = evDf(spark, dir).withColumn("ts2",
+            timestamp_micros(
+              unix_micros(col("ts")) - unix_micros(col("ts")) % wUsL + off))
+          val gb = if (byType)
+            snapped.groupBy(window(col("ts2"), s"$w seconds").as("w"),
+              col("event_type"))
+          else snapped.groupBy(window(col("ts2"), s"$w seconds").as("w"))
+          gb.agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select((gCols.map(col) ++ Seq(col("cnt"), col("cents"))): _*)
+        })
+      }
+
+      if (mode == 33) {
+        // gap == threshold seam: rebuild each user's timeline with
+        // consecutive gaps of EXACTLY the threshold ± 2 µs (each
+        // event jitters −1/0/+1 µs off its rank·G slot, so adjacent
+        // deltas land in {G−2µs … G+2µs}) — the strict `> G` rule
+        // must keep the == case IN-session on both engines, and
+        // ± 1-2 µs must split/keep accordingly. session_start is
+        // emitted as raw µs so no timestamp rendering can mask a
+        // 1 µs divergence.
+        val gaps = Seq(60, 300, 900, 1800, 3600)
+        val g = gaps(r.nextInt(gaps.size))
+        val gUs = s"CAST(${g}000000 AS BIGINT)"
+        val sql =
+          s"""WITH b AS (
+             |  SELECT user_id, event_id, value,
+             |   CAST(CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS BIGINT) * $gUs
+             |     + event_id % 3 - 1 AS BIGINT) AS us2
+             |  FROM events$evWhere),
+             | x AS (
+             |  SELECT user_id, event_id, value, us2,
+             |   CASE WHEN us2 - lag(us2) OVER (PARTITION BY user_id
+             |      ORDER BY us2, event_id) > $gUs
+             |    THEN 1 ELSE 0 END AS newsess
+             |  FROM b),
+             | y AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id
+             |   ORDER BY us2, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x)
+             |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             | CAST(min(us2) AS BIGINT) AS session_start_us, ${cnt.sql}, ${cents.sql}
+             |FROM y GROUP BY user_id, sess_id""".stripMargin
+        return FuzzQuery(name, sql, (spark, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val byOrig = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+          val byUs2 = Window.partitionBy(col("user_id"))
+            .orderBy(col("us2"), col("event_id"))
+          val run = byUs2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val gUsL = g * 1000000L
+          evDf(spark, dir)
+            .withColumn("us2",
+              row_number().over(byOrig).cast("long") * gUsL +
+                col("event_id") % 3 - 1)
+            .withColumn("newsess",
+              when(col("us2") - lag(col("us2"), 1).over(byUs2) > gUsL, 1L)
+                .otherwise(0L))
+            .withColumn("sess_id", sum(col("newsess")).over(run))
+            .groupBy(col("user_id"), col("sess_id"))
+            .agg(min(col("us2")).cast("long").as("session_start_us"),
+              cnt.spark, cents.spark)
+        })
+      }
+
+      if (mode == 34) {
+        // Sliding with ZERO width-remainder (W = mult·S exactly) and
+        // slide-boundary-snapped events (rem ∈ {0, 1, S−1} µs): the
+        // per-event emission count rem + k·S_µs < W_µs sits exactly at
+        // the seam — an event AT a slide multiple must appear in
+        // exactly `mult` windows, 1 µs before the next multiple too,
+        // each with the right start set.
+        val slides = Seq(120, 300, 600, 900, 1800)
+        val s = slides(r.nextInt(slides.size))
+        val mult = 2 + r.nextInt(3)
+        val wSec = s * mult
+        val k = mult
+        val sUs = s"CAST(${s}000000 AS BIGINT)"
+        val offSql = s"CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE $sUs - 1 END"
+        val byType = r.nextBoolean()
+        val gCols = "window_start" +: (if (byType) Seq("event_type") else Nil)
+        val sql = s"SELECT ${gCols.mkString(", ")}, ${cnt.sql}, ${cents.sql}" +
+          s" FROM (SELECT value, event_type," +
+          s" strftime(make_timestamp(CAST(us2 - (us2 % $sUs + $sUs * t.k)" +
+          s" AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start" +
+          s" FROM (SELECT *, CAST(epoch_us(ts) - epoch_us(ts) % $sUs + $offSql" +
+          s" AS BIGINT) AS us2 FROM events$evWhere)" +
+          s" CROSS JOIN (SELECT unnest([${(0 until k).mkString(", ")}]) AS k) t" +
+          s" WHERE us2 % $sUs + $sUs * t.k < CAST(${wSec}000000 AS BIGINT))" +
+          s" GROUP BY ${gCols.mkString(", ")}"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val sUsL = s * 1000000L
+          val off = when(col("event_id") % 3 === 0, lit(0L))
+            .when(col("event_id") % 3 === 1, lit(1L))
+            .otherwise(lit(sUsL - 1))
+          val snapped = evDf(spark, dir).withColumn("ts2",
+            timestamp_micros(
+              unix_micros(col("ts")) - unix_micros(col("ts")) % sUsL + off))
+          val gb = if (byType)
+            snapped.groupBy(
+              window(col("ts2"), s"$wSec seconds", s"$s seconds").as("w"),
+              col("event_type"))
+          else snapped.groupBy(
+            window(col("ts2"), s"$wSec seconds", s"$s seconds").as("w"))
           gb.agg(cnt.spark, cents.spark)
             .withColumn("window_start",
               date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
