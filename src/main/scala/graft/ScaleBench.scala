@@ -40,6 +40,13 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(dirA)).toString)
+      // Make shuffle removal SYNCHRONOUS once GC surfaces the dead
+      // dependency (round 15): with the default fire-and-forget
+      // cleaner, decade-3 graph runs each left ~30 GiB of dead shuffle
+      // scratch behind (the [scale] WARN below measured it) and the
+      // NEXT run inherited a fuller disk — graph_communities sf100
+      // ENOSPC'd on garbage, not on its own live footprint.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128L * 1024 * 1024).toString)
@@ -106,12 +113,17 @@ object ScaleBench {
         // shrinking (≤3 iterations) and LOG what remains: a missed
         // cleanup must be visible before the next run inherits a
         // fuller disk, not an ENOSPC three queries later.
+        // Patient loop (round 15): the GC → reference-queue → cleaner
+        // pipeline is asynchronous relative to System.gc() even with
+        // blocking removals, so poll until the footprint stabilizes
+        // below 2 GiB or 8 attempts pass — measured: a 3-attempt /
+        // 500 ms loop declared victory while ~30 GiB was still queued.
         var prev = Long.MaxValue
         var i = 0
-        var cur = { System.gc(); Thread.sleep(500); scratchBytes() }
-        while (cur >= 0 && cur < prev && cur > (1L << 30) && i < 3) {
+        var cur = { System.gc(); Thread.sleep(1000); scratchBytes() }
+        while (cur >= 0 && cur > (2L << 30) && (cur < prev || i < 3) && i < 8) {
           prev = cur
-          System.gc(); Thread.sleep(500)
+          System.gc(); Thread.sleep(1000)
           cur = scratchBytes()
           i += 1
         }

@@ -65,6 +65,31 @@ object Graph {
     concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
       shiftright(c, 1).cast("string"))
 
+  /** FIXED-WIDTH encoding of [[nodeStr]]'s LEXICOGRAPHIC order, for
+    * aggregation buffers: (side, digits·10^(18−len), len) compares
+    * exactly like the node string — 'p' < 's' is the parity; decimal
+    * strings without leading zeros compare lexicographically as
+    * left-aligned magnitudes ("10" < "2" ⇔ 1.0e17 < 2.0e17), with the
+    * shorter string winning pure-prefix ties ("2" < "20", equal
+    * magnitudes, len breaks). Proof sketch: for la<lb, split
+    * vb = prefix·10^(lb−la) + rest (rest < 10^(lb−la)); scaling both
+    * by their 10^(18−len) aligns va against prefix, and the rest term
+    * is strictly smaller than one unit of the prefix's scale, so the
+    * comparison reduces to va vs prefix, which IS the lexicographic
+    * rule; va == prefix means pure-prefix ⇒ len decides. All longs —
+    * 10^k is exact in a double for k ≤ 18, ids stay < 9.3e17 — so a
+    * min_by over this struct keeps a FIXED-WIDTH buffer and plans
+    * HashAggregate, where ordering on the string itself would
+    * silently plan SortAggregate and externally sort the whole
+    * stream (the round-13 min(STRING) scale killer). */
+  private def nodeOrd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val k = shiftright(c, 1)
+    val len = length(k.cast("string"))
+    struct((c % 2).as("side"),
+      (k * pow(lit(10.0), lit(18) - len).cast("long")).as("mag"),
+      len.as("len"))
+  }
+
   /** The shared edge relation, materialized for multi-consumer
     * operators (pagerank's 3 iterations, communities' 2, the recursive
     * frontier). PLAN-CONDITIONAL localCheckpoint, the shingleTok
@@ -257,19 +282,23 @@ object Graph {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to 2) {
-      // labels propagate as ids, but the mode tie-break is defined on
-      // the node STRINGS (lexicographically smallest, what the oracle
-      // computes) — nodeStr is a bijection, so ordering by it in the
-      // window picks the identical winner while the join/agg payloads
-      // stay 8-byte ids
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, nodeStr(col("lbl")))
+      // The per-node mode is an ARGMAX, not a ranking: min_by over
+      // (−count, label-order) replaces the round-14 row_number window
+      // — a map-side-combinable HashAggregate with O(1) state per
+      // node, where the window form externally sorted the entire
+      // (node, label, count) stream per iteration (~26 GB of sort
+      // spill per iteration at sf100 — the communities ENOSPC).
+      // Labels propagate as ids, but the tie-break is still defined
+      // on the node STRINGS (lexicographically smallest, what the
+      // oracle computes): nodeOrd encodes exactly that order in
+      // fixed-width longs, so the buffer stays HashAggregate-legal
+      // (the min(STRING) SortAggregate trap, round 13).
       labels = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy(col("node"))
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), nodeOrd(col("lbl")).as("ord"))).as("lbl"))
     }
     labels.groupBy(nodeStr(col("lbl")).as("community"))
       .agg(count(lit(1)).as("n_nodes"))
