@@ -118,10 +118,17 @@ object ScaleBench {
         // blocking removals, so poll until the footprint stabilizes
         // below 2 GiB or 8 attempts pass — measured: a 3-attempt /
         // 500 ms loop declared victory while ~30 GiB was still queued.
+        // Keep polling while the footprint is STILL SHRINKING — the
+        // cleaner draining 40 GiB at disk speed takes tens of seconds,
+        // and giving up mid-drain (the old 8-attempt cap) let the next
+        // timed run start against a dirty disk (communities' first
+        // decade-3 α read 1.22 for exactly this reason). Stall
+        // detection (two non-shrinking polls) still exits promptly
+        // when nothing more will come.
         var prev = Long.MaxValue
         var i = 0
         var cur = { System.gc(); Thread.sleep(1000); scratchBytes() }
-        while (cur >= 0 && cur > (2L << 30) && (cur < prev || i < 3) && i < 8) {
+        while (cur >= 0 && cur > (2L << 30) && (cur < prev || i < 3) && i < 45) {
           prev = cur
           System.gc(); Thread.sleep(1000)
           cur = scratchBytes()

@@ -113,8 +113,12 @@ object Graph {
     * materialized-RDD scan rather than the shapes worth asserting. */
   private[graft] def pagerankStep(
       nodes: DataFrame, edgesDeg: DataFrame, ranks: DataFrame, n: Double): DataFrame = {
+    // SHUFFLE_HASH on the rank side (round 15): O(|V|) rank rows
+    // against O(|E|) edges — sort-merge sorts the edge stream every
+    // iteration (3× per query); hash-building the rank side skips
+    // both sorts and the dst-keyed hash agg after never needed order.
     val contrib = edgesDeg
-      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(col("pr") / col("outdeg")).as("in_pr"))
     nodes.join(contrib, Seq("node"), "left")
@@ -125,7 +129,10 @@ object Graph {
   private[graft] def pagerankParts(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    (edges.join(deg, "src"), edges.select(col("src").as("node")).distinct())
+    // deg is O(|V|) vs O(|E|) edges, and the degree join re-executes
+    // inside every iteration's lineage — hash-build the small side.
+    (edges.join(deg.hint("shuffle_hash"), "src"),
+      edges.select(col("src").as("node")).distinct())
   }
 
   private[graft] def pagerankParts(
@@ -279,9 +286,20 @@ object Graph {
     * Deterministic throughout ⇒ oracle-checked. */
   private def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgesMaterialized(spark, dir)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    for (_ <- 1 to 2) {
+    // ROUND 1 IS ALGEBRAICALLY A MIN (round 15): initial labels are
+    // the identity, and the edge list is DISTINCT pairs, so every
+    // neighbor label reaches a node with count exactly 1 — the mode
+    // with lexicographically-smallest tie-break IS the
+    // lexicographically smallest neighbor. That collapses the first
+    // iteration's (node, label) count shuffle (1.1 B rows at sf100)
+    // into one min_by whose map-side partials combine down to one row
+    // per (mapper, node). The oracle still unrolls the generic mode
+    // CTE for both rounds — identical result by the identity above.
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(min_by(col("src"), nodeOrd(col("src"))).as("lbl"))
+    // Round 2, the general form (1 general round here; bump the range
+    // to add more — only round 1 admits the identity above):
+    for (_ <- 1 to 1) {
       // The per-node mode is an ARGMAX, not a ranking: min_by over
       // (−count, label-order) replaces the round-14 row_number window
       // — a map-side-combinable HashAggregate with O(1) state per
@@ -293,7 +311,13 @@ object Graph {
       // oracle computes): nodeOrd encodes exactly that order in
       // fixed-width longs, so the buffer stays HashAggregate-legal
       // (the min(STRING) SortAggregate trap, round 13).
-      labels = edges.join(labels.withColumnRenamed("node", "src"), "src")
+      // SHUFFLE_HASH on the label side (round 15): |V| label rows
+      // against ~1.1 B edge rows — the default sort-merge join sorts
+      // the 17 GB edge stream per iteration; hash-building the tiny
+      // side skips both sorts, and the groupBy after is a hash agg
+      // that never needed the order.
+      labels = edges.join(
+          labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))

@@ -13,7 +13,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -Xmx"${SPARK_DRIVER_MEM:-8g}" $OPENS \
+# EXTRA_JAVA_OPTS: e.g. -Djava.io.tmpdir=/root/scratch/tmp for decade-3
+# runs — this box reaps /tmp under long sessions (SCALING.md r14 note),
+# and graft's write-once caches live under java.io.tmpdir.
+exec java -Xmx"${SPARK_DRIVER_MEM:-8g}" $OPENS ${EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
