@@ -68,7 +68,9 @@ object Bench {
     "dedup_semantic_auto", "dedup_semantic_coarse",
     "dedup_semantic_coarse_auto",
     // round-15 addition: score-fusion reranker
-    "sim_rerank_fuse")
+    "sim_rerank_fuse",
+    // round-16 addition: perceptual image near-dup pairs
+    "mm_phash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,6 +146,17 @@ object Bench {
     // again by the r14 judge) from genuine plan regressions: the r14
     // bench total doubled and nobody could cheaply tell how much was
     // config vs session until the judge re-ran both ends.
+    // Round-16 fix (r15 VERDICT #2): the single start-of-run canary
+    // failed its first live attribution test — the r15 driver session's
+    // canary read FAST (8.3 s) while 30+ queries timed 2-3× slow,
+    // because the slowness developed MID-RUN and a canary timed once at
+    // the start cannot see drift that arrives later. Record three
+    // numbers: the cold first execution (JIT + codegen cost, kept out
+    // of normalization), the warm start-of-run min-of-2 (canary_s — the
+    // normalization reference, field name unchanged for artifact
+    // compatibility), and a warm END-of-run re-time (canary_end_s).
+    // bench_diff uses canary_s for uniform drift and the start-vs-end
+    // ratio to annotate flags that late-session drift covers.
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 200000000L, 1L, cpus.toInt)
@@ -152,7 +165,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // warm: JIT + codegen, the per-query discipline
+    val canaryColdS = canaryOnce() // cold: JIT + codegen, recorded
     val canaryS = math.min(canaryOnce(), canaryOnce())
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -191,6 +204,10 @@ object Bench {
       if (v < 0) failed ::= name
       (name, v, runs, w)
     }
+    // End-of-run warm canary: identical workload, already JIT-warm from
+    // the start-of-run pair, so any move vs canary_s is session state
+    // (page cache, contention, thermal), not compilation.
+    val canaryEndS = math.min(canaryOnce(), canaryOnce())
     val warmupS = results.map { case (_, _, _, w) => math.abs(w) }.sum
     val timed = results.map { case (n, v, _, _) => (n, v) }
     def queriesJson(rs: Seq[(String, Double)]): String =
@@ -228,6 +245,8 @@ object Bench {
          |  "unit": "sec",
          |  "sf": "$sfDir",
          |  "canary_s": ${fmt(canaryS)},
+         |  "canary_cold_s": ${fmt(canaryColdS)},
+         |  "canary_end_s": ${fmt(canaryEndS)},
          |  "config": {"cpus": $cpus, "shuffle_partitions": $shuffleParts, "advisory_mb": $advisoryMb},
          |  "warmup_s": ${fmt(warmupS)},
          |  "n_queries": ${timed.size},
@@ -256,7 +275,7 @@ object Bench {
     val slowest40 = timed.sortBy { case (_, v) => -math.abs(v) }
       .take(40).sortBy(_._1)
     val json =
-      s"""{"metric":"total","queries":${queriesJson(slowest40)},"warmup_s":${fmt(warmupS)},"canary_s":${fmt(canaryS)},"shuffle_partitions":$shuffleParts,"value":$total,"unit":"sec","failed":$failedJson,"n_queries":${timed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","queries":${queriesJson(slowest40)},"warmup_s":${fmt(warmupS)},"canary_s":${fmt(canaryS)},"canary_end_s":${fmt(canaryEndS)},"shuffle_partitions":$shuffleParts,"value":$total,"unit":"sec","failed":$failedJson,"n_queries":${timed.size},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outFile)
       try w.println(fullJson) finally w.close()

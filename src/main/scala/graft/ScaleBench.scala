@@ -125,10 +125,18 @@ object ScaleBench {
         // decade-3 α read 1.22 for exactly this reason). Stall
         // detection (two non-shrinking polls) still exits promptly
         // when nothing more will come.
+        // "Two non-shrinking polls" is tracked with an explicit stall
+        // counter (round-16, r15 ADVICE): the previous `cur < prev`
+        // guard exited on the FIRST flat poll once i >= 3, so a bursty
+        // cleaner that paused deletion for one 1-second poll still
+        // aborted the drain mid-way — the exact failure the raised cap
+        // was meant to fix.
         var prev = Long.MaxValue
         var i = 0
+        var stalls = 0
         var cur = { System.gc(); Thread.sleep(1000); scratchBytes() }
-        while (cur >= 0 && cur > (2L << 30) && (cur < prev || i < 3) && i < 45) {
+        while (cur >= 0 && cur > (2L << 30) && (stalls < 2 || i < 3) && i < 45) {
+          stalls = if (cur < prev) 0 else stalls + 1
           prev = cur
           System.gc(); Thread.sleep(1000)
           cur = scratchBytes()

@@ -638,7 +638,13 @@ object Dedup {
     * first checkpointed; the parquet cache also amortizes ACROSS
     * invocations). On a cluster this IS the persisted shingle table
     * every set-similarity pipeline keeps beside the corpus. */
-  private[graft] def shingleTok(spark: SparkSession, dir: String): DataFrame = {
+  /** The cached (doc_id, shingle-STRING) relation before the xxhash64
+    * id projection — factored out (round 16) for [[textDedupEval]],
+    * whose candidate-stage COUNTS are exposed to the oracle and so must
+    * rank by an order DuckDB can reproduce (global (freq, string)
+    * order); the production [[shingleTok]] ranks by (freq, id), whose
+    * xxhash64 ties no SQL oracle can re-derive. */
+  private[graft] def shingleTokRaw(spark: SparkSession, dir: String): DataFrame = {
     val tokBase = graft.Caches.dir("jacshingle", dir, Seq("documents"))
     if (!new java.io.File(tokBase, "_SUCCESS").exists()) {
       fanout(documents(spark, dir))
@@ -647,6 +653,12 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("tk"))
         .write.mode("overwrite").parquet(tokBase)
     }
+    spark.read.parquet(tokBase)
+  }
+
+  private[graft] def shingleTok(spark: SparkSession, dir: String): DataFrame = {
+    val tokBase = graft.Caches.dir("jacshingle", dir, Seq("documents"))
+    val raw = shingleTokRaw(spark, dir)
     // Project to xxhash64 shingle IDS at the scan (round 14): every
     // downstream shuffle — global frequency, the per-doc rank window's
     // external sort, the prefix self-join, the doc-set collect — ships
@@ -669,7 +681,7 @@ object Dedup {
     // persisted shingle table. The canonical-fixture SF is far below
     // the branch point, so the impl fingerprint is unaffected (same
     // caveat as Tables.fanout).
-    val cached = spark.read.parquet(tokBase)
+    val cached = raw
       .select(col("doc_id"), xxhash64(col("tk")).as("tk"))
     // Hadoop FS probe (round-15 advisor): getContentSummary is
     // null-safe where a recursive listFiles() walk is not, and it
@@ -848,6 +860,50 @@ object Dedup {
       .filter(cont >= t)
       .select(col("doc_sub"), col("doc_sup"), col("inter_size"), cont.as("containment"))
       .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+
+  /** Candidate-stage EVAL for the containment PPJoin family (round 16,
+    * r15 VERDICT task 8) — the dedup_minhash_eval shape applied to the
+    * second set-similarity family: precision/recall/F1 of the m=2
+    * extended-prefix candidate stage against EXACT directed-containment
+    * ground truth (full inverted-index overlap count, no pruning).
+    * Because every prune is lossless, recall MUST be 1.0 — this row is
+    * the oracle-checked twin of the InvariantSpec ratio ceilings (a
+    * recall < 1 here is a broken proof, a sagging precision is the
+    * 137:1 re-discovery arriving early). Runs [[containmentCandidates]]
+    * over shingle STRINGS ranked by global (freq, string) order — the
+    * one total order both engines can reproduce tie-for-tie; the
+    * production id-order variant's ratio diagnostic is graft.PpStats.
+    *
+    * Scale: an EVAL op — ground truth is Σf² over ALL shingle buckets
+    * (the dedup_minhash_eval truth-stage cost class), run at gate SFs
+    * to certify the candidate stage, never on the production path. */
+  private def textDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val tok = shingleTokRaw(spark, dir).localCheckpoint()
+    val pred = containmentCandidates(tok)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = tok.as("a").join(tok.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+      .agg(count(lit(1)).as("c"))
+    val truth = common
+      .join(sizes.select(col("doc_id").as("doc_sub"), col("n").as("na")), "doc_sub")
+      .filter(col("c").cast(DoubleType) / col("na").cast(DoubleType) >= t)
+      .select(col("doc_sub"), col("doc_sup"))
+    val u = pred.withColumn("p", lit(1L))
+      .join(truth.withColumn("t", lit(1L)), Seq("doc_sub", "doc_sup"), "full_outer")
+      .na.fill(0L, Seq("p", "t"))
+    val prec = col("tp") / col("n_pred")
+    val rec = col("tp") / col("n_truth")
+    u.agg(
+      sum(col("p")).as("n_pred"), sum(col("t")).as("n_truth"),
+      sum(col("p") * col("t")).as("tp"))
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        when(col("n_pred") > 0, graft.Parity.r6(prec)).as("prec"),
+        when(col("n_truth") > 0, graft.Parity.r6(rec)).as("rec"),
+        when(col("tp") > 0,
+          graft.Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
   }
 
   /** Shared DuckDB CTE chain: banding candidates → exact-Jaccard
@@ -1133,6 +1189,66 @@ object Dedup {
         | md5(h0 || ':' || h1) AS band0, md5(h2 || ':' || h3) AS band1,
         | md5(h4 || ':' || h5) AS band2, md5(h6 || ':' || h7) AS band3
         |FROM sig ORDER BY doc_id""".stripMargin), dedupMinhash),
+
+    QueryDef("text_dedup_eval", Some(
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        | tok AS (
+        |  SELECT DISTINCT doc_id, tk FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tk
+        |   FROM t0 WHERE len(t) >= 3)),
+        | freq AS (SELECT tk, count(*) AS f FROM tok GROUP BY tk),
+        | ranked AS (
+        |  SELECT tok.doc_id, tok.tk,
+        |   count(*) OVER (PARTITION BY tok.doc_id) AS n,
+        |   row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.f, tok.tk) AS rn
+        |  FROM tok JOIN freq f ON f.tk = tok.tk),
+        | cand0 AS (
+        |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+        |   a.n AS na, b.n AS nb, a.rn AS ra, b.rn AS rb
+        |  FROM ranked a JOIN ranked b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        |   AND a.rn <= a.n - ceil(0.8 * a.n) + 2
+        |   AND b.n >= ceil(0.8 * a.n)
+        |   AND 2 + least(a.n - a.rn, b.n - b.rn) >= ceil(0.8 * a.n)),
+        | pred AS (
+        |  SELECT doc_sub, doc_sup FROM (
+        |   SELECT doc_sub, doc_sup, count(*) AS cp, max(na) AS na, max(nb) AS nb,
+        |    max(ra) AS mra, max(rb) AS mrb
+        |   FROM cand0 GROUP BY 1, 2)
+        |  WHERE cp >= least(2, ceil(0.8 * na))
+        |   AND cp + least(na - mra, nb - mrb) >= ceil(0.8 * na)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        | truth AS (
+        |  SELECT doc_sub, doc_sup FROM common
+        |   JOIN sizes sa ON sa.doc_id = doc_sub
+        |  WHERE CAST(c AS DOUBLE) / sa.n >= 0.8),
+        | u AS (
+        |  SELECT coalesce(p.p, 0) AS p, coalesce(t.t, 0) AS t
+        |  FROM (SELECT doc_sub, doc_sup, 1 AS p FROM pred) p
+        |  FULL JOIN (SELECT doc_sub, doc_sup, 1 AS t FROM truth) t
+        |    ON p.doc_sub = t.doc_sub AND p.doc_sup = t.doc_sup),
+        | a2 AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+        |   CAST(sum(t) AS BIGINT) AS n_truth,
+        |   CAST(sum(p * t) AS BIGINT) AS tp
+        |  FROM u)
+        |SELECT n_pred, n_truth, tp,
+        | CASE WHEN n_pred > 0
+        |  THEN floor((tp / n_pred) * 1000000 + 0.5) / 1000000 END AS prec,
+        | CASE WHEN n_truth > 0
+        |  THEN floor((tp / n_truth) * 1000000 + 0.5) / 1000000 END AS rec,
+        | CASE WHEN tp > 0
+        |  THEN floor((2 * (tp / n_pred) * (tp / n_truth)
+        |    / ((tp / n_pred) + (tp / n_truth))) * 1000000 + 0.5) / 1000000
+        |  END AS f1
+        |FROM a2""".stripMargin),
+      textDedupEval),
 
     QueryDef("dedup_incremental", Some(minhashSigCte +
       """, bands AS (

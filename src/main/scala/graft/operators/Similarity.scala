@@ -718,10 +718,63 @@ object Similarity {
     * the final r6); ln(idf) follows the text_tfidf precedent; all
     * fractional constants are CAST AS DOUBLE in the oracle (DuckDB
     * DECIMAL-literal trap); ties break on cid. */
-  private def simRerankFuse(spark: SparkSession, dir: String): DataFrame = {
+  /** Write-once LEXICAL INDEX for the BM25 rerank leg (round 16,
+    * r15 VERDICT task 5): tf / doc-length / document-frequency / corpus
+    * scalars are corpus state, not per-query state — at fleet scale the
+    * lexical index is trained once per corpus snapshot and served to
+    * every rerank, exactly like [[trainedCentroids]] and the bucketed
+    * tables' write-once shuffle. Persisted per corpus CONTENT
+    * ([[graft.Caches]] digest) as four parquet relations; longs
+    * round-trip exactly, so a reloaded index is bit-identical to a
+    * fresh derivation and every consuming oracle is unchanged. Publish
+    * is write-temp-dir-then-rename — a racing reader never sees a
+    * half-written index; the loser of a publish race deletes its temp.
+    * Build cost is the text_tfidf cost class (one token-explode pass
+    * per relation), paid once per corpus, off the query path. */
+  private[operators] def lexicalIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val path = graft.Caches.dir("lexidx", dir, Seq("documents"))
+    val done = new java.io.File(path)
+    if (!done.isDirectory) {
+      val docs = fanout(documents(spark, dir))
+      val tok = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tmp = new java.io.File(done.getParentFile,
+        done.getName + ".tmp" + ProcessHandle.current().pid())
+      tf.write.mode("overwrite").parquet(s"$tmp/tf")
+      // df and the scalar stats derive from the just-written relations —
+      // read them back rather than re-scanning the corpus twice more
+      spark.read.parquet(s"$tmp/tf").groupBy(col("term"))
+        .agg(count(lit(1)).as("df")).write.mode("overwrite").parquet(s"$tmp/df")
+      dlen.write.mode("overwrite").parquet(s"$tmp/dlen")
+      spark.read.parquet(s"$tmp/dlen")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+          max(col("doc_id")).as("max_id"))
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+      if (!tmp.renameTo(done) && !done.isDirectory)
+        sys.error(s"could not publish lexical index to $done")
+      if (tmp.isDirectory) { // lost the publish race — drop the duplicate
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    (spark.read.parquet(s"$path/tf"), spark.read.parquet(s"$path/dlen"),
+      spark.read.parquet(s"$path/df"), spark.read.parquet(s"$path/stats"))
+  }
+
+  /** Score-fusion rerank for an arbitrary bounded query side — the
+    * shared core of the registered `sim_rerank_fuse` (qid < 10) and the
+    * [[graft.streaming.StreamingOps.rerankFuseIngest]] twin (qids
+    * arrive in micro-batches). `q` must carry (qid, qe, qnrm) and be
+    * small enough to broadcast — the rerank contract (a shortlist
+    * rerank's query side is bounded by construction). */
+  private[graft] def rerankFuseFor(spark: SparkSession, dir: String,
+      q: DataFrame): DataFrame = {
     val v = normed(spark, dir)
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val wS = Window.partitionBy(col("qid")).orderBy(col("ann").desc, col("cid"))
     val short = v.select(col("vec_id").as("cid"), col("e").as("ce"),
         col("nrm").as("cnrm"))
@@ -733,13 +786,10 @@ object Similarity {
       .filter(col("srn") <= 8)
       .select(col("qid"), col("cid"), col("ann"))
     val docs = fanout(documents(spark, dir))
-    val tok = docs.select(col("doc_id"),
-      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-      max(col("doc_id")).as("max_id"))
+    // the EVAL-ONLY path: tf/dl/df/stats come from the persisted
+    // write-once index — the corpus-wide training pass is off the
+    // query path (it runs at most once per corpus content)
+    val (tf, dlen, dfreq, stats) = lexicalIndex(spark, dir)
     val idf = log(lit(1.0) +
       (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
@@ -784,6 +834,23 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("ann"), col("lex"),
         col("fresh"), col("c_ann"), col("c_lex"), col("c_fresh"), col("score"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  private def simRerankFuse(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    rerankFuseFor(spark, dir, v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm")))
+  }
+
+  /** Query side resolved from a relation of qids — the streaming twin's
+    * entry: arriving query ids look up their embeddings in the corpus
+    * and rerank against the persisted lexical index. */
+  private[graft] def rerankFuseForIds(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
+    val v = normed(spark, dir)
+    rerankFuseFor(spark, dir,
+      v.join(ids.select(col("qid")), col("vec_id") === col("qid"))
+        .select(col("qid"), col("e").as("qe"), col("nrm").as("qnrm")))
   }
 
   private val topkCte =

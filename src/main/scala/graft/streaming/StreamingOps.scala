@@ -591,6 +591,34 @@ object StreamingOps {
         (col("score_q").cast("double") / lit(1000000000.0)).as("score"))
   }
 
+  /** RERANK-ON-INGEST — the streaming twin of the batch
+    * `sim_rerank_fuse` (round 16, r15 VERDICT task 5): arriving QUERY
+    * ids rerank against the static corpus + the PERSISTED write-once
+    * lexical index ([[graft.operators.Similarity.lexicalIndex]] — the
+    * trainedCentroids discipline applied to BM25 state). Per batch the
+    * work is the eval-only path: ANN shortlist vs the corpus (broadcast
+    * batch-bounded query side), BM25 term joins restricted to the
+    * shortlist, one fusion projection — the corpus-wide tf/df/dlen
+    * training pass never runs on the ingest path (it ran once, at index
+    * publish).
+    *
+    * STATELESS twin (the dsirScoreIngest class): each qid's verdict
+    * depends only on the static corpus snapshot, never on other
+    * epochs — so the twin is replay-stable by construction (re-running
+    * an epoch overwrites it with identical rows; out-of-order arrival
+    * reorders epochs, not verdicts) and the union over any replay's
+    * epochs equals the batch `rerankFuseFor` output on the same qid
+    * set exactly (StreamBatchParitySpec). Epoch-addressed overwrite ⇒
+    * at-least-once replay safe. */
+  def rerankFuseIngest(queries: DataFrame, dir: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      val spark = batch.sparkSession
+      val ids = batch.toDF().select(col("qid")).distinct().localCheckpoint()
+      graft.operators.Similarity.rerankFuseForIds(spark, dir, ids)
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    }
+
   /** Tokenize-on-ingest: the batch `text_bpe_tokenize` projection
     * (graft.operators.TextOps.bpeTokenizeCols) applied UNCHANGED to a
     * streaming document source — per doc, whitespace token count,

@@ -1432,4 +1432,54 @@ class InvariantSpec extends AnyFunSuite {
           "the extended-prefix/positional stage has loosened (re-measure via graft.PpStats)")
     }
   }
+
+  test("mm_phash_pairs recovers every planted re-encoded copy; permuted tiles stay far") {
+    // The query plants its own fixtures: every 97th doc additionally
+    // emits a brightness-shifted BMP re-encode as doc_id + 1e9. pHash is
+    // EXACTLY invariant to both transforms (lossless re-encode; +16
+    // brightness moves only the excluded DC coefficient, and the render
+    // keeps pixels <= 215 so nothing clips), so every planted pair MUST
+    // surface at hamming 0 — a miss is a banding/decode bug, never
+    // noise. Negative control at the library level: a tile-PERMUTED
+    // render (same byte histogram, different structure) of the same
+    // docs must land OUTSIDE ball 3 — asserted per-doc on hamming > 3
+    // (measured on this corpus: permuted hashes land at hamming ~32).
+    import spark.implicits._
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id").as[Long].collect().sorted
+    assert(planted.nonEmpty, "no doc_id % 97 == 0 rows at this SF — vacuous")
+    val pairs = q("mm_phash_pairs")
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    planted.foreach { id =>
+      val h = pairs.get((id, id + 1000000000L))
+      assert(h.contains(0L),
+        s"planted re-encoded copy ($id, ${id + 1000000000L}) " +
+          s"${if (h.isEmpty) "missed" else s"at hamming ${h.get}, expected 0"}")
+    }
+    // negative control needs structure to destroy: a near-uniform or
+    // sub-tile-length text renders to a (near-)constant image that a
+    // permutation maps to itself — restrict to docs with >= 64 bytes
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0 && length(col("text")) >= 64)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().take(10)
+    assert(texts.nonEmpty, "no >=64-byte planted docs at this SF — vacuous")
+    texts.foreach { case (id, text) =>
+      val b = Option(text).getOrElse("").getBytes("UTF-8")
+      val imgs = Seq(
+        graft.operators.Multimodal.MediaRow(1L,
+          graft.operators.Multimodal.encodeImage(
+            graft.operators.Multimodal.renderTile(b), "png")),
+        graft.operators.Multimodal.MediaRow(2L,
+          graft.operators.Multimodal.encodeImage(
+            graft.operators.Multimodal.renderTile(b, permute = true), "png")))
+      val hs = graft.operators.Multimodal.phashImages(imgs.toDS())
+        .collect().map(p => p.doc_id -> p.phash).toMap
+      val h = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+      assert(h > 3,
+        s"doc $id: permuted tile landed INSIDE ball 3 (hamming $h) — " +
+          "the pairing would emit a structural non-dup")
+    }
+  }
 }

@@ -281,7 +281,7 @@ object OracleFuzz {
     // these modes force them for every row.
     // A mode whose structural guard fails falls through to
     // agg/sort-limit, exactly like modes 17-19 always have.
-    val mode = r.nextInt(35)
+    val mode = r.nextInt(36)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -655,7 +655,7 @@ object OracleFuzz {
       })
     }
 
-    if (mode >= 29 && mode <= 34) {
+    if (mode >= 29 && mode <= 35) {
       // EVENT-TIME productions over the events table (self-contained:
       // chain/preds above are ignored — they reference chain tables).
       // All boundary arithmetic is exact integer MICROSECONDS on both
@@ -883,6 +883,45 @@ object OracleFuzz {
             .withColumn("window_start",
               date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
             .select((gCols.map(col) ++ Seq(col("cnt"), col("cents"))): _*)
+        })
+      }
+
+      if (mode == 35) {
+        // ENRICH-THEN-WINDOW (round 16, r15 VERDICT task 7): real
+        // pipelines window JOINED streams, and the composition is
+        // where µs truncation meets join-key NULLs — an event whose
+        // derived key is NULL must (inner) vanish or (left) survive
+        // with a NULL dim attribute that then forms its own window
+        // group. Key = NULLIF(user_id % m, 0) against the customer
+        // dim (c_custkey 1..m−1 all exist at every SF; c_custkey is
+        // unique, so the join never fans out and the window counts
+        // stay event-exact). The window agg reuses the mode-29
+        // epoch-aligned tumbling oracle on the ENRICHED relation.
+        val widths = Seq(13, 60, 300, 900, 3600, 7200)
+        val w = widths(r.nextInt(widths.size))
+        val m = Seq(50, 100, 150)(r.nextInt(3))
+        val leftJ = r.nextBoolean()
+        val joinSql = if (leftJ) "LEFT JOIN" else "JOIN"
+        val wsSql = s"ts - to_microseconds(CAST(epoch_us(ts) % ${w}000000 AS BIGINT))"
+        val sql = s"SELECT window_start, seg, ${cnt.sql}, ${cents.sql}" +
+          s" FROM (SELECT strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start," +
+          s" c.c_mktsegment AS seg, value" +
+          s" FROM (SELECT *, NULLIF(user_id % $m, 0) AS jk FROM events$evWhere) e" +
+          s" $joinSql customer c ON e.jk = c.c_custkey)" +
+          s" GROUP BY window_start, seg"
+        return FuzzQuery(name, sql, (spark, dir) => {
+          val e = evDf(spark, dir).withColumn("jk",
+            when(col("user_id") % m === 0, lit(null).cast("long"))
+              .otherwise(col("user_id") % m))
+          val c = Tables.customer(spark, dir)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          e.join(c, col("jk") === col("c_custkey"), if (leftJ) "left" else "inner")
+            .groupBy(window(col("ts"), s"$w seconds").as("w"),
+              col("c_mktsegment").as("seg"))
+            .agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select(col("window_start"), col("seg"), col("cnt"), col("cents"))
         })
       }
 

@@ -667,6 +667,62 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  final case class QidRow(qid: Long)
+
+  test("rerank-fuse-on-ingest equals batch sim_rerank_fuse and is replay-stable") {
+    // Round-16 twin (r15 VERDICT task 5): query ids arrive in
+    // micro-batches — out of order, with one whole batch replayed (the
+    // at-least-once failure mode) — and rerank against the static
+    // corpus + the PERSISTED lexical index. Stateless contract: every
+    // (qid, rnk) verdict is identical in every epoch it appears, and
+    // the deduped union over epochs equals the batch sim_rerank_fuse
+    // output EXACTLY (all scores r6-quantized ⇒ exact equality, not
+    // approximate). This also end-to-end-proves the eval-only path:
+    // the twin never runs the corpus-wide tf/df training pass, so a
+    // divergence would mean the persisted index differs from the batch
+    // derivation.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_rerank_${System.nanoTime()}"
+    val ms = MemoryStream[QidRow]
+    val q = StreamingOps.rerankFuseIngest(ms.toDF(), TestSpark.sf, s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    ms.addData((5L to 9L).map(QidRow): _*); q.processAllAvailable() // late half first
+    ms.addData((0L to 4L).map(QidRow): _*); q.processAllAvailable()
+    ms.addData((5L to 9L).map(QidRow): _*); q.processAllAvailable() // duplicate batch
+    q.stop()
+    def canon(r: org.apache.spark.sql.Row) =
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+        r.getDouble(9)))
+    val emitted = spark2.read.parquet(s"$base/out") // epoch= partition col
+      .select(col("qid"), col("rnk"), col("cid"), col("ann"), col("lex"),
+        col("fresh"), col("c_ann"), col("c_lex"), col("c_fresh"), col("score"),
+        col("epoch").cast("long").as("epoch"))
+      .collect().map(r => (canon(r), r.getLong(10)))
+    // (a) the duplicate batch genuinely flowed: qids 5-9 in >= 2 epochs
+    val epochsPerQid = emitted.groupBy(_._1._1._1).view
+      .mapValues(_.map(_._2).distinct.size).toMap
+    (5L to 9L).foreach(q0 => assert(epochsPerQid.getOrElse(q0, 0) >= 2,
+      s"duplicate batch did not re-emit qid $q0"))
+    // (b) replay stability: one verdict per (qid, rnk) across all epochs
+    val verdicts = emitted.map(_._1).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+    val unstable = verdicts.filter(_._2.size > 1)
+    assert(unstable.isEmpty, s"verdicts changed across replays: ${unstable.take(3)}")
+    // (c) deduped union == batch output
+    val streamed = emitted.map(_._1).toSet
+    val batch = SparkEntry.queries("sim_rerank_fuse")(spark2, TestSpark.sf)
+      .collect().map(canon).toSet
+    assert(batch.nonEmpty, "batch rerank produced no rows — vacuous")
+    assert(streamed == batch,
+      s"rerank on ingest diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
+
   test("stateless ingest verdicts are replay-stable under out-of-order and duplicate batches") {
     // Late-data contract for the STATELESS twins (round 13, VERDICT
     // task 7): the stateful ops have watermark proofs, but the

@@ -67,6 +67,35 @@ def main():
     else:
         missing = [lab for lab, c in ((labels[1], co), (labels[0], cn)) if not c]
         print(f"canary: absent on {', '.join(missing)} — no drift normalization")
+
+    # Late-session drift (round 16, r15 VERDICT #2): the r15 driver run
+    # flagged 30+ queries while its START-of-run canary pointed the
+    # other way — the slowness developed mid-run, invisible to a canary
+    # timed once up front. Bench now re-times the warm canary at END of
+    # run (canary_end_s); the per-side end/start ratio bounds how much a
+    # query timed late in the (alphabetical) run could have inflated
+    # from session state alone. Flags covered by the interpolated
+    # late-drift envelope are ANNOTATED (not suppressed): the envelope
+    # is an attribution hint, re-timing is the proof.
+    def late_ratio(side):
+        s, e = side.get("canary_s"), side.get("canary_end_s")
+        return (e / s) if s and e else None
+
+    ln, lo = late_ratio(new), late_ratio(old)
+    for lab, r in ((labels[0], ln), (labels[1], lo)):
+        if r is not None and abs(r - 1.0) > 0.15:
+            print(f"late-session drift on {lab}: warm canary x{r:.2f} "
+                  f"start->end — late-alphabet queries may carry it")
+
+    def late_envelope(k, names_sorted):
+        """Max extra inflation late-session drift could explain for k:
+        linear interpolation of the end/start canary ratio over the
+        query's position in the alphabetical run order, taking the
+        worse direction of (new slowed down, old sped up)."""
+        pos = names_sorted.index(k) / max(1, len(names_sorted) - 1)
+        up = 1.0 + (max(ln or 1.0, 1.0) - 1.0) * pos      # new ran slow late
+        down = 1.0 + (min(lo or 1.0, 1.0) - 1.0) * pos    # old ran fast late
+        return up / down
     for side, lab in ((old, labels[1]), (new, labels[0])):
         cfg = side.get("config")
         if cfg:
@@ -109,8 +138,13 @@ def main():
     # every flagged query prints, even when absolute-delta ranking
     # would push it below the top-15 noise rows
     shown = [k for k in common if k in common[:15] or k in flagged]
+    names_sorted = sorted(set(qn) & set(qo))
     for k in shown:
         mark = " <-- FLAG" if k in flagged else ""
+        if k in flagged and (ln or lo):
+            env = late_envelope(k, names_sorted)
+            if qn[k] <= exp_old(k) * env + 0.25:
+                mark += f" [within late-session drift x{env:.2f} — re-time before believing]"
         sp = max(spread(rn, k), spread(ro, k))
         sptxt = f"  (spread {sp:.2f}s)" if sp > 0 else ""
         print(f"  {qo[k]:7.3f} -> {qn[k]:7.3f}  {k}{sptxt}{mark}")
