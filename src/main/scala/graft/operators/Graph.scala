@@ -225,6 +225,20 @@ object Graph {
     * via a 3-way union + hash-agg. Everything is exact integer work +
     * one rounded division ⇒ oracle-checked. */
   private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // PLAN-CONDITIONAL materialization (round 16, after two diagnosed
+    // sf100 failures): localCheckpoint stores row-oriented blocks
+    // ON-HEAP first — at sf100 the ~200 M-pair projection + oriented
+    // list filled the old-gen until a full-GC pause exceeded the 120 s
+    // heartbeat timeout, HeartbeatReceiver removed the (local-mode!)
+    // executor, and the context shut itself down — the same disease as
+    // the r14 edge-checkpoint ENOSPC wearing a GC mask. Same branch
+    // rule as [[edgesMaterialized]]/shingleTok: materialize below the
+    // threshold (every gate/canonical SF ⇒ fingerprints unaffected),
+    // re-derive from the columnar scans above it and let exchange
+    // reuse de-duplicate the shared subtrees — the cluster-honest
+    // posture where these would be persisted tables.
+    def mat(df: DataFrame): DataFrame =
+      if (graft.GraftSession.dirBytes(dir) < (4L << 30)) df.localCheckpoint() else df
     val li = lineitem(spark, dir)
       .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
         1, 8), 16, 10).cast("long") % 4 === 0)
@@ -232,10 +246,9 @@ object Graph {
     // materialize the projection once: degree counting AND orientation
     // both consume it, and its lineage (sampled scan → self-join →
     // distinct) is the expensive part of the whole query
-    val pairs = li.as("a").join(li.as("b"),
+    val pairs = mat(li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      .localCheckpoint()
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -247,11 +260,11 @@ object Graph {
     // materialize the oriented edge list ONCE: three consumers (both
     // wedge sides + the closure probe) would each re-run the
     // sample → self-join → distinct → degree-join lineage otherwise
-    val oriented = withDeg.select(
+    // (plan-conditional — see `mat` above)
+    val oriented = mat(withDeg.select(
       when(uLower, col("u")).otherwise(col("v")).as("src"),
       when(uLower, col("v")).otherwise(col("u")).as("dst"),
-      when(uLower, col("dv")).otherwise(col("du")).as("ddst"))
-      .localCheckpoint()
+      when(uLower, col("dv")).otherwise(col("du")).as("ddst")))
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||
