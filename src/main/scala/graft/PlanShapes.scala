@@ -45,6 +45,16 @@ object PlanShapes {
     .replaceAll("/tmp/[^\\s\\],)]+", "PATH")
     .replaceAll("/root/testdata/[^\\s\\],)]+", "PATH")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+    // Content-addressed identifiers (graft.Caches.tableSuffix digests
+    // inside catalog table names, e.g. graft_li_bucketed_<16 hex>)
+    // re-key whenever the SOURCE inventory changes — a staged-testdata
+    // drill or regeneration then trips the fingerprint with no plan
+    // change (the r14/r15 join_bucketed flips). The digest is cache
+    // bookkeeping, not shape: normalize it away. Measured first
+    // (round 17): the impl hashes were ALREADY invariant under a
+    // cleared /tmp/graft_cache and a relocated java.io.tmpdir — the
+    // digest suffix was the one remaining spurious-trip trigger.
+    .replaceAll("(graft_[a-z0-9_]+_)[0-9a-f]{16}", "$1DIGEST")
 
   def shapeHash(spark: SparkSession, sfDir: String, name: String): String = {
     val plan = SparkEntry.queries(name)(spark, sfDir)

@@ -146,13 +146,21 @@ object ScaleBench {
           println(f"[scale] WARN: ${cur / (1L << 30)} GiB shuffle scratch survived GC after $name")
         secs
       }
-      once() // warm (uncounted)
-      math.min(once(), once())
+      // SPARK_GRAFT_SCALE_RUNS=1 → single timed run, no warm throwaway
+      // (round 17): decade-3 A/B runs are 10+ min each, so JIT/codegen
+      // warmup is noise against the run itself and best-of-2 triples
+      // the session cost. Only for long-run A/Bs seeking ≥2× effects;
+      // committed ladder rows keep the full protocol unless annotated.
+      if (sys.env.get("SPARK_GRAFT_SCALE_RUNS").contains("1")) once()
+      else { once(); math.min(once(), once()) }
     }
 
     val rows = names.map { n =>
       try {
-        val tA = time(n, dirA)
+        // dirA == "-" → B-only mode (round 17): time just the big SF
+        // (for config A/Bs whose small-SF point exists from another
+        // config) — alpha is emitted as null.
+        val tA = if (dirA == "-") Double.NaN else time(n, dirA)
         val tB = time(n, dirB)
         val alpha = math.log(tB / tA) / math.log(ratio)
         println(f"[scale] $n%-28s A=$tA%8.2fs B=$tB%8.2fs alpha=$alpha%6.2f")

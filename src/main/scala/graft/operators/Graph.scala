@@ -103,7 +103,44 @@ object Graph {
   private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Caches.dir("graphedgesid", dir, Seq("lineitem"))
     val e = bipartiteEdges(spark, dir)
-    if (graft.GraftSession.dirBytes(base) < (4L << 30)) e.localCheckpoint() else e
+    // SPARK_GRAFT_GRAPH_CKPT pins the branch for scale A/Bs (round 17,
+    // the fanout-gate precedent): the decade-3 α conflated data growth
+    // with the two SFs taking OPPOSITE branches here, so the ladder
+    // needs a same-plan-both-points run. "on"/"off" force it; unset
+    // keeps the plan-conditional default (canonical-SF gate runs never
+    // set it, so impl fingerprints are unaffected).
+    val ckpt = sys.env.get("SPARK_GRAFT_GRAPH_CKPT") match {
+      case Some("on")  => true
+      case Some("off") => false
+      case _           => graft.GraftSession.dirBytes(base) < (4L << 30)
+    }
+    if (ckpt) e.localCheckpoint() else e
+  }
+
+  /** Write-once content-addressed parquet for shared graph relations
+    * past the materialization threshold (round 17, VERDICT task 2) —
+    * the lexicalIndex/trainedCentroids publish discipline: build into
+    * a pid-suffixed temp dir, rename to the digest-keyed location, the
+    * loser of a publish race deletes its temp. `df` is by-name so the
+    * (expensive) plan is never even constructed on a cache hit. */
+  private def persistedOnce(spark: SparkSession, dir: String, kind: String)(
+      df: => DataFrame): DataFrame = {
+    val base = graft.Caches.dir(kind, dir, Seq("lineitem"))
+    val done = new java.io.File(base)
+    if (!new java.io.File(done, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(done.getParentFile,
+        done.getName + ".tmp" + ProcessHandle.current().pid())
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!tmp.renameTo(done) && !new java.io.File(done, "_SUCCESS").exists())
+        sys.error(s"could not publish $kind to $done")
+      if (tmp.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    spark.read.parquet(base)
   }
 
   /** One PageRank iteration: dst-keyed contribution aggregation
@@ -237,8 +274,26 @@ object Graph {
     // re-derive from the columnar scans above it and let exchange
     // reuse de-duplicate the shared subtrees — the cluster-honest
     // posture where these would be persisted tables.
-    def mat(df: DataFrame): DataFrame =
-      if (graft.GraftSession.dirBytes(dir) < (4L << 30)) df.localCheckpoint() else df
+    // Round 17 (r16 VERDICT task 2): past the threshold the shared
+    // relations are no longer just re-derived (that shape ENOSPC'd at
+    // sf100 — re-deriving the projection lineage materialized more
+    // CONCURRENT shuffle stages than the box's scratch holds) but
+    // PERSISTED as write-once content-addressed parquet — the
+    // lexicalIndex/trainedCentroids discipline applied to graph state.
+    // Disk-backed columnar blocks replace the on-heap row block store
+    // (the GC bomb) AND cap the lineage each consumer re-runs at one
+    // parquet scan. On a cluster these ARE the persisted co-purchase /
+    // oriented-edge tables a graph pipeline keeps beside the facts.
+    // honors the same SPARK_GRAFT_GRAPH_CKPT pin as edgesMaterialized
+    // so decade ladders can run one branch at both points
+    def mat(df: => DataFrame, kind: String): DataFrame = {
+      val ckpt = sys.env.get("SPARK_GRAFT_GRAPH_CKPT") match {
+        case Some("on")  => true
+        case Some("off") => false
+        case _           => graft.GraftSession.dirBytes(dir) < (4L << 30)
+      }
+      if (ckpt) df.localCheckpoint() else persistedOnce(spark, dir, kind)(df)
+    }
     val li = lineitem(spark, dir)
       .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
         1, 8), 16, 10).cast("long") % 4 === 0)
@@ -248,7 +303,7 @@ object Graph {
     // distinct) is the expensive part of the whole query
     val pairs = mat(li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct(), "tripairs")
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -264,7 +319,7 @@ object Graph {
     val oriented = mat(withDeg.select(
       when(uLower, col("u")).otherwise(col("v")).as("src"),
       when(uLower, col("v")).otherwise(col("u")).as("dst"),
-      when(uLower, col("dv")).otherwise(col("du")).as("ddst")))
+      when(uLower, col("dv")).otherwise(col("du")).as("ddst")), "trioriented")
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||

@@ -954,9 +954,13 @@ object Multimodal {
     * measured α 0.07 at decade 3 on that family. The DCT is float ⇒
     * no_oracle by design (the simhash precedent); the banding stage is
     * the oracle-checked machinery it shares with mm_simhash_pairs. */
-  private def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic media corpus behind [[mmPhashPairs]], factored
+    * out (round 17) so the streaming twin's parity spec feeds the
+    * IDENTICAL payload stream: text bytes rendered to PNG, every 97th
+    * doc planting a brightness-shifted BMP re-encode (doc_id + 10⁹). */
+  private[graft] def phashMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val media = documents(spark, dir)
+    documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
@@ -968,6 +972,10 @@ object Multimodal {
           else Seq(base)
         }
       }
+  }
+
+  private def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = phashMedia(spark, dir)
     // materialized for the five references inside the banding join —
     // the mm_simhash_pairs discipline; n×16 bytes of (id, hash)
     val sim = phashImages(media).filter(col("ok"))

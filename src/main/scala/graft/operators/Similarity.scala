@@ -25,6 +25,10 @@ import org.apache.spark.sql.types._
 object Similarity {
   import Tables._
 
+  /** Serializes intra-JVM first-builds of the lexical index (the
+    * temp+rename publish only settles inter-PROCESS races). */
+  private val lexIdxBuildLock = new Object
+
   /** The composable dot form — since round 10 the optimizer rule
     * [[graft.plans.RewriteDotProduct]] rewrites every occurrence into
     * the codegen'd `dot_product`, so this IS the codegen path wherever
@@ -426,7 +430,11 @@ object Similarity {
     * 1e-6-quantized partial sums) and the exact rerank are ALL
     * re-derived by the DuckDB oracle bit-for-bit; the recall contract
     * vs the exact top-k additionally lives in InvariantSpec. */
-  private def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** ADC shortlist (qid, cid) of the IVF-PQ retrieval path — coarse
+    * assign → residual PQ encode → broadcast-LUT ADC scoring → top-20
+    * per query. Factored out (round 17) so `sim_ann_ivfpq_eval` scores
+    * the SAME production shortlist the query path reranks. */
+  private def ivfPqShortlist(spark: SparkSession, dir: String): DataFrame = {
     val subDim = 16 // 4 × 16 = 64 dims
     val v = normed(spark, dir)
     val coarse = trainedCentroids(v, dir, k = 10, iters = 2)
@@ -498,9 +506,15 @@ object Similarity {
         first(col("cnrm")).as("cnrm2"), first(col("qnrm")).as("qnrm2"))
       .withColumn("ascore", col("adot") / (col("qnrm2") * col("cnrm2")))
     val wA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
-    val shortlist = adc.withColumn("arnk", row_number().over(wA))
+    adc.withColumn("arnk", row_number().over(wA))
       .filter(col("arnk") <= 20).select(col("qid"), col("cid"))
-    // exact rerank: only |Q| × 20 shortlist rows touch float vectors
+  }
+
+  /** Exact-rerank top 3 over an ADC shortlist: only |Q| × 20 shortlist
+    * rows touch float vectors. */
+  private def ivfPqRanked(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
+    val v = normed(spark, dir)
     val cside = v.select(col("vec_id").as("cid"), col("e").as("ce"),
       col("nrm").as("cnrm"))
     val qside = v.filter(col("vec_id") < 10)
@@ -512,7 +526,48 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop).cast(LongType))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("cid"), col("cs"))
+  }
+
+  private def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir, ivfPqShortlist(spark, dir))
       .orderBy(col("qid"), col("rnk"))
+
+  /** EVAL HARNESS for the IVF-PQ path (round 17, r16 VERDICT task 7) —
+    * the [[simAnnEval]] confusion matrix applied to the quantized
+    * retrieval stack: cand = the ADC top-20 shortlist (did the coarse
+    * cells + codebook approximation even CONTAIN the true neighbors),
+    * pred = the exact-reranked top 3, truth = brute-force top 3.
+    * Unlike the LSH eval's planted-contract-only recall, EVERY number
+    * here is oracle-checked end-to-end: the round-11 quantized Lloyd
+    * trainers made coarse centroids and codebooks SQL-re-derivable, so
+    * DuckDB recomputes the identical shortlist. Same scale posture as
+    * simAnnEval: the brute-force truth side is the eval harness on a
+    * bounded |Q|=10 sample, never a production path. */
+  private def simAnnIvfPqEval(spark: SparkSession, dir: String): DataFrame = {
+    val sl = ivfPqShortlist(spark, dir)
+    val cand = sl.select(col("qid"), col("cid"), lit(1L).as("c"))
+    val pred = ivfPqRanked(spark, dir, sl)
+      .select(col("qid"), col("cid"), lit(1L).as("p"))
+    val truth = topkPairs(spark, dir, 3)
+      .select(col("qid"), col("cid"), lit(1L).as("t"))
+    val u = cand.join(pred, Seq("qid", "cid"), "left")
+      .join(truth, Seq("qid", "cid"), "full_outer")
+      .na.fill(0L, Seq("c", "p", "t"))
+    val prec = col("tp") / col("n_pred")
+    val rec = col("tp") / col("n_truth")
+    u.agg(
+      sum(col("c")).as("n_cand"), sum(col("p")).as("n_pred"),
+      sum(col("t")).as("n_truth"),
+      sum(col("c") * col("t")).as("cand_tp"),
+      sum(col("p") * col("t")).as("tp"))
+      .select(col("n_cand"), col("n_pred"), col("n_truth"), col("cand_tp"),
+        col("tp"),
+        when(col("n_truth") > 0,
+          Parity.r6(col("cand_tp") / col("n_truth"))).as("cand_recall"),
+        when(col("n_pred") > 0, Parity.r6(prec)).as("prec"),
+        when(col("n_truth") > 0, Parity.r6(rec)).as("rec"),
+        when(col("tp") > 0,
+          Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
   }
 
   /** Vector scalar family over the embedding column: L2 norm,
@@ -735,14 +790,21 @@ object Similarity {
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val path = graft.Caches.dir("lexidx", dir, Seq("documents"))
     val done = new java.io.File(path)
-    if (!done.isDirectory) {
+    // Intra-JVM publish races (e.g. the streaming twin's foreachBatch
+    // racing a concurrent batch query on first build) serialize here:
+    // pid-only tmp suffixes collide WITHIN a JVM, and two threads
+    // interleaving writes into the same tmp dir could publish a mixed
+    // index. The rename below still settles inter-process races.
+    if (!done.isDirectory) lexIdxBuildLock.synchronized {
+      if (!done.isDirectory) {
       val docs = fanout(documents(spark, dir))
       val tok = docs.select(col("doc_id"),
         explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val tmp = new java.io.File(done.getParentFile,
-        done.getName + ".tmp" + ProcessHandle.current().pid())
+        done.getName + ".tmp" + ProcessHandle.current().pid() +
+          "t" + Thread.currentThread().getId)
       tf.write.mode("overwrite").parquet(s"$tmp/tf")
       // df and the scalar stats derive from the just-written relations —
       // read them back rather than re-scanning the corpus twice more
@@ -761,7 +823,7 @@ object Similarity {
         }
         rm(tmp)
       }
-    }
+    } }
     (spark.read.parquet(s"$path/tf"), spark.read.parquet(s"$path/dlen"),
       spark.read.parquet(s"$path/df"), spark.read.parquet(s"$path/stats"))
   }
@@ -1242,6 +1304,76 @@ object Similarity {
        |       + list_inner_product(c.c, c.c) AS dist
        |    FROM $from s, $cents c)) WHERE rn = 1)""".stripMargin
 
+  /** The sim_ann_ivfpq oracle's WITH chain through CTE `r` (coarse
+    * Lloyd -> cells -> residuals -> 4 residual codebooks -> codes/LUT
+    * -> ADC `sl` shortlist -> exact rerank `rr` -> ranked `r`), shared
+    * VERBATIM by the query and its round-17 eval twin so both score
+    * the identical SQL re-derivation. */
+  private def ivfpqOracleChain: String = {
+      def rbook(j: Int): String = {
+        val a = j * 16 + 1; val b = j * 16 + 16
+        s""" rv$j AS (SELECT vec_id, resid[$a:$b] AS e FROM rs),
+           |${lloydSql(s"rb$j", s"rv$j", 16, 16)},
+           | enc$j AS (
+           |  SELECT vec_id, cell, nrm, $j AS sub, code FROM (
+           |   SELECT vec_id, cell, nrm, cid AS code,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+           |   FROM (
+           |    SELECT s.vec_id, s.cell, s.nrm, c.cid,
+           |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+           |       + list_inner_product(c.c, c.c) AS dist2
+           |    FROM (SELECT vec_id, cell, nrm, resid[$a:$b] AS e FROM rs) s,
+           |     rb${j}c2 c)) WHERE rn = 1),
+           | lut$j AS (
+           |  SELECT q.qid, q.qnrm, q.qcell, q.cterm, $j AS sub, bk.cid AS code,
+           |   list_inner_product(q.qe[$a:$b], bk.c) AS partial
+           |  FROM q, rb${j}c2 bk)""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+         |${lloydSql("cv", "v", 64, 10)},
+         |${assignAllSql("cells", "n", "cvc2")},
+         | rs AS (
+         |  SELECT s.vec_id, s.e, s.nrm, s.cell,
+         |   list_transform(range(1, 65), i -> s.e[i] - c.c[i]) AS resid
+         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid),
+         | q AS (
+         |  SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS qnrm, s.cell AS qcell,
+         |   list_inner_product(s.e, c.c) AS cterm
+         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid WHERE s.vec_id < 10),
+         |${(0 until 4).map(rbook).mkString(",\n")},
+         | codes AS (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1
+         |           UNION ALL SELECT * FROM enc2 UNION ALL SELECT * FROM enc3),
+         | lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+         |         UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+         | adc AS (
+         |  SELECT l.qid, c.vec_id AS cid,
+         |   l.cterm + CAST(sum(CAST(floor(l.partial * 1000000 + 0.5) AS BIGINT))
+         |     AS DOUBLE) / 1000000.0 AS adot,
+         |   c.nrm AS cnrm2, l.qnrm AS qnrm2
+         |  FROM codes c JOIN lut l ON c.cell = l.qcell AND c.sub = l.sub
+         |    AND c.code = l.code AND c.vec_id <> l.qid
+         |  GROUP BY l.qid, c.vec_id, l.cterm, c.nrm, l.qnrm),
+         | sl AS (
+         |  SELECT qid, cid FROM (
+         |   SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      adot / (qnrm2 * cnrm2) DESC, cid) AS arnk
+         |   FROM adc) WHERE arnk <= 20),
+         | rr AS (
+         |  SELECT s.qid, s.cid,
+         |   floor(list_inner_product(qn.e, cn.e) / (qn.nrm * cn.nrm) * 1000000
+         |     + 0.5) / 1000000 AS cs
+         |  FROM sl s JOIN n cn ON cn.vec_id = s.cid
+         |   JOIN n qn ON qn.vec_id = s.qid),
+         | r AS (
+         |  SELECT qid, cid, cs,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid)
+         |     AS BIGINT) AS rnk
+         |  FROM rr)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim_rerank", Some(
       """WITH v AS (
@@ -1485,72 +1617,61 @@ object Similarity {
          |ORDER BY qid, rnk""".stripMargin
     }, simAnnIvf),
 
-    QueryDef("sim_ann_ivfpq", Some {
-      def rbook(j: Int): String = {
-        val a = j * 16 + 1; val b = j * 16 + 16
-        s""" rv$j AS (SELECT vec_id, resid[$a:$b] AS e FROM rs),
-           |${lloydSql(s"rb$j", s"rv$j", 16, 16)},
-           | enc$j AS (
-           |  SELECT vec_id, cell, nrm, $j AS sub, code FROM (
-           |   SELECT vec_id, cell, nrm, cid AS code,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-           |   FROM (
-           |    SELECT s.vec_id, s.cell, s.nrm, c.cid,
-           |     list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
-           |       + list_inner_product(c.c, c.c) AS dist2
-           |    FROM (SELECT vec_id, cell, nrm, resid[$a:$b] AS e FROM rs) s,
-           |     rb${j}c2 c)) WHERE rn = 1),
-           | lut$j AS (
-           |  SELECT q.qid, q.qnrm, q.qcell, q.cterm, $j AS sub, bk.cid AS code,
-           |   list_inner_product(q.qe[$a:$b], bk.c) AS partial
-           |  FROM q, rb${j}c2 bk)""".stripMargin
-      }
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         | n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
-         |${lloydSql("cv", "v", 64, 10)},
-         |${assignAllSql("cells", "n", "cvc2")},
-         | rs AS (
-         |  SELECT s.vec_id, s.e, s.nrm, s.cell,
-         |   list_transform(range(1, 65), i -> s.e[i] - c.c[i]) AS resid
-         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid),
-         | q AS (
-         |  SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS qnrm, s.cell AS qcell,
-         |   list_inner_product(s.e, c.c) AS cterm
-         |  FROM cells s JOIN cvc2 c ON s.cell = c.cid WHERE s.vec_id < 10),
-         |${(0 until 4).map(rbook).mkString(",\n")},
-         | codes AS (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1
-         |           UNION ALL SELECT * FROM enc2 UNION ALL SELECT * FROM enc3),
-         | lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
-         |         UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
-         | adc AS (
-         |  SELECT l.qid, c.vec_id AS cid,
-         |   l.cterm + CAST(sum(CAST(floor(l.partial * 1000000 + 0.5) AS BIGINT))
-         |     AS DOUBLE) / 1000000.0 AS adot,
-         |   c.nrm AS cnrm2, l.qnrm AS qnrm2
-         |  FROM codes c JOIN lut l ON c.cell = l.qcell AND c.sub = l.sub
-         |    AND c.code = l.code AND c.vec_id <> l.qid
-         |  GROUP BY l.qid, c.vec_id, l.cterm, c.nrm, l.qnrm),
-         | sl AS (
-         |  SELECT qid, cid FROM (
-         |   SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY
-         |      adot / (qnrm2 * cnrm2) DESC, cid) AS arnk
-         |   FROM adc) WHERE arnk <= 20),
-         | rr AS (
-         |  SELECT s.qid, s.cid,
-         |   floor(list_inner_product(qn.e, cn.e) / (qn.nrm * cn.nrm) * 1000000
-         |     + 0.5) / 1000000 AS cs
-         |  FROM sl s JOIN n cn ON cn.vec_id = s.cid
-         |   JOIN n qn ON qn.vec_id = s.qid),
-         | r AS (
-         |  SELECT qid, cid, cs,
-         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid)
-         |     AS BIGINT) AS rnk
-         |  FROM rr)
-         |SELECT qid, rnk, cid, cs FROM r WHERE rnk <= 3
-         |ORDER BY qid, rnk""".stripMargin
-    }, simAnnIvfPq),
+    QueryDef("sim_ann_ivfpq",
+      Some(ivfpqOracleChain +
+        "\nSELECT qid, rnk, cid, cs FROM r WHERE rnk <= 3" +
+        "\nORDER BY qid, rnk"), simAnnIvfPq),
+
+    // the eval twin re-derives the IDENTICAL retrieval chain (cand =
+    // ADC top-20 `sl`, pred = reranked top-3 `r`) and scores it
+    // against brute-force truth with the sim_ann_eval confusion fold
+    QueryDef("sim_ann_ivfpq_eval", Some {
+      ivfpqOracleChain + "," +
+        s"""
+           | cand AS (SELECT qid, cid, 1 AS c FROM sl),
+           | pred AS (SELECT qid, cid, 1 AS p FROM r WHERE rnk <= 3),
+           | truthp AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5)
+           |     / 1000000 AS cs
+           |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+           | truth AS (
+           |  SELECT qid, cid, 1 AS t FROM (
+           |   SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+           |   FROM truthp) WHERE rnk <= 3),
+           | uni AS (
+           |  SELECT coalesce(cp.c, 0) AS c, coalesce(cp.p, 0) AS p,
+           |   coalesce(t.t, 0) AS t
+           |  FROM (SELECT cand.qid, cand.cid, cand.c, pred.p
+           |        FROM cand LEFT JOIN pred
+           |        ON cand.qid = pred.qid AND cand.cid = pred.cid) cp
+           |  FULL OUTER JOIN truth t ON cp.qid = t.qid AND cp.cid = t.cid),
+           | s AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n_cand,
+           |   CAST(sum(p) AS BIGINT) AS n_pred,
+           |   CAST(sum(t) AS BIGINT) AS n_truth,
+           |   CAST(sum(c * t) AS BIGINT) AS cand_tp,
+           |   CAST(sum(p * t) AS BIGINT) AS tp
+           |  FROM uni)
+           |SELECT n_cand, n_pred, n_truth, cand_tp, tp,
+           | CASE WHEN n_truth > 0 THEN
+           |  floor(CAST(cand_tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+           | END AS cand_recall,
+           | CASE WHEN n_pred > 0 THEN
+           |  floor(CAST(tp AS DOUBLE) / n_pred * 1000000 + 0.5) / 1000000
+           | END AS prec,
+           | CASE WHEN n_truth > 0 THEN
+           |  floor(CAST(tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+           | END AS rec,
+           | CASE WHEN tp > 0 THEN
+           |  floor(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_truth)
+           |   / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_truth))
+           |   * 1000000 + 0.5) / 1000000
+           | END AS f1
+           |FROM s""".stripMargin
+    }, simAnnIvfPqEval),
+
 
     QueryDef("sim_pq_encode", Some {
       def sub(j: Int): String = {

@@ -614,10 +614,118 @@ object StreamingOps {
       outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
       val spark = batch.sparkSession
+      // The checkpoint is load-bearing (ids feeds `short`, which the
+      // fusion plan references twice) but its blocks must not outlive
+      // the epoch: accumulated localCheckpoint garbage is the round-13
+      // Bench leak class (8× inflation), and a long-running stream
+      // re-materializes a fresh one every micro-batch. Diff the
+      // persistent-RDD set rather than unpersisting everything — a
+      // concurrent batch query's caches are not ours to drop.
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val ids = batch.toDF().select(col("qid")).distinct().localCheckpoint()
-      graft.operators.Similarity.rerankFuseForIds(spark, dir, ids)
-        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      try
+        graft.operators.Similarity.rerankFuseForIds(spark, dir, ids)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      finally
+        sc.getPersistentRDDs.foreach { case (id, r) =>
+          if (!before(id)) r.unpersist(blocking = false)
+        }
     }
+
+  /** Perceptual near-dup pairing on ingest — the streaming twin of
+    * `mm_phash_pairs` (round 17, r16 VERDICT task 5), completing the
+    * ingest-twin set across all three near-dup families (text shingles
+    * → containmentIngest, embeddings → semanticDedupIngest, media →
+    * here). Arriving media payloads (doc_id, payload) are pHash-signed
+    * with the batch op's exact decode pass
+    * ([[graft.operators.Multimodal.phashImages]]), probed against the
+    * PERSISTED signature index (every previously ingested decodable
+    * doc's 64-bit pHash) plus their own batch-mates, and every near-dup
+    * pair whose LATER-ARRIVING member is in this batch is emitted with
+    * its Hamming distance — the containmentIngest emission discipline.
+    *
+    * The probe is the DIRECTIONAL form of the batch op's
+    * signature-level pigeonhole banding (bandedHammingPairs): batch
+    * signatures band-join against {batch ∪ history} signatures on any
+    * shared 16-bit block (4 blocks ⇒ any pair within Hamming ball 3
+    * shares one — recall is structural, not probabilistic), Hamming is
+    * verified per DISTINCT signature pair, and doc expansion restricts
+    * one side to batch docs — so history×history pairs (already
+    * emitted at their own later member's epoch) are never recomputed.
+    * Work per ingest is O(batch): the band join is keyed by (block_idx,
+    * block) with one side batch-bounded, and expansion cost is the
+    * emitted pairs. The index is append-only epoch parquet — on a
+    * cluster, bucketed by a signature band so the probe prunes to
+    * matching buckets.
+    *
+    * Exactly-once per pair across an ordered run; a REPLAYED batch
+    * overwrites its epoch (and, having more history visible, may
+    * re-emit pairs later epochs also carry — set-union semantics, and
+    * every emitted (pair, hamming) row is identical wherever it
+    * appears because the signatures are deterministic). Union over any
+    * replay's epochs equals the batch `mm_phash_pairs` pair set
+    * exactly (StreamBatchParitySpec). */
+  def phashPairsIngest(media: DataFrame, indexDir: String, outDir: String,
+      ball: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(ball <= 3, s"4x16-bit bands only guarantee recall for ball <= 3, got $ball")
+    media.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      import org.apache.spark.sql.types.LongType
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val sc0 = spark.sparkContext
+      val before = sc0.getPersistentRDDs.keySet
+      try {
+        // one decode pass per batch; checkpointed — the signature
+        // relation feeds the band probe, both expansions, the same-sig
+        // tier, and the index sink
+        val cur = graft.operators.Multimodal
+          .phashImages(batch.toDF()
+            .select(col("doc_id"), col("payload"))
+            .as[graft.operators.Multimodal.MediaRow])
+          .filter(col("ok"))
+          .select(col("doc_id"), col("phash").as("simhash"))
+          .toDF().localCheckpoint()
+        val histEpochs = historyEpochs(spark, indexDir, epochId)
+        val hist = if (histEpochs.isEmpty) None
+          else Some(spark.read.parquet(histEpochs.toIndexedSeq: _*))
+        val all = hist.map(cur.unionByName(_)).getOrElse(cur)
+        def blocks(s: DataFrame): DataFrame = s.select(col("simhash")).distinct()
+          .select(col("simhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+              .as(Seq("block_idx", "block")))
+        val sigPairs = blocks(cur).as("a").join(blocks(all).as("b"),
+            col("a.block_idx") === col("b.block_idx") &&
+              col("a.block") === col("b.block") &&
+              col("a.simhash") =!= col("b.simhash"))
+          .select(col("a.simhash").as("sc"), col("b.simhash").as("so"))
+          .filter(bit_count(col("sc").bitwiseXOR(col("so"))) <= ball)
+          .distinct()
+        val cross = sigPairs
+          .join(cur.as("dc"), col("sc") === col("dc.simhash"))
+          .join(all.as("dd"), col("so") === col("dd.simhash"))
+          .select(
+            least(col("dc.doc_id"), col("dd.doc_id")).as("doc_a"),
+            greatest(col("dc.doc_id"), col("dd.doc_id")).as("doc_b"),
+            bit_count(col("sc").bitwiseXOR(col("so"))).cast(LongType).as("hamming"))
+          .distinct()
+        val same = cur.as("x").join(all.as("y"),
+            col("x.simhash") === col("y.simhash") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+            lit(0L).as("hamming"))
+          .distinct()
+        cross.unionByName(same)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        cur.write.mode("overwrite").parquet(s"$indexDir/epoch=$epochId")
+      } finally
+        sc0.getPersistentRDDs.foreach { case (id, r) =>
+          if (!before(id)) r.unpersist(blocking = false)
+        }
+    }
+  }
 
   /** Tokenize-on-ingest: the batch `text_bpe_tokenize` projection
     * (graft.operators.TextOps.bpeTokenizeCols) applied UNCHANGED to a

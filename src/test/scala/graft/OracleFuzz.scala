@@ -281,7 +281,7 @@ object OracleFuzz {
     // these modes force them for every row.
     // A mode whose structural guard fails falls through to
     // agg/sort-limit, exactly like modes 17-19 always have.
-    val mode = r.nextInt(36)
+    val mode = r.nextInt(37)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -655,7 +655,7 @@ object OracleFuzz {
       })
     }
 
-    if (mode >= 29 && mode <= 35) {
+    if (mode >= 29 && mode <= 36) {
       // EVENT-TIME productions over the events table (self-contained:
       // chain/preds above are ignored — they reference chain tables).
       // All boundary arithmetic is exact integer MICROSECONDS on both
@@ -922,6 +922,81 @@ object OracleFuzz {
             .withColumn("window_start",
               date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
             .select(col("window_start"), col("seg"), col("cnt"), col("cents"))
+        })
+      }
+
+      if (mode == 36) {
+        // TWO-STREAM EVENT-TIME JOIN (round 17, r16 VERDICT task 6):
+        // mode 35 joined events to a STATIC dim; real pipelines join
+        // two event-time relations. Split events into two typed
+        // streams, self-join on user with a µs time band (r.ts in
+        // (l.ts − band, l.ts], epoch_us integer arithmetic — the
+        // as-of/interval shape), then the mode-29 epoch-aligned
+        // tumbling window on the LEFT stream's ts. Two variants:
+        // interval (all matches flow to the agg — fan-out is the
+        // semantics) and AS-OF (row_number picks the latest match per
+        // left event, ties pinned by r_id DESC; unmatched left rows
+        // survive with NULL value — left-join semantics — so a window
+        // of only-unmatched rows aggregates cents over all-NULL, which
+        // both engines render as NULL). Dual-impl like modes 29-35:
+        // the window/strftime tier has no dialect-neutral spelling,
+        // but every boundary compare is exact integer µs on both
+        // engines (band µs BIGINT-cast before multiplying — the
+        // round-14 INT32-overflow rule).
+        val types = r.shuffle(Seq("click", "error", "purchase", "signup", "view"))
+        val (tA, tB) = (types(0), types(1))
+        val band = Seq(60, 300, 900, 3600, 7201)(r.nextInt(5))
+        val w = Seq(60, 300, 900, 3600, 7200)(r.nextInt(5))
+        val asof = r.nextBoolean()
+        val wsSql = s"lts - to_microseconds(CAST(epoch_us(lts) % ${w}000000 AS BIGINT))"
+        val lSel = s"SELECT event_id AS l_id, user_id, ts AS lts FROM events" +
+          s"$evWhere${if (evWhere.isEmpty) " WHERE" else " AND"} event_type = '$tA'"
+        val rSel = s"SELECT event_id AS r_id, user_id, ts AS rts, value FROM events" +
+          s"$evWhere${if (evWhere.isEmpty) " WHERE" else " AND"} event_type = '$tB'"
+        val bandCond = s"epoch_us(l.lts) - epoch_us(r.rts)" +
+          s" BETWEEN 0 AND CAST($band AS BIGINT) * 1000000"
+        val sql =
+          if (asof)
+            s"""WITH j AS (
+               |  SELECT l.l_id, l.lts, r.value,
+               |   row_number() OVER (PARTITION BY l.l_id
+               |     ORDER BY r.rts DESC, r.r_id DESC) AS rn
+               |  FROM ($lSel) l LEFT JOIN ($rSel) r
+               |   ON l.user_id = r.user_id AND $bandCond)
+               |SELECT strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start,
+               | ${cnt.sql}, ${cents.sql}
+               |FROM j WHERE rn = 1 GROUP BY window_start""".stripMargin
+          else
+            s"""SELECT strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start,
+               | ${cnt.sql}, ${cents.sql}
+               |FROM (SELECT l.lts, r.value FROM ($lSel) l JOIN ($rSel) r
+               |  ON l.user_id = r.user_id AND $bandCond)
+               |GROUP BY window_start""".stripMargin
+        return FuzzQuery(name, sql, (spark, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val ev = evDf(spark, dir)
+          val l = ev.filter(col("event_type") === tA)
+            .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("lts"))
+          val rr = ev.filter(col("event_type") === tB)
+            .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+              col("ts").as("rts"), col("value"))
+          val cond = col("user_id") === col("r_user") &&
+            (unix_micros(col("lts")) - unix_micros(col("rts"))).between(
+              0L, band.toLong * 1000000L)
+          val joined =
+            if (asof) {
+              val wA = Window.partitionBy(col("l_id"))
+                .orderBy(col("rts").desc, col("r_id").desc)
+              l.join(rr, cond, "left")
+                .withColumn("rn", row_number().over(wA))
+                .filter(col("rn") === 1)
+            } else l.join(rr, cond)
+          joined
+            .groupBy(window(col("lts"), s"$w seconds").as("wd"))
+            .agg(cnt.spark, cents.spark)
+            .withColumn("window_start",
+              date_format(col("wd.start"), "yyyy-MM-dd HH:mm:ss"))
+            .select(col("window_start"), col("cnt"), col("cents"))
         })
       }
 

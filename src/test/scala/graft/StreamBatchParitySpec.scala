@@ -723,6 +723,66 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("phash-pairs-on-ingest equals batch mm_phash_pairs and is replay-stable") {
+    // Round-17 twin (r16 VERDICT task 5): media payloads arrive in
+    // micro-batches — out of order, with one whole batch replayed —
+    // are pHash-signed, probed against the persisted signature index
+    // + batch-mates, and every near-dup pair is emitted exactly when
+    // its later-arriving member lands. Contract: the union over all
+    // epochs equals the batch mm_phash_pairs pair set EXACTLY, and a
+    // pair's Hamming distance is identical in every epoch that
+    // carries it (signatures are deterministic). The payload stream
+    // is the batch op's own synthesis (Multimodal.phashMedia), so the
+    // planted re-encoded copies flow through too — and because the
+    // stream is split by doc_id halves, planted copies (doc_id + 1e9,
+    // second half) arrive in a DIFFERENT epoch than their sources
+    // (first half): the cross-epoch index probe is genuinely load-
+    // bearing, not just batch-mate pairing.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    import graft.operators.Multimodal
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_phash_${System.nanoTime()}"
+    val media = Multimodal.phashMedia(spark2, TestSpark.sf).collect().toSeq
+    val mid = media.map(_.doc_id).sorted.apply(media.size / 2)
+    val firstHalf = media.filter(_.doc_id < mid)
+    val secondHalf = media.filter(_.doc_id >= mid)
+    val ms = MemoryStream[Multimodal.MediaRow]
+    val q = StreamingOps.phashPairsIngest(ms.toDF(), s"$base/idx", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    ms.addData(secondHalf: _*); q.processAllAvailable() // late half first
+    ms.addData(firstHalf: _*); q.processAllAvailable()
+    ms.addData(secondHalf: _*); q.processAllAvailable() // duplicate batch
+    q.stop()
+    val emitted = spark2.read.parquet(s"$base/out")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("epoch").cast("long").as("epoch"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    // (a) the duplicate batch genuinely flowed: 3 index epochs exist
+    val idxEpochs = new java.io.File(s"$base/idx").listFiles()
+      .count(_.getName.startsWith("epoch="))
+    assert(idxEpochs == 3, s"expected 3 index epochs, found $idxEpochs")
+    // (b) replay stability: one hamming per pair across all epochs
+    val byPair = emitted.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val unstable = byPair.filter(_._2.size > 1)
+    assert(unstable.isEmpty, s"pair hamming changed across replays: ${unstable.take(3)}")
+    // (c) at least one pair crossed epochs (the index probe fired):
+    // a planted copy (second half) paired with its first-half source
+    val crossEpoch = emitted.filter { case ((a, b), _, _) =>
+      a < mid && b >= 1000000000L }
+    assert(crossEpoch.nonEmpty, "no cross-epoch planted pair — index probe vacuous")
+    // (d) deduped union == batch mm_phash_pairs
+    val streamed = emitted.map(e => (e._1, e._2)).toSet
+    val batch = SparkEntry.queries("mm_phash_pairs")(spark2, TestSpark.sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "batch mm_phash_pairs produced no rows — vacuous")
+    assert(streamed == batch,
+      s"phash pairs on ingest diverged from batch: " +
+        s"stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
+
   test("stateless ingest verdicts are replay-stable under out-of-order and duplicate batches") {
     // Late-data contract for the STATELESS twins (round 13, VERDICT
     // task 7): the stateful ops have watermark proofs, but the

@@ -139,7 +139,25 @@ for name, sql in sorted(oracle.items()):
             ih = gate.get(name, {}).get("impl_sha256")
         if ih:
             entry["impl_sha256"] = ih
-        gate[name] = entry
+        # Never silently DOWNGRADE a larger-SF record (round 17, after
+        # the same full-sf0.01-run downgrade recurred in r15 AND r16):
+        # if the existing entry was recorded at a larger SF and both
+        # the oracle and impl hashes are unchanged, the sf0.1 result
+        # record still stands for this exact computation — keep it.
+        # Any hash change (real edit) still replaces the entry.
+        old = gate.get(name)
+        def _sfv(e):
+            try:
+                return float(e.get("sf", "sf0")[2:])
+            except (ValueError, AttributeError):
+                return 0.0
+        if (old and _sfv(old) > _sfv(entry)
+                and old.get("oracle_sha256") == entry["oracle_sha256"]
+                and old.get("impl_sha256") == entry.get("impl_sha256")):
+            print(f"KEEP {name}: existing {old['sf']} gate record preserved "
+                  f"(hashes unchanged; this {entry['sf']} pass adds nothing)")
+        else:
+            gate[name] = entry
     else:
         gate.pop(name, None)
 
