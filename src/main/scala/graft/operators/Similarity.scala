@@ -430,11 +430,13 @@ object Similarity {
     * 1e-6-quantized partial sums) and the exact rerank are ALL
     * re-derived by the DuckDB oracle bit-for-bit; the recall contract
     * vs the exact top-k additionally lives in InvariantSpec. */
-  /** ADC shortlist (qid, cid) of the IVF-PQ retrieval path — coarse
-    * assign → residual PQ encode → broadcast-LUT ADC scoring → top-20
-    * per query. Factored out (round 17) so `sim_ann_ivfpq_eval` scores
-    * the SAME production shortlist the query path reranks. */
-  private def ivfPqShortlist(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF-PQ quantizer stack — coarse assignment, residual
+    * codebooks, PQ code relation — factored (round 17) so the
+    * nprobe>1 probe variant shares the exact trained quantizers with
+    * the classic single-cell path. Returns (withCell, centLits,
+    * centMap, cands, codes). */
+  private def ivfPqParts(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Column], Column, Seq[Column], DataFrame) = {
     val subDim = 16 // 4 × 16 = 64 dims
     val v = normed(spark, dir)
     val coarse = trainedCentroids(v, dir, k = 10, iters = 2)
@@ -480,6 +482,13 @@ object Similarity {
         first(col("nrm")).as("cnrm"))
       .select(col("vec_id").as("cid"), col("cell"), col("cnrm"),
         col("sub"), col("mn.code").as("code"))
+    (withCell, centLits, centMap, cands, codes)
+  }
+
+  /** ADC shortlist, classic single-cell probe (qcell only). */
+  private def ivfPqShortlist(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = 16
+    val (withCell, _, centMap, cands, codes) = ivfPqParts(spark, dir)
     // per-query ADC lookup table: |Q| × 4 × 16 partial dots + the
     // cell-centroid term — bounded, broadcast
     val lut = withCell.filter(col("vec_id") < 10)
@@ -543,8 +552,14 @@ object Similarity {
     * DuckDB recomputes the identical shortlist. Same scale posture as
     * simAnnEval: the brute-force truth side is the eval harness on a
     * bounded |Q|=10 sample, never a production path. */
-  private def simAnnIvfPqEval(spark: SparkSession, dir: String): DataFrame = {
-    val sl = ivfPqShortlist(spark, dir)
+  private def simAnnIvfPqEval(spark: SparkSession, dir: String): DataFrame =
+    ivfPqEvalOn(spark, dir, ivfPqShortlist(spark, dir))
+
+  /** The confusion fold shared by both IVF-PQ eval rows: cand = the
+    * given ADC shortlist, pred = its exact-reranked top 3, truth =
+    * brute-force top 3 — the [[simAnnEval]] relational fold. */
+  private def ivfPqEvalOn(spark: SparkSession, dir: String,
+      sl: DataFrame): DataFrame = {
     val cand = sl.select(col("qid"), col("cid"), lit(1L).as("c"))
     val pred = ivfPqRanked(spark, dir, sl)
       .select(col("qid"), col("cid"), lit(1L).as("p"))
@@ -569,6 +584,60 @@ object Similarity {
         when(col("tp") > 0,
           Parity.r6(lit(2) * prec * rec / (prec + rec))).as("f1"))
   }
+
+  /** ADC shortlist with MULTI-CELL probing (round 17): the production
+    * IVF knob the eval row exposed — at nprobe=1 on this synthesis the
+    * shortlist recall is 0.20 (uniform-random embeddings spread true
+    * neighbors across coarse cells, so a single-cell probe is bounded
+    * by the cell-assignment hit rate). Each query ranks ALL coarse
+    * centroids by exact L2 (k×|Q| literal comparisons — free) and
+    * probes its `nprobe` nearest cells: the LUT grows to
+    * |Q|·nprobe·m·k partial dots (still broadcast-bounded), the ADC
+    * join condition is unchanged (a candidate joins through the ONE
+    * probed cell it lives in), and everything stays SQL-re-derivable
+    * — the same row_number cell ranking in DuckDB. */
+  private def ivfPqShortlistNprobe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val subDim = 16
+    val (withCell, centLits, _, cands, codes) = ivfPqParts(spark, dir)
+    val wP = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("pcell"))
+    val probes = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        explode(array(centLits: _*)).as("c"))
+      .select(col("qid"), col("qe"), col("qnrm"),
+        col("c.cent_id").as("pcell"),
+        (expr("dot_product(qe, qe)") - lit(2.0) * expr("dot_product(qe, c.ce)")
+          + expr("dot_product(c.ce, c.ce)")).as("dist2"),
+        expr("dot_product(qe, c.ce)").as("cterm"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= nprobe)
+    val lut = probes
+      .select(col("qid"), col("qnrm"), col("pcell"), col("cterm"), col("qe"),
+        explode(array(cands: _*)).as("c"))
+      .select(col("qid"), col("qnrm"), col("pcell"), col("cterm"),
+        col("c.sub").as("psub"), col("c.code").as("pcode"),
+        expr(s"dot_product(slice(qe, c.sub * $subDim + 1, $subDim), c.ce)")
+          .as("partial"))
+    val adc = codes.join(broadcast(lut),
+        col("cell") === col("pcell") && col("sub") === col("psub") &&
+          col("code") === col("pcode") && col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg((first(col("cterm")) +
+          sum(floor(col("partial") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1000000.0)).as("adot"),
+        first(col("cnrm")).as("cnrm2"), first(col("qnrm")).as("qnrm2"))
+      .withColumn("ascore", col("adot") / (col("qnrm2") * col("cnrm2")))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+    adc.withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= 20).select(col("qid"), col("cid"))
+  }
+
+  private def simAnnIvfPqNprobe(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir, ivfPqShortlistNprobe(spark, dir, 3))
+      .orderBy(col("qid"), col("rnk"))
+
+  private def simAnnIvfPqNprobeEval(spark: SparkSession, dir: String): DataFrame =
+    ivfPqEvalOn(spark, dir, ivfPqShortlistNprobe(spark, dir, 3))
 
   /** Vector scalar family over the embedding column: L2 norm,
     * normalization, element-wise ops — per-element IEEE arithmetic plus
@@ -1374,6 +1443,82 @@ object Similarity {
          |  FROM rr)""".stripMargin
   }
 
+  /** The nprobe>1 oracle chain: [[ivfpqOracleChain]] with ONLY the
+    * per-query probe CTE `q` swapped — each query ranks all coarse
+    * cells by exact L2 (row_number, id tie-break) and keeps the p
+    * nearest, everything downstream (LUT, ADC join, shortlist,
+    * rerank) textually unchanged. Built by surgical replacement so
+    * the shared text can never drift from the gated original; the
+    * assert fires if the q CTE is ever reworded there. */
+  private def ivfpqOracleChainNprobe(p: Int): String = {
+    val classicQ =
+      """ q AS (
+        |  SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS qnrm, s.cell AS qcell,
+        |   list_inner_product(s.e, c.c) AS cterm
+        |  FROM cells s JOIN cvc2 c ON s.cell = c.cid WHERE s.vec_id < 10),""".stripMargin
+    val probedQ =
+      s""" q AS (
+         |  SELECT qid, qe, qnrm, qcell, cterm FROM (
+         |   SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS qnrm, c.cid AS qcell,
+         |    list_inner_product(s.e, c.c) AS cterm,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      list_inner_product(s.e, s.e) - 2.0 * list_inner_product(s.e, c.c)
+         |        + list_inner_product(c.c, c.c), c.cid) AS prn
+         |   FROM cells s, cvc2 c WHERE s.vec_id < 10)
+         |  WHERE prn <= $p),""".stripMargin
+    val out = ivfpqOracleChain.replace(classicQ, probedQ)
+    require(out != ivfpqOracleChain, "ivfpq q CTE not found for nprobe swap")
+    out
+  }
+
+  /** The eval confusion-matrix SQL tail shared by both IVF-PQ eval
+    * rows (cand = `sl`, pred = `r`, truth = brute force, the
+    * sim_ann_eval fold); appended to either oracle chain. */
+  private def ivfpqEvalSqlTail: String = "," +
+        s"""
+           | cand AS (SELECT qid, cid, 1 AS c FROM sl),
+           | pred AS (SELECT qid, cid, 1 AS p FROM r WHERE rnk <= 3),
+           | truthp AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5)
+           |     / 1000000 AS cs
+           |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+           | truth AS (
+           |  SELECT qid, cid, 1 AS t FROM (
+           |   SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
+           |   FROM truthp) WHERE rnk <= 3),
+           | uni AS (
+           |  SELECT coalesce(cp.c, 0) AS c, coalesce(cp.p, 0) AS p,
+           |   coalesce(t.t, 0) AS t
+           |  FROM (SELECT cand.qid, cand.cid, cand.c, pred.p
+           |        FROM cand LEFT JOIN pred
+           |        ON cand.qid = pred.qid AND cand.cid = pred.cid) cp
+           |  FULL OUTER JOIN truth t ON cp.qid = t.qid AND cp.cid = t.cid),
+           | s AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n_cand,
+           |   CAST(sum(p) AS BIGINT) AS n_pred,
+           |   CAST(sum(t) AS BIGINT) AS n_truth,
+           |   CAST(sum(c * t) AS BIGINT) AS cand_tp,
+           |   CAST(sum(p * t) AS BIGINT) AS tp
+           |  FROM uni)
+           |SELECT n_cand, n_pred, n_truth, cand_tp, tp,
+           | CASE WHEN n_truth > 0 THEN
+           |  floor(CAST(cand_tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+           | END AS cand_recall,
+           | CASE WHEN n_pred > 0 THEN
+           |  floor(CAST(tp AS DOUBLE) / n_pred * 1000000 + 0.5) / 1000000
+           | END AS prec,
+           | CASE WHEN n_truth > 0 THEN
+           |  floor(CAST(tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
+           | END AS rec,
+           | CASE WHEN tp > 0 THEN
+           |  floor(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_truth)
+           |   / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_truth))
+           |   * 1000000 + 0.5) / 1000000
+           | END AS f1
+           |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim_rerank", Some(
       """WITH v AS (
@@ -1625,52 +1770,19 @@ object Similarity {
     // the eval twin re-derives the IDENTICAL retrieval chain (cand =
     // ADC top-20 `sl`, pred = reranked top-3 `r`) and scores it
     // against brute-force truth with the sim_ann_eval confusion fold
-    QueryDef("sim_ann_ivfpq_eval", Some {
-      ivfpqOracleChain + "," +
-        s"""
-           | cand AS (SELECT qid, cid, 1 AS c FROM sl),
-           | pred AS (SELECT qid, cid, 1 AS p FROM r WHERE rnk <= 3),
-           | truthp AS (
-           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-           |   floor(list_inner_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000 + 0.5)
-           |     / 1000000 AS cs
-           |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
-           | truth AS (
-           |  SELECT qid, cid, 1 AS t FROM (
-           |   SELECT qid, cid,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rnk
-           |   FROM truthp) WHERE rnk <= 3),
-           | uni AS (
-           |  SELECT coalesce(cp.c, 0) AS c, coalesce(cp.p, 0) AS p,
-           |   coalesce(t.t, 0) AS t
-           |  FROM (SELECT cand.qid, cand.cid, cand.c, pred.p
-           |        FROM cand LEFT JOIN pred
-           |        ON cand.qid = pred.qid AND cand.cid = pred.cid) cp
-           |  FULL OUTER JOIN truth t ON cp.qid = t.qid AND cp.cid = t.cid),
-           | s AS (
-           |  SELECT CAST(sum(c) AS BIGINT) AS n_cand,
-           |   CAST(sum(p) AS BIGINT) AS n_pred,
-           |   CAST(sum(t) AS BIGINT) AS n_truth,
-           |   CAST(sum(c * t) AS BIGINT) AS cand_tp,
-           |   CAST(sum(p * t) AS BIGINT) AS tp
-           |  FROM uni)
-           |SELECT n_cand, n_pred, n_truth, cand_tp, tp,
-           | CASE WHEN n_truth > 0 THEN
-           |  floor(CAST(cand_tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
-           | END AS cand_recall,
-           | CASE WHEN n_pred > 0 THEN
-           |  floor(CAST(tp AS DOUBLE) / n_pred * 1000000 + 0.5) / 1000000
-           | END AS prec,
-           | CASE WHEN n_truth > 0 THEN
-           |  floor(CAST(tp AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000
-           | END AS rec,
-           | CASE WHEN tp > 0 THEN
-           |  floor(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_truth)
-           |   / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_truth))
-           |   * 1000000 + 0.5) / 1000000
-           | END AS f1
-           |FROM s""".stripMargin
-    }, simAnnIvfPqEval),
+    QueryDef("sim_ann_ivfpq_eval",
+      Some(ivfpqOracleChain + ivfpqEvalSqlTail), simAnnIvfPqEval),
+
+    // the nprobe=3 production knob the eval row motivated: same
+    // quantizer stack, each query probes its 3 nearest coarse cells
+    QueryDef("sim_ann_ivfpq_nprobe",
+      Some(ivfpqOracleChainNprobe(3) +
+        "\nSELECT qid, rnk, cid, cs FROM r WHERE rnk <= 3" +
+        "\nORDER BY qid, rnk"), simAnnIvfPqNprobe),
+
+    QueryDef("sim_ann_ivfpq_nprobe_eval",
+      Some(ivfpqOracleChainNprobe(3) + ivfpqEvalSqlTail),
+      simAnnIvfPqNprobeEval),
 
 
     QueryDef("sim_pq_encode", Some {
