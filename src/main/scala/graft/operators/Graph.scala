@@ -117,27 +117,46 @@ object Graph {
     if (ckpt) e.localCheckpoint() else e
   }
 
+  private val graphRelBuildLock = new Object
+
   /** Write-once content-addressed parquet for shared graph relations
     * past the materialization threshold (round 17, VERDICT task 2) —
     * the lexicalIndex/trainedCentroids publish discipline: build into
-    * a pid-suffixed temp dir, rename to the digest-keyed location, the
-    * loser of a publish race deletes its temp. `df` is by-name so the
-    * (expensive) plan is never even constructed on a cache hit. */
+    * a pid+thread-suffixed temp dir, rename to the digest-keyed
+    * location, the loser of a publish race deletes its temp; same-JVM
+    * first-builds are serialized behind [[graphRelBuildLock]] so two
+    * threads can never interleave writes into one temp dir (the
+    * lexicalIndex race fix, round-17 ADVICE). `df` is by-name so the
+    * (expensive) plan is never even constructed on a cache hit.
+    *
+    * CACHE-KEY CONTRACT (round-18, ADVICE): `kind` MUST carry a logic
+    * version suffix ("tripairs_v1") bumped with ANY semantic change to
+    * the relation it names — the content address covers only the input
+    * file inventory, and the canonical-SF oracle gate never exercises
+    * this branch (it takes the localCheckpoint side), so a stale
+    * persisted relation after a code edit would go undetected. The
+    * trainedCentroids discipline (params in the filename), applied to
+    * code identity. */
   private def persistedOnce(spark: SparkSession, dir: String, kind: String)(
       df: => DataFrame): DataFrame = {
+    require(kind.matches(".*_v\\d+$"),
+      s"persistedOnce kind '$kind' must end in a logic-version tag (_vN)")
     val base = graft.Caches.dir(kind, dir, Seq("lineitem"))
     val done = new java.io.File(base)
-    if (!new java.io.File(done, "_SUCCESS").exists()) {
-      val tmp = new java.io.File(done.getParentFile,
-        done.getName + ".tmp" + ProcessHandle.current().pid())
-      df.write.mode("overwrite").parquet(tmp.toString)
-      if (!tmp.renameTo(done) && !new java.io.File(done, "_SUCCESS").exists())
-        sys.error(s"could not publish $kind to $done")
-      if (tmp.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    if (!new java.io.File(done, "_SUCCESS").exists()) graphRelBuildLock.synchronized {
+      if (!new java.io.File(done, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(done.getParentFile,
+          done.getName + ".tmp" + ProcessHandle.current().pid() +
+            "t" + Thread.currentThread().getId)
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (!tmp.renameTo(done) && !new java.io.File(done, "_SUCCESS").exists())
+          sys.error(s"could not publish $kind to $done")
+        if (tmp.isDirectory) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp)
         }
-        rm(tmp)
       }
     }
     spark.read.parquet(base)
@@ -303,7 +322,7 @@ object Graph {
     // distinct) is the expensive part of the whole query
     val pairs = mat(li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct(), "tripairs")
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct(), "tripairs_v1")
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -319,7 +338,7 @@ object Graph {
     val oriented = mat(withDeg.select(
       when(uLower, col("u")).otherwise(col("v")).as("src"),
       when(uLower, col("v")).otherwise(col("u")).as("dst"),
-      when(uLower, col("dv")).otherwise(col("du")).as("ddst")), "trioriented")
+      when(uLower, col("dv")).otherwise(col("du")).as("ddst")), "trioriented_v1")
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||

@@ -24,16 +24,25 @@ object StreamingOps {
     * driver-local `java.io.File` listing would silently resolve to
     * empty on a remote path — every vector would then be kept against
     * prior epochs, a silent correctness degradation rather than an
-    * error. Excludes the current epoch so a replayed batch never
-    * probes its own (about-to-be-overwritten) contribution. */
-  private def historyEpochs(spark: org.apache.spark.sql.SparkSession,
+    * error. Includes only epochs STRICTLY EARLIER than the current one
+    * (round-18, ADVICE): a restarted stream reprocessing epoch N while
+    * epoch N+1's index already exists must not probe FUTURE signatures
+    * — epoch N's output would then depend on data that had not arrived
+    * when N first ran, breaking replay determinism and the
+    * "emitted exactly when its later-arriving member lands" contract.
+    * Non-numeric epoch= dirs (foreign files) are ignored rather than
+    * probed. */
+  private[graft] def historyEpochs(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, epochId: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toIndexedSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
-        st.getPath.getName != s"epoch=$epochId")
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+          scala.util.Try(st.getPath.getName.stripPrefix("epoch=").toLong)
+            .toOption.exists(_ < epochId)
+      }
       .map(_.getPath.toString)
   }
 

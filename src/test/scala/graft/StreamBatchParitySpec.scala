@@ -853,4 +853,27 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream-only ${(streamed -- batch).take(3)}, " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  test("historyEpochs sees only strictly-earlier epochs and ignores foreign dirs") {
+    // Round-18 ADVICE: a restarted stream reprocessing epoch N while
+    // epoch N+1's index already exists must NOT probe future
+    // signatures — epoch N's output would depend on data that had not
+    // arrived when it first ran. The fix filters to numeric epoch ids
+    // strictly below the current one; non-numeric epoch= names
+    // (foreign files) are skipped rather than probed.
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_histep_${System.nanoTime()}")
+    Seq("epoch=0", "epoch=1", "epoch=2", "epoch=notanum", "unrelated")
+      .foreach(n => new java.io.File(root, n).mkdirs())
+    def names(epochId: Long): Set[String] =
+      StreamingOps.historyEpochs(spark, root.toString, epochId)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(names(1L) == Set("epoch=0"),
+      "replayed epoch 1 must see only epoch 0, not its own or future epochs")
+    assert(names(2L) == Set("epoch=0", "epoch=1"))
+    assert(names(0L) == Set.empty[String])
+    // normal forward operation unchanged: current epoch N+1 sees all
+    // previously-published epochs
+    assert(names(3L) == Set("epoch=0", "epoch=1", "epoch=2"))
+  }
 }

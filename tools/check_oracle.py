@@ -150,6 +150,12 @@ for name, sql in sorted(oracle.items()):
             try:
                 return float(e.get("sf", "sf0")[2:])
             except (ValueError, AttributeError):
+                # Visible, not silent (r17 ADVICE): a malformed sf
+                # (e.g. a staged-drill dir "sf0.1_staged") ranks lowest
+                # and can never win KEEP protection — safe direction,
+                # but the operator should know the field is malformed.
+                print(f"WARN {name}: unparseable sf {e.get('sf')!r} "
+                      f"in gate record, treating as 0.0")
                 return 0.0
         if (old and _sfv(old) > _sfv(entry)
                 and old.get("oracle_sha256") == entry["oracle_sha256"]
