@@ -1091,24 +1091,66 @@ object Similarity {
     * shape (broadcast k×16 centroids + combinable (cid, dim) aggs). */
   private def simPqTrain(spark: SparkSession, dir: String): DataFrame = {
     val v0 = kmeansVecs(spark, dir)
-    val subs = (0 until 4).map { j =>
-      val vs = v0.select(col("vec_id"), slice(col("e"), j * 16 + 1, 16).as("e"))
-      val c0 = vs.orderBy(col("vec_id")).limit(4)
-        .withColumn("cid",
-          (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-        .select(col("cid"), col("e").as("c"))
-      val a3 = kmeansAssign(vs,
-        kmeansUpdate(kmeansAssign(vs, kmeansUpdate(kmeansAssign(vs, c0)))))
-      a3.groupBy(col("cid")).agg(
-          count(lit(1)).cast("long").as("n"),
-          sum(floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long"))
-            .as("iq"),
-          max(col("cc")).as("cc"))
-        .select(lit(j.toLong).as("sub"), col("cid"), col("n"),
-          (col("iq").cast("double") / lit(1000000.0)).as("inertia"),
-          Parity.r6(sqrt(col("cc"))).as("cnorm"))
-    }
-    subs.reduce(_ unionByName _).orderBy(col("sub"), col("cid"))
+    // ONE subspace-KEYED Lloyd pipeline instead of 4 structurally
+    // identical per-subspace pipelines unioned at the end (round 18,
+    // the sim_pq_train adjudication): the unrolled 4× shape carried
+    // ~150 whole-stage-codegen units — past Spark's 100-entry codegen
+    // class cache — so EVERY execution recompiled ~4 s of Janino even
+    // "warm" (measured via CodegenMetrics in BenchFocus; the bench's
+    // four-round 3.1 → 13.7 s climb was this thrash compounding with
+    // session codegen pressure). Keying every stage by `sub` runs the
+    // same arithmetic over 4n 16-dim rows in ~40 codegen units and a
+    // quarter of the shuffle stages — the same total bytes through
+    // fewer, wider stages, which is also the better cluster posture
+    // (fewer scheduler waves, one shuffle per Lloyd step instead of
+    // four). Per-row float work is unchanged (same dot expansions,
+    // same window comparisons, exact-int centroid updates), so the
+    // output is BIT-IDENTICAL and the DuckDB oracle is untouched.
+    val vs = v0.select(col("vec_id"), explode(array((0 until 4).map(j =>
+        struct(lit(j.toLong).as("sub"),
+          slice(col("e"), j * 16 + 1, 16).as("e"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.e").as("e"))
+    // init: per subspace, the 4 lowest vec_ids (same rule as before —
+    // every vector contributes every subspace, so the id set matches)
+    val c0 = vs.withColumn("rn",
+        row_number().over(Window.partitionBy(col("sub")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= 4)
+      .select(col("sub"), (col("rn") - 1).cast("long").as("cid"),
+        col("e").as("c"))
+    def assign(v: DataFrame, cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("sub"))
+        .withColumn("cc", dotLambda(col("c"), col("c")))
+        .withColumn("dist",
+          dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
+            + col("cc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("sub"), col("vec_id"))
+            .orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("sub"), col("vec_id"), col("e"), col("cid"),
+          col("dist"), col("cc"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("sub"), col("cid"), posexplode(transform(col("e"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as(Seq("i", "xq")))
+        .groupBy(col("sub"), col("cid"), col("i"))
+        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("ci", col("sq").cast("double") /
+          (col("cnt") * lit(1000000L)).cast("double"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("ci")))),
+          s => s.getField("ci")).as("c"))
+    val a3 = assign(vs, update(assign(vs, update(assign(vs, c0)))))
+    a3.groupBy(col("sub"), col("cid")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("iq"),
+        max(col("cc")).as("cc"))
+      .select(col("sub"), col("cid"), col("n"),
+        (col("iq").cast("double") / lit(1000000.0)).as("inertia"),
+        Parity.r6(sqrt(col("cc"))).as("cnorm"))
+      .orderBy(col("sub"), col("cid"))
   }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
