@@ -280,49 +280,62 @@ object Graph {
     * cartesian. Per-node counts credit each triangle to its 3 corners
     * via a 3-way union + hash-agg. Everything is exact integer work +
     * one rounded division ⇒ oracle-checked. */
-  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // PLAN-CONDITIONAL materialization (round 16, after two diagnosed
-    // sf100 failures): localCheckpoint stores row-oriented blocks
-    // ON-HEAP first — at sf100 the ~200 M-pair projection + oriented
-    // list filled the old-gen until a full-GC pause exceeded the 120 s
-    // heartbeat timeout, HeartbeatReceiver removed the (local-mode!)
-    // executor, and the context shut itself down — the same disease as
-    // the r14 edge-checkpoint ENOSPC wearing a GC mask. Same branch
-    // rule as [[edgesMaterialized]]/shingleTok: materialize below the
-    // threshold (every gate/canonical SF ⇒ fingerprints unaffected),
-    // re-derive from the columnar scans above it and let exchange
-    // reuse de-duplicate the shared subtrees — the cluster-honest
-    // posture where these would be persisted tables.
-    // Round 17 (r16 VERDICT task 2): past the threshold the shared
-    // relations are no longer just re-derived (that shape ENOSPC'd at
-    // sf100 — re-deriving the projection lineage materialized more
-    // CONCURRENT shuffle stages than the box's scratch holds) but
-    // PERSISTED as write-once content-addressed parquet — the
-    // lexicalIndex/trainedCentroids discipline applied to graph state.
-    // Disk-backed columnar blocks replace the on-heap row block store
-    // (the GC bomb) AND cap the lineage each consumer re-runs at one
-    // parquet scan. On a cluster these ARE the persisted co-purchase /
-    // oriented-edge tables a graph pipeline keeps beside the facts.
-    // honors the same SPARK_GRAFT_GRAPH_CKPT pin as edgesMaterialized
-    // so decade ladders can run one branch at both points
-    def mat(df: => DataFrame, kind: String): DataFrame = {
-      val ckpt = sys.env.get("SPARK_GRAFT_GRAPH_CKPT") match {
-        case Some("on")  => true
-        case Some("off") => false
-        case _           => graft.GraftSession.dirBytes(dir) < (4L << 30)
-      }
-      if (ckpt) df.localCheckpoint() else persistedOnce(spark, dir, kind)(df)
+  /** PLAN-CONDITIONAL materialization for shared graph relations
+    * (round 16, after two diagnosed sf100 failures): localCheckpoint
+    * stores row-oriented blocks ON-HEAP first — at sf100 the
+    * ~200 M-pair projection + oriented list filled the old-gen until
+    * a full-GC pause exceeded the 120 s heartbeat timeout,
+    * HeartbeatReceiver removed the (local-mode!) executor, and the
+    * context shut itself down — the same disease as the r14
+    * edge-checkpoint ENOSPC wearing a GC mask. Same branch rule as
+    * [[edgesMaterialized]]/shingleTok: materialize below the
+    * threshold (every gate/canonical SF ⇒ fingerprints unaffected).
+    * Round 17 (r16 VERDICT task 2): past the threshold the shared
+    * relations are no longer just re-derived (that shape ENOSPC'd at
+    * sf100 — re-deriving the projection lineage materialized more
+    * CONCURRENT shuffle stages than the box's scratch holds) but
+    * PERSISTED as write-once content-addressed parquet
+    * ([[persistedOnce]]) — the lexicalIndex/trainedCentroids
+    * discipline applied to graph state. Disk-backed columnar blocks
+    * replace the on-heap row block store (the GC bomb) AND cap the
+    * lineage each consumer re-runs at one parquet scan. On a cluster
+    * these ARE the persisted co-purchase / oriented-edge tables a
+    * graph pipeline keeps beside the facts. Honors the same
+    * SPARK_GRAFT_GRAPH_CKPT pin as edgesMaterialized so decade
+    * ladders can run one branch at both points. Shared by
+    * [[graphTriangles]] and [[graphKcore]] (round 18). */
+  private def matGraphRel(spark: SparkSession, dir: String, kind: String)(
+      df: => DataFrame): DataFrame = {
+    val ckpt = sys.env.get("SPARK_GRAFT_GRAPH_CKPT") match {
+      case Some("on")  => true
+      case Some("off") => false
+      case _           => graft.GraftSession.dirBytes(dir) < (4L << 30)
     }
+    if (ckpt) df.localCheckpoint() else persistedOnce(spark, dir, kind)(df)
+  }
+
+  /** The deterministically order-SAMPLED part co-purchase projection
+    * (u < v part pairs sharing an order, 1/4 of orders kept by md5) —
+    * the one-mode market-basket graph both [[graphTriangles]] and
+    * [[graphKcore]] decompose; materialized once per source content
+    * through [[matGraphRel]] (degree counting, orientation AND the
+    * peel all consume it, and its lineage — sampled scan → self-join
+    * → distinct — is the expensive part of every consumer). */
+  private def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .filter(conv(substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))),
         1, 8), 16, 10).cast("long") % 4 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // materialize the projection once: degree counting AND orientation
-    // both consume it, and its lineage (sampled scan → self-join →
-    // distinct) is the expensive part of the whole query
-    val pairs = mat(li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct(), "tripairs_v1")
+    matGraphRel(spark, dir, "tripairs_v1")(
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
+  }
+
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    def mat(df: => DataFrame, kind: String): DataFrame =
+      matGraphRel(spark, dir, kind)(df)
+    val pairs = copurchasePairs(spark, dir)
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -356,6 +369,49 @@ object Graph {
         Parity.r6(lit(2.0) * col("triangles")
           / (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
       .orderBy(col("triangles").desc, col("part")).limit(20)
+  }
+
+  /** k-CORE peel (k = 2, 3 unrolled rounds) over the same sampled
+    * co-purchase projection as [[graphTriangles]] — the standard
+    * degeneracy prune a graph pipeline runs BEFORE triangle-heavy
+    * work at scale (a node outside the 2-core is in no triangle at
+    * all), reusing the shared materialized projection
+    * ([[copurchasePairs]]). Bounded-iteration semantics, the
+    * pagerank/communities precedent: each round recounts degrees in
+    * the subgraph induced by the previous round's survivors and drops
+    * nodes below k, so round r's survivors over-approximate the true
+    * k-core from above and the DuckDB oracle unrolls the identical
+    * rounds as CTEs (no fixpoint, no recursion — peeling is a
+    * whole-relation recomputation per round, which recursive CTE
+    * bag-union semantics cannot express).
+    *
+    * Scale: per round, two keyed equi-joins of the O(|E|) adjacency
+    * against the O(|V|) survivor set (hash-build the survivor side —
+    * the pagerank shuffle_hash rationale) + one map-side-combinable
+    * degree hash-agg; survivor state is one (node, deg) row per live
+    * node, monotonically shrinking. No windows, no driver state. At
+    * 100 TB the peel is R passes over a bucketed edge table — the
+    * posture every distributed k-core implementation takes. */
+  private def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(spark, dir)
+    val adj = pairs.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(pairs.select(col("v").as("a"), col("u").as("b")))
+    // round 1's induced subgraph is the full graph, so the first
+    // restriction joins are the identity — start from the plain
+    // degree count + threshold, and unroll the general round twice
+    var live = adj.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    for (_ <- 1 to 2) {
+      live = adj
+        .join(live.select(col("node").as("a")).hint("shuffle_hash"), "a")
+        .join(live.select(col("node").as("b")).hint("shuffle_hash"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+    }
+    live.select(col("node").cast("long").as("part"), col("deg").as("coredeg"))
+      .orderBy(col("coredeg").desc, col("part")).limit(50)
   }
 
   /** Community detection via synchronous label propagation, 2 fixed
@@ -585,6 +641,34 @@ object Graph {
         |FROM per_node p JOIN deg d ON d.node = p.node
         |ORDER BY p.triangles DESC, part LIMIT 20""".stripMargin),
       graphTriangles),
+
+    QueryDef("graph_kcore", Some(
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE CAST(('0x' || substr(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 4 = 0),
+        | pairs AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        | adj AS (
+        |  SELECT u AS a, v AS b FROM pairs
+        |  UNION ALL SELECT v AS a, u AS b FROM pairs),
+        | l1 AS (
+        |  SELECT a AS node, count(*) AS deg FROM adj
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        | l2 AS (
+        |  SELECT adj.a AS node, count(*) AS deg FROM adj
+        |   JOIN l1 x ON x.node = adj.a
+        |   JOIN l1 y ON y.node = adj.b
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        | l3 AS (
+        |  SELECT adj.a AS node, count(*) AS deg FROM adj
+        |   JOIN l2 x ON x.node = adj.a
+        |   JOIN l2 y ON y.node = adj.b
+        |  GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT CAST(node AS BIGINT) AS part, deg AS coredeg
+        |FROM l3 ORDER BY coredeg DESC, part LIMIT 50""".stripMargin),
+      graphKcore),
 
     QueryDef("graph_communities", Some(
       edgesCte +

@@ -281,7 +281,7 @@ object OracleFuzz {
     // these modes force them for every row.
     // A mode whose structural guard fails falls through to
     // agg/sort-limit, exactly like modes 17-19 always have.
-    val mode = r.nextInt(37)
+    val mode = r.nextInt(38)
     val isAgg = mode < 12
 
     if (mode == 17 && chain.tables.size == 1) {
@@ -655,7 +655,7 @@ object OracleFuzz {
       })
     }
 
-    if (mode >= 29 && mode <= 36) {
+    if (mode >= 29 && mode <= 37) {
       // EVENT-TIME productions over the events table (self-contained:
       // chain/preds above are ignored — they reference chain tables).
       // All boundary arithmetic is exact integer MICROSECONDS on both
@@ -997,6 +997,90 @@ object OracleFuzz {
             .withColumn("window_start",
               date_format(col("wd.start"), "yyyy-MM-dd HH:mm:ss"))
             .select(col("window_start"), col("cnt"), col("cents"))
+        })
+      }
+
+      if (mode == 37) {
+        // WINDOWED AGG OVER A TWO-STREAM JOIN WITH GROUPING FLAGS
+        // (round 18, r17 VERDICT task 6): mode 36's event-time join
+        // composed with the mode-22/23 rollup/cube production, with
+        // the µs-aligned WINDOW KEY as the first grouping dim and a
+        // user-bucket as the second — the r12 empty-input dialect
+        // rule (over empty input DuckDB emits the SQL-standard
+        // grand-total () row, Spark emits nothing; HAVING
+        // count(*) > 0 pins Spark semantics) had never met
+        // epoch-aligned window starts or the as-of variant's
+        // NULL-value tier (super-aggregate rows summing cents over a
+        // mix of matched and unmatched-NULL rows). window_start and
+        // ub are never NULL from the data side, so every NULL in a
+        // grouping column is a super-row marker and the GROUPING
+        // flags disambiguate exactly as in the static production.
+        val types = r.shuffle(Seq("click", "error", "purchase", "signup", "view"))
+        val (tA, tB) = (types(0), types(1))
+        val band = Seq(60, 300, 900, 3600, 7201)(r.nextInt(5))
+        val w = Seq(60, 300, 900, 3600, 7200)(r.nextInt(5))
+        val asof = r.nextBoolean()
+        val um = 2 + r.nextInt(4)
+        val (opName, sqlOp) =
+          if (r.nextBoolean()) ("rollup", "ROLLUP") else ("cube", "CUBE")
+        val wsSql = s"lts - to_microseconds(CAST(epoch_us(lts) % ${w}000000 AS BIGINT))"
+        val lSel = s"SELECT event_id AS l_id, user_id, ts AS lts FROM events" +
+          s"$evWhere${if (evWhere.isEmpty) " WHERE" else " AND"} event_type = '$tA'"
+        val rSel = s"SELECT event_id AS r_id, user_id AS r_user, ts AS rts, value" +
+          s" FROM events$evWhere${if (evWhere.isEmpty) " WHERE" else " AND"}" +
+          s" event_type = '$tB'"
+        val bandCond = s"epoch_us(l.lts) - epoch_us(r.rts)" +
+          s" BETWEEN 0 AND CAST($band AS BIGINT) * 1000000"
+        val joinSql =
+          if (asof)
+            s"""SELECT user_id, lts, value FROM (
+               |  SELECT l.user_id, l.lts, r.value,
+               |   row_number() OVER (PARTITION BY l.l_id
+               |     ORDER BY r.rts DESC, r.r_id DESC) AS rn
+               |  FROM ($lSel) l LEFT JOIN ($rSel) r
+               |   ON l.user_id = r.r_user AND $bandCond) WHERE rn = 1""".stripMargin
+          else
+            s"""SELECT l.user_id, l.lts, r.value FROM ($lSel) l JOIN ($rSel) r
+               | ON l.user_id = r.r_user AND $bandCond""".stripMargin
+        val sql =
+          s"""SELECT window_start, ub,
+             | CAST(GROUPING(window_start) AS BIGINT) AS gf0,
+             | CAST(GROUPING(ub) AS BIGINT) AS gf1,
+             | ${cnt.sql}, ${cents.sql}
+             |FROM (SELECT strftime($wsSql, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  CAST(user_id % $um AS BIGINT) AS ub, value FROM ($joinSql))
+             |GROUP BY $sqlOp(window_start, ub) HAVING count(*) > 0""".stripMargin
+        return FuzzQuery(name, sql, (spark, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val ev = evDf(spark, dir)
+          val l = ev.filter(col("event_type") === tA)
+            .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("lts"))
+          val rr = ev.filter(col("event_type") === tB)
+            .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+              col("ts").as("rts"), col("value"))
+          val cond = col("user_id") === col("r_user") &&
+            (unix_micros(col("lts")) - unix_micros(col("rts"))).between(
+              0L, band.toLong * 1000000L)
+          val joined =
+            if (asof) {
+              val wA = Window.partitionBy(col("l_id"))
+                .orderBy(col("rts").desc, col("r_id").desc)
+              l.join(rr, cond, "left")
+                .withColumn("rn", row_number().over(wA))
+                .filter(col("rn") === 1)
+            } else l.join(rr, cond)
+          val flat = joined
+            .select(
+              date_format(window(col("lts"), s"$w seconds").getField("start"),
+                "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              (col("user_id") % um).cast("long").as("ub"), col("value"))
+          val base = if (opName == "rollup")
+            flat.rollup(col("window_start"), col("ub"))
+          else flat.cube(col("window_start"), col("ub"))
+          base.agg(
+            grouping(col("window_start")).cast("long").as("gf0"),
+            grouping(col("ub")).cast("long").as("gf1"),
+            cnt.spark, cents.spark)
         })
       }
 
