@@ -517,7 +517,13 @@ class PlanAssertionSpec extends AnyFunSuite {
     * BIGINTs. */
   private def assertLloydShape(q: String): Unit = {
     val p = plan(q)
-    assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+    // Two legal broadcast forms for the centroid relation:
+    // IdentityBroadcastMode (the crossJoin fanout — cluster_kmeans)
+    // or a HashedRelation build for the subspace-KEYED join
+    // (sim_pq_train since round 18, when its four unrolled pipelines
+    // fused into one keyed by `sub` — the BroadcastHashJoin on sub is
+    // the same bounded k×16 broadcast, through an equi-join).
+    assert(p.contains("BroadcastExchange"),
       s"$q: centroid relation must broadcast")
     assert(!p.contains("CartesianProduct"), s"$q: no cartesian product")
     assert(p.contains("partial_sum(xq"),
