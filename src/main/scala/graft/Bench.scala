@@ -90,11 +90,29 @@ object Bench {
     val shuffleParts =
       GraftSession.shufflePartitions(cpus.toInt, GraftSession.dirBytes(sfDir))
     val advisoryMb = 128
+    // Whole-stage-codegen class-cache capacity (round 18, measured via
+    // BenchFocus/CodegenMetrics): the default is 100 entries while
+    // several registered pipelines alone compile ~100+ units
+    // (dedup_semantic_coarse 126 pre-rewrite, sim_pq_train 153 before
+    // its r18 fusing) — a query bigger than the cache EVICTS ITS OWN
+    // generated classes mid-run and re-pays Janino on every execution
+    // ("warm" structurally impossible; dedup_clusters re-compiled 66
+    // units per warm run, dedup_semantic_coarse 87). 2000 entries holds
+    // the working set of adjacent queries in the 313-query session for
+    // tens of MB of driver memory. NOT a local-mode tune: the compile
+    // cache lives on the driver at any cluster size and the workload
+    // (number of distinct plan shapes) is scale-independent.
+    // Measured (BenchFocus, warm-min, 100 → 2000 entries):
+    // dedup_clusters 2.72 → 2.22 s (+66 → 0 recompiles/run),
+    // dedup_semantic_coarse 4.23 → 2.46, dedup_apply 3.53 → 2.16,
+    // stats_mad_outliers 2.08 → 1.81.
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (advisoryMb * 1024L * 1024).toString)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.applyOptimizations(spark)
@@ -247,7 +265,7 @@ object Bench {
          |  "canary_s": ${fmt(canaryS)},
          |  "canary_cold_s": ${fmt(canaryColdS)},
          |  "canary_end_s": ${fmt(canaryEndS)},
-         |  "config": {"cpus": $cpus, "shuffle_partitions": $shuffleParts, "advisory_mb": $advisoryMb},
+         |  "config": {"cpus": $cpus, "shuffle_partitions": $shuffleParts, "advisory_mb": $advisoryMb, "codegen_cache": $codegenCache},
          |  "warmup_s": ${fmt(warmupS)},
          |  "n_queries": ${timed.size},
          |  "failed": $failedJson,

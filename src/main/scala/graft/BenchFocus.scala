@@ -31,6 +31,13 @@ object BenchFocus {
         GraftSession.shufflePartitions(cpus, GraftSession.dirBytes(sfDir)).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128L * 1024 * 1024).toString)
+      // Whole-stage-codegen class-cache capacity (STATIC conf, Spark
+      // default 100). Default matches Bench's round-18 setting so focus
+      // numbers stay comparable; override to 100 to reproduce the
+      // capacity-thrash diagnosis (recompiles → 0 with a big cache =
+      // capacity; unchanged = sources genuinely differ per run).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.applyOptimizations(spark)

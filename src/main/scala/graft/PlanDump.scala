@@ -10,7 +10,11 @@ package graft
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val finalMode = args.contains("-final")
-    val rest = args.filterNot(_ == "-final")
+    // -formatted: explain("formatted") output (numbered operators +
+    // per-operator details incl. PushedFilters/ReadSchema) — the form
+    // the round-18 optimization artifacts (plans/r18/*.txt) commit.
+    val fmtMode = args.contains("-formatted")
+    val rest = args.filterNot(a => a == "-final" || a == "-formatted")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -23,7 +27,10 @@ object PlanDump {
       // .foreach wraps a fresh QueryExecution, and the clone — not df —
       // would carry the finalized plan)
       if (finalMode) df.queryExecution.executedPlan.execute().foreach(_ => ())
-      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      val mode =
+        if (fmtMode) org.apache.spark.sql.execution.FormattedMode
+        else org.apache.spark.sql.execution.SimpleMode
+      println(df.queryExecution.explainString(mode))
     }
     spark.stop()
   }

