@@ -251,8 +251,8 @@ object TDigestBuffer {
 
 object TDigestAgg {
   /** Register `tdigest_quantile(x, delta, q)`, `tdigest_sketch(x,
-    * delta)` and `tdigest_merge_quantile(sketch, delta, q)`
-    * (idempotent). */
+    * delta)`, `tdigest_merge_quantile(sketch, delta, q)` and the
+    * scalar `tdigest_quantile_of(sketch, delta, q)` (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_quantile",
@@ -266,7 +266,62 @@ object TDigestAgg {
       "tdigest_merge_quantile",
       exprs => TDigestMergeAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tdigest_quantile_of",
+      exprs => TDigestQuantileOf(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
+}
+
+/** SCALAR quantile extraction from a stored [[TDigestSketchAgg]]
+  * binary: `tdigest_quantile_of(sketch, delta, q)`. Round 18
+  * (optimization): N quantiles of one population previously ran N
+  * independent `tdigest_quantile` aggregates — N identical digest
+  * builds over the same rows (every buffer sees the same insertion
+  * sequence, so the N final states are copies). Build ONE
+  * `tdigest_sketch` and extract each quantile from the serialized
+  * digest instead: the result is bit-identical because serialization
+  * round-trips doubles/longs exactly and `quantile()` on a
+  * compressed, sorted, pending-free buffer does not re-compress. */
+case class TDigestQuantileOf(
+    child: Expression,
+    deltaExpr: Expression,
+    qExpr: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def toD(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  private lazy val delta: Double = toD(deltaExpr.eval(InternalRow.empty))
+  private lazy val q: Double = toD(qExpr.eval(InternalRow.empty))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a tdigest_sketch binary column")
+    else if (!deltaExpr.foldable || !qExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires literal delta and q")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child, deltaExpr, qExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "tdigest_quantile_of"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val buf = TDigestBuffer.fromBytes(v.asInstanceOf[Array[Byte]], delta)
+      if (buf.isEmpty) null else buf.quantile(q)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestQuantileOf =
+    copy(child = newChildren(0), deltaExpr = newChildren(1), qExpr = newChildren(2))
 }
 
 /** `tdigest_sketch(x, delta)` — the PERSISTABLE half of the two-phase

@@ -185,12 +185,18 @@ object Statistics {
     * repartitionings. */
   private def aggTdigestPercentile(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TDigestAgg.register(spark)
+    // ONE digest per group, three scalar extractions (round 18): the
+    // previous three independent tdigest_quantile aggregates each
+    // built an identical digest over the same rows — 3× the sketch
+    // CPU and 3× the shuffled partial-digest bytes for copies of one
+    // state. Bit-identical output (see TDigestQuantileOf scaladoc).
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("tdigest_quantile(l_extendedprice, 200, 0.5)").as("p50_td"),
-        expr("tdigest_quantile(l_extendedprice, 200, 0.95)").as("p95_td"),
-        expr("tdigest_quantile(l_extendedprice, 200, 0.99)").as("p99_td"))
+      .agg(expr("tdigest_sketch(l_extendedprice, 200)").as("sk"))
+      .select(col("l_returnflag"),
+        expr("tdigest_quantile_of(sk, 200, 0.5)").as("p50_td"),
+        expr("tdigest_quantile_of(sk, 200, 0.95)").as("p95_td"),
+        expr("tdigest_quantile_of(sk, 200, 0.99)").as("p99_td"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -2113,7 +2113,6 @@ object TextOps {
     * pattern as the n-gram inverted index), so no bucket exceeds
     * 50 docs regardless of corpus size. */
   private def textWinnowingMatches(spark: SparkSession, dir: String): DataFrame = {
-    val maxDf = 50
     // materialize the fingerprint index once — it feeds four plan
     // branches (df-cap, both join sides, per-doc sizes), and without
     // the checkpoint each would re-run the explode + window selection
@@ -2122,6 +2121,15 @@ object TextOps {
     val fp = winnowSelections(spark, dir)
       .select(col("doc_id"), col("wmin")).distinct()
       .localCheckpoint()
+    winnowMatchesFrom(fp)
+  }
+
+  /** The MOSS candidate join over a materialized (doc_id, wmin)
+    * fingerprint index — factored out (round 18) so
+    * [[textWinnowingVerified]] can feed it from the SAME winnowing
+    * pass its verify stage uses instead of deriving the index twice. */
+  private def winnowMatchesFrom(fp: DataFrame): DataFrame = {
+    val maxDf = 50
     val df = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
     val kept = fp.join(df.filter(col("df") <= maxDf), "wmin")
       .select(col("doc_id"), col("wmin"))
@@ -2150,14 +2158,30 @@ object TextOps {
     * broadcast), never the corpus: the exact-overlap join touches
     * only rows of the ≤ 200 docs named in candidates. */
   private def textWinnowingVerified(spark: SparkSession, dir: String): DataFrame = {
-    val cand = textWinnowingMatches(spark, dir)
+    // ONE winnowing pass (round 18): the candidate stage and the
+    // verify stage both consume winnowSelections — previously the
+    // candidate side materialized its (doc_id, wmin) index inside
+    // textWinnowingMatches while the verify side re-ran the whole
+    // explode + window selection over the corpus for its (doc_id, h)
+    // k-gram sets. Materialize the selection ONCE with both columns
+    // and derive each side from it: same rows to both stages
+    // (bit-identical output), one corpus pass instead of two — at lake
+    // scale this is the single winnowing index you persist.
+    val sel = winnowSelections(spark, dir)
+      .select(col("doc_id"), col("h"), col("wmin"))
+      .localCheckpoint()
+    val fp = sel.select(col("doc_id"), col("wmin")).distinct()
+      .localCheckpoint()
+    val cand = winnowMatchesFrom(fp)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
       .localCheckpoint()
-    val grams = winnowSelections(spark, dir)
-      .select(col("doc_id"), col("h")).distinct()
+    val grams = sel.select(col("doc_id"), col("h")).distinct()
     val docIds = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val g = grams.join(broadcast(docIds), "doc_id")
+    // ≤200 candidate docs' gram sets, consumed by three plan branches
+    // (sizes + both intersection legs) — materialize instead of
+    // re-running the distinct over `sel` three times
+    val g = grams.join(broadcast(docIds), "doc_id").localCheckpoint()
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
     val inter = broadcast(cand)
       .join(g.as("ga"), col("ga.doc_id") === col("doc_a"))

@@ -868,6 +868,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("tdigest scalar extraction equals the single-phase aggregate exactly") {
+    // Round 18: agg_tdigest_percentile builds ONE sketch per group and
+    // extracts three quantiles (tdigest_quantile_of) instead of running
+    // three identical digest builds. The two forms must agree on the
+    // EXACT double, not a tolerance: same insertion/merge sequence →
+    // same buffer; serialization round-trips exactly; quantile() on a
+    // compressed pending-free buffer does not re-compress.
+    graft.functions.TDigestAgg.register(spark)
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    src.createOrReplaceTempView("td_eq_src")
+    val rows = spark.sql(
+      """SELECT l_returnflag,
+        |  tdigest_quantile(l_extendedprice, 200, 0.5) AS a50,
+        |  tdigest_quantile(l_extendedprice, 200, 0.99) AS a99,
+        |  tdigest_quantile_of(tdigest_sketch(l_extendedprice, 200), 200, 0.5) AS b50,
+        |  tdigest_quantile_of(tdigest_sketch(l_extendedprice, 200), 200, 0.99) AS b99
+        |FROM td_eq_src GROUP BY l_returnflag""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3) && r.getDouble(2) == r.getDouble(4),
+        s"${r.getString(0)}: scalar extraction diverged from single-phase: $r")
+    }
+  }
+
   test("pagerank: ranks positive, top-50 mass below 1, supplier hubs outrank parts") {
     val pr = q("graph_pagerank").collect()
     assert(pr.length == 50)
