@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
 object Multimodal {
   import Tables._
 
+  // ImageIO defaults to DISK-backed stream caches: every
+  // encode/decode of an in-memory byte array creates and deletes a
+  // temp file (FileCacheImage{Input,Output}Stream). With 32 tasks ×
+  // thousands of tiles per bench run that tmpfs churn made the decode
+  // tier bimodal (mm_phash_pairs warm runs measured 5.0 s vs 1.7 s
+  // within one BenchFocus session, round 18). All payloads here are
+  // already in memory, so the memory-cache mode is strictly better —
+  // decoded bytes are identical. The object initializer runs in every
+  // JVM that deserializes a closure referencing these helpers, so
+  // executors get it too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed input/output rows for the stub decoder. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
