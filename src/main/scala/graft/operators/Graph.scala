@@ -66,28 +66,43 @@ object Graph {
       shiftright(c, 1).cast("string"))
 
   /** FIXED-WIDTH encoding of [[nodeStr]]'s LEXICOGRAPHIC order, for
-    * aggregation buffers: (side, digits·10^(18−len), len) compares
-    * exactly like the node string — 'p' < 's' is the parity; decimal
-    * strings without leading zeros compare lexicographically as
-    * left-aligned magnitudes ("10" < "2" ⇔ 1.0e17 < 2.0e17), with the
-    * shorter string winning pure-prefix ties ("2" < "20", equal
-    * magnitudes, len breaks). Proof sketch: for la<lb, split
-    * vb = prefix·10^(lb−la) + rest (rest < 10^(lb−la)); scaling both
-    * by their 10^(18−len) aligns va against prefix, and the rest term
-    * is strictly smaller than one unit of the prefix's scale, so the
-    * comparison reduces to va vs prefix, which IS the lexicographic
-    * rule; va == prefix means pure-prefix ⇒ len decides. All longs —
-    * 10^k is exact in a double for k ≤ 18, ids stay < 9.3e17 — so a
-    * min_by over this struct keeps a FIXED-WIDTH buffer and plans
-    * HashAggregate, where ordering on the string itself would
-    * silently plan SortAggregate and externally sort the whole
-    * stream (the round-13 min(STRING) scale killer). */
-  private def nodeOrd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * aggregation buffers, packed into ONE DECIMAL(38,0):
+    * code = side·10²⁰ + mag·100 + len with mag = digits·10^(18−len).
+    *
+    * Order proof, component by component: 'p' < 's' is the parity
+    * (side); decimal strings without leading zeros compare
+    * lexicographically as left-aligned magnitudes ("10" < "2" ⇔
+    * 1.0e17 < 2.0e17), with the shorter string winning pure-prefix
+    * ties ("2" < "20" — equal magnitudes, len breaks); for la<lb,
+    * split vb = prefix·10^(lb−la) + rest (rest < 10^(lb−la)):
+    * scaling both by their 10^(18−len) aligns va against prefix and
+    * the rest term is strictly below one unit of the prefix's scale,
+    * so the comparison reduces to va vs prefix — the lexicographic
+    * rule. Packing proof: mag < 10¹⁸ ⇒ mag·100 + len < 10²⁰, so the
+    * side term separates; within a side, len ≤ 18 < 100 = one mag
+    * unit, so (mag, len) compare lexicographically. 10^k is exact in
+    * a double for k ≤ 18, ids stay < 9.3e17, and the decimal
+    * arithmetic is exact — the code is a bijective order-embedding.
+    *
+    * WHY one decimal and not the r15 struct (round 18, the PlanAudit
+    * catch): Spark's hash aggregate requires every aggregation-buffer
+    * field to be an UnsafeRow-MUTABLE type. A struct is not — so the
+    * r15 `min_by(…, struct(side, mag, len))` silently planned
+    * SortAggregate on BOTH rounds of graph_communities: an external
+    * sort of the full (node, label) stream per round, the exact r13
+    * min-over-STRING scale killer the encoding was built to avoid
+    * (~26 GB of sort spill per iteration at sf100). DecimalType IS
+    * UnsafeRow-mutable at every precision (the agg_decimal_sum /
+    * dedup_clusters Σ-probe precedent), so the packed form restores
+    * the map-side-combinable HashAggregate the r15 comment promised.
+    * Same winner ⇒ oracle untouched. */
+  private def nodeOrdDec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val k = shiftright(c, 1)
     val len = length(k.cast("string"))
-    struct((c % 2).as("side"),
-      (k * pow(lit(10.0), lit(18) - len).cast("long")).as("mag"),
-      len.as("len"))
+    val mag = k * pow(lit(10.0), lit(18) - len).cast("long")
+    (c % 2).cast(dec) * lit(new java.math.BigDecimal(10).pow(20)) +
+      mag.cast(dec) * lit(100L).cast(dec) + len.cast(dec)
   }
 
   /** The shared edge relation, materialized for multi-consumer
@@ -439,21 +454,24 @@ object Graph {
     // per (mapper, node). The oracle still unrolls the generic mode
     // CTE for both rounds — identical result by the identity above.
     var labels = edges.groupBy(col("dst").as("node"))
-      .agg(min_by(col("src"), nodeOrd(col("src"))).as("lbl"))
+      .agg(min_by(col("src"), nodeOrdDec(col("src"))).as("lbl"))
     // Round 2, the general form (1 general round here; bump the range
     // to add more — only round 1 admits the identity above):
     for (_ <- 1 to 1) {
       // The per-node mode is an ARGMAX, not a ranking: min_by over
-      // (−count, label-order) replaces the round-14 row_number window
-      // — a map-side-combinable HashAggregate with O(1) state per
-      // node, where the window form externally sorted the entire
-      // (node, label, count) stream per iteration (~26 GB of sort
-      // spill per iteration at sf100 — the communities ENOSPC).
+      // (−count, label-order) replaces the round-14 row_number window.
       // Labels propagate as ids, but the tie-break is still defined
       // on the node STRINGS (lexicographically smallest, what the
-      // oracle computes): nodeOrd encodes exactly that order in
-      // fixed-width longs, so the buffer stays HashAggregate-legal
-      // (the min(STRING) SortAggregate trap, round 13).
+      // oracle computes). Round 18: the ordering packs into ONE
+      // DECIMAL(38,0) — nc·10²¹ + nodeOrdDec(lbl); nodeOrdDec < 10²¹
+      // = one count unit, so (−count, label-order) compare
+      // lexicographically — because the r15 struct ordering silently
+      // planned SortAggregate (struct buffers are not
+      // UnsafeRow-mutable; see nodeOrdDec). The packed form is the
+      // map-side-combinable HashAggregate with O(1) state per node
+      // the window replacement was meant to buy (~26 GB of external
+      // sort per iteration at sf100 otherwise — the communities
+      // ENOSPC class).
       // SHUFFLE_HASH on the label side (round 15): |V| label rows
       // against ~1.1 B edge rows — the default sort-merge join sorts
       // the 17 GB edge stream per iteration; hash-building the tiny
@@ -465,7 +483,9 @@ object Graph {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(min_by(col("lbl"),
-          struct((-col("c")).as("nc"), nodeOrd(col("lbl")).as("ord"))).as("lbl"))
+          (-col("c")).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            lit(new java.math.BigDecimal(10).pow(21)) +
+            nodeOrdDec(col("lbl"))).as("lbl"))
     }
     labels.groupBy(nodeStr(col("lbl")).as("community"))
       .agg(count(lit(1)).as("n_nodes"))

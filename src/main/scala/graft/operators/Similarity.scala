@@ -309,11 +309,54 @@ object Similarity {
     }
   }
 
+  /** Literal candidate array for a trained codebook — each entry
+    * carries its pre-folded ‖c‖² (the [[centsLitCol]] discipline:
+    * `foldLeft(0.0)(acc + x*x)` IS DotProduct's ascending-index IEEE
+    * sequence, so the constant is bit-identical to the runtime
+    * `dot_product(ce, ce)` the old exploded form evaluated per row). */
+  private def bookLitCol(cents: Seq[(Int, Seq[Double])],
+      idName: String): Column =
+    array(cents.map { case (id, ce) =>
+      val cc = ce.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(lit(id).as(idName), array(ce.map(lit): _*).as("ce"),
+        lit(cc).as("cc"))
+    }: _*)
+
+  /** Nearest-candidate struct via the literal MAP-SIDE argmin (round
+    * 18, the [[kmeansAssignLit]] form, guide §2.4): ascending struct
+    * order on (dist, id) replicates `min(struct(dist, id))` over the
+    * old explode exactly — the same ‖x‖² − 2⟨x,c⟩ + ‖c‖² doubles
+    * (dotLambda is rewritten to the very codegen DotProduct the
+    * exploded form called) and the same lowest-id tie-break — with NO
+    * Generate, NO Sort+SortAggregate pair and NO Exchange. The old
+    * shape looked map-side-combinable but was NOT hash-aggregable:
+    * min over a STRUCT buffer (like the r13 min-over-STRING trap) and
+    * first over ARRAY plan SortAggregate, i.e. a full sort of the n·k
+    * exploded rows on both sides of a vec_id exchange, per assignment
+    * (caught registry-wide by the round-18 PlanAudit screen).
+    *
+    * `x` and `xx = ⟨x,x⟩` must be PRE-STAGED COLUMNS (withColumn),
+    * never inline expressions: a transform lambda re-evaluates its
+    * body per candidate, so an inline slice() or self-dot would run
+    * k× per row (the first cut of this rewrite measured sim_pq_encode
+    * 1.8× SLOWER at sf1 from exactly that — 16 candidates × (slice +
+    * 2 dots) per subspace; hoisted, one ⟨x,c⟩ per candidate remains,
+    * which is the old exploded form's per-row work without its
+    * Generate/sort/shuffle). */
+  private def nearestLit(x: Column, xx: Column, cands: Column,
+      idName: String): Column =
+    array_min(transform(cands, c =>
+      struct(
+        (xx - lit(2.0) * dotLambda(x, c.getField("ce"))
+          + c.getField("cc")).as("dist"),
+        c.getField(idName).as(idName))))
+
   /** IVF-style ANN: k-means-trained coarse centroids partition the
     * corpus into cells (assignment = nearest centroid via the codegen
     * dot product); queries probe only their own cell, so the search
-    * join is cell-local — no all-pairs. Assignment is the same
-    * partial-agg argmin as training (scales without a window sort).
+    * join is cell-local — no all-pairs. Assignment is the literal
+    * map-side argmin ([[nearestLit]] — round 18; previously an
+    * explode + min(struct) that planned SortAggregate).
     * Centroids come from the train-once store above — query cost is
     * assignment + probe, never training. Since round 11 the quantized
     * Lloyd makes the whole path DuckDB-re-derivable ⇒ full oracle
@@ -321,16 +364,11 @@ object Similarity {
     * contract vs exact top-k additionally lives in InvariantSpec. */
   private def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
-    val centLits = trainedCentroids(v, dir, k = 10, iters = 2).map { case (id, ce) =>
-      struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
+    val coarse = trainedCentroids(v, dir, k = 10, iters = 2)
     val withCell = v
-      .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
-      .select(col("vec_id"), col("e"), col("nrm"), struct(
-        (expr("dot_product(e, e)") - lit(2.0) * expr("dot_product(e, c.ce)")
-          + expr("dot_product(c.ce, c.ce)")).as("dist"),
-        col("c.cent_id").as("cent_id")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .withColumn("xx", dotLambda(col("e"), col("e")))
+      .withColumn("m",
+        nearestLit(col("e"), col("xx"), bookLitCol(coarse, "cent_id"), "cent_id"))
       .select(col("vec_id"), col("e"), col("nrm"), col("m.cent_id").as("cell"))
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
@@ -355,11 +393,11 @@ object Similarity {
     * sit in executor memory for asymmetric-distance search. Codebooks
     * are Lloyd-trained per subspace on the same deterministic hash
     * sample as IVF and persisted write-once (training is a LAYOUT cost,
-    * not a query cost). Encoding is one pass: explode the 4×16 code
-    * candidates per vector, partial-agg `min(struct)` argmin per
-    * (vector, subspace) — the winning struct carries its codeword so
-    * per-subspace distortion needs no second lookup — then one pivot to
-    * wide form. Output: the code manifest + reconstruction MSE (exact:
+    * not a query cost). Encoding is one pass: a literal map-side
+    * argmin per subspace ([[nearestLit]], round 18 — the winning
+    * struct carries its distortion so no second lookup), four winners
+    * already in wide form — no explode, no aggregate, no exchange.
+    * Output: the code manifest + reconstruction MSE (exact:
     * per-subspace distortions quantize to 1e-6 BIGINTs before the
     * cross-row sum). Since round 11 the quantized Lloyd codebooks are
     * DuckDB-re-derivable ⇒ full oracle; the compression contract
@@ -374,37 +412,37 @@ object Similarity {
       val sub = v.select(col("vec_id"), slice(col("e"), j * subDim + 1, subDim).as("e"))
       j -> trainedCentroids(sub, dir, k, iters = 2, kind = "pqcode", tag = s"_m$j")
     }
-    val cands = books.flatMap { case (j, cents) =>
-      cents.map { case (id, ce) =>
-        struct(lit(j).as("sub"), lit(id).as("code"),
-          array(ce.map(lit): _*).as("ce"))
-      }
+    // per-subspace literal argmin (round 18, [[nearestLit]]): the four
+    // winners land as COLUMNS of one narrow projection — no 64-way
+    // explode, no Sort/SortAggregate/Exchange, and the wide-form pivot
+    // agg disappears because the codes are already wide. withColumn
+    // staging keeps the slice, the self-dot and each twice-referenced
+    // argmin in their own projections (the kmeansAssignLit
+    // CollapseProject note + the nearestLit hoisting contract).
+    val staged = (0 until m).foldLeft(v.select(col("vec_id"), col("e"))) {
+      case (df, j) =>
+        df.withColumn(s"se$j", slice(col("e"), j * subDim + 1, subDim))
+          .withColumn(s"sx$j", dotLambda(col(s"se$j"), col(s"se$j")))
     }
-    val assigned = v
-      .select(col("vec_id"), col("e"), explode(array(cands: _*)).as("c"))
-      .select(col("vec_id"), col("c.sub").as("sub"),
-        slice(col("e"), col("c.sub") * subDim + 1, lit(subDim)).as("se"),
-        col("c.code").as("code"), col("c.ce").as("ce"))
-      .select(col("vec_id"), col("sub"), struct(
-        (expr("dot_product(se, se)") - lit(2.0) * expr("dot_product(se, ce)")
-          + expr("dot_product(ce, ce)")).as("dist2"),
-        col("code")).as("sc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("sc")).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.code").as("code"),
-        col("m.dist2").as("dist2"))
-    assigned.groupBy(col("vec_id"))
-      .agg(
-        max(when(col("sub") === 0, col("code"))).cast(LongType).as("code0"),
-        max(when(col("sub") === 1, col("code"))).cast(LongType).as("code1"),
-        max(when(col("sub") === 2, col("code"))).cast(LongType).as("code2"),
-        max(when(col("sub") === 3, col("code"))).cast(LongType).as("code3"),
-        // per-subspace distortions are quantized BEFORE the cross-row
-        // sum (4 doubles per vector would otherwise sum in
-        // partition order — the one nondeterminism the oracle can't
-        // absorb); the exact-int sum then divides out in one double op
-        (sum(floor(col("dist2") * lit(1000000.0) + lit(0.5)).cast("long"))
-          .cast("double") / lit(1000000.0) / lit(64.0)).as("recon_mse"))
+    val wide = books.foldLeft(staged) {
+      case (df, (j, cs)) =>
+        df.withColumn(s"b$j",
+          nearestLit(col(s"se$j"), col(s"sx$j"), bookLitCol(cs, "code"), "code"))
+    }
+    wide.select(col("vec_id"),
+      col("b0.code").cast(LongType).as("code0"),
+      col("b1.code").cast(LongType).as("code1"),
+      col("b2.code").cast(LongType).as("code2"),
+      col("b3.code").cast(LongType).as("code3"),
+      // per-subspace distortions are quantized BEFORE summing exactly
+      // as the old cross-row agg did (4 exact BIGINT adds — order-free,
+      // identical value); the exact-int sum then divides out in the
+      // same double-op sequence
+      ((floor(col("b0.dist") * lit(1000000.0) + lit(0.5)).cast("long") +
+        floor(col("b1.dist") * lit(1000000.0) + lit(0.5)).cast("long") +
+        floor(col("b2.dist") * lit(1000000.0) + lit(0.5)).cast("long") +
+        floor(col("b3.dist") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1000000.0) / lit(64.0)).as("recon_mse"))
       .orderBy(col("vec_id"))
   }
 
@@ -444,14 +482,14 @@ object Similarity {
       struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce")) }
     val centMap = map(coarse.flatMap { case (id, ce) =>
       Seq(lit(id), array(ce.map(lit): _*)) }: _*)
+    // coarse routing via the literal map-side argmin ([[nearestLit]],
+    // round 18) — the old explode + min(struct)/first(array) planned a
+    // Sort+SortAggregate pair around a vec_id exchange, per reference
+    // to this subtree (the eval rows re-execute it several times)
     val withCell = v
-      .select(col("vec_id"), col("e"), col("nrm"), explode(array(centLits: _*)).as("c"))
-      .select(col("vec_id"), col("e"), col("nrm"), struct(
-        (expr("dot_product(e, e)") - lit(2.0) * expr("dot_product(e, c.ce)")
-          + expr("dot_product(c.ce, c.ce)")).as("dist"),
-        col("c.cent_id").as("cent_id")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("m"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .withColumn("xx", dotLambda(col("e"), col("e")))
+      .withColumn("m",
+        nearestLit(col("e"), col("xx"), bookLitCol(coarse, "cent_id"), "cent_id"))
       .select(col("vec_id"), col("e"), col("nrm"), col("m.cent_id").as("cell"))
       .withColumn("resid", zip_with(col("e"), element_at(centMap, col("cell")),
         (x, y) => x - y))
@@ -466,22 +504,28 @@ object Similarity {
         struct(lit(j).as("sub"), lit(id).as("code"), array(ce.map(lit): _*).as("ce")) }
     }
     // encode: nearest residual codeword per (vector, subspace) — the
-    // same partial-agg argmin as PQ encoding, carrying cell + norm
-    val codes = withCell
-      .select(col("vec_id"), col("cell"), col("nrm"), col("resid"),
-        explode(array(cands: _*)).as("c"))
-      .select(col("vec_id"), col("cell"), col("nrm"), col("c.sub").as("sub"),
-        slice(col("resid"), col("c.sub") * subDim + 1, lit(subDim)).as("se"),
-        col("c.code").as("code"), col("c.ce").as("ce"))
-      .select(col("vec_id"), col("cell"), col("nrm"), col("sub"), struct(
-        (expr("dot_product(se, se)") - lit(2.0) * expr("dot_product(se, ce)")
-          + expr("dot_product(ce, ce)")).as("dist2"),
-        col("code")).as("sc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("sc")).as("mn"), first(col("cell")).as("cell"),
-        first(col("nrm")).as("cnrm"))
-      .select(col("vec_id").as("cid"), col("cell"), col("cnrm"),
-        col("sub"), col("mn.code").as("code"))
+    // same literal argmin as PQ encoding ([[nearestLit]], round 18; no
+    // 64-way explode, no Sort/SortAggregate/Exchange). Slices and
+    // self-dots stage as columns (the nearestLit hoisting contract);
+    // the ADC join needs the long (cid, cell, cnrm, sub, code) form,
+    // so the four per-subspace winners explode as a 4-element array.
+    val staged = (0 until 4).foldLeft(
+      withCell.select(col("vec_id").as("cid"), col("cell"),
+        col("nrm").as("cnrm"), col("resid"))) {
+      case (df, j) =>
+        df.withColumn(s"se$j", slice(col("resid"), j * subDim + 1, subDim))
+          .withColumn(s"sx$j", dotLambda(col(s"se$j"), col(s"se$j")))
+    }
+    val codeCols = books.map { case (j, cs) =>
+      struct(lit(j).as("sub"),
+        nearestLit(col(s"se$j"), col(s"sx$j"), bookLitCol(cs, "code"), "code")
+          .getField("code").as("code"))
+    }
+    val codes = staged
+      .select(col("cid"), col("cell"), col("cnrm"),
+        explode(array(codeCols: _*)).as("sc"))
+      .select(col("cid"), col("cell"), col("cnrm"),
+        col("sc.sub").as("sub"), col("sc.code").as("code"))
     (withCell, centLits, centMap, cands, codes)
   }
 

@@ -590,12 +590,18 @@ class PlanAssertionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("sim_ann_ivf: cell routing is a combinable argmin; probe is a cell-keyed broadcast join") {
+  test("sim_ann_ivf: cell routing is a map-side literal argmin; probe is a cell-keyed broadcast join") {
     val p = plan("sim_ann_ivf")
-    // assignment: min(struct(dist, cid)) partial-aggregates map-side —
-    // the k-candidate fanout collapses before any shuffle
-    assert(p.contains("partial_min(sc"),
-      "cell assignment must partial-agg the argmin struct map-side")
+    // assignment (round 18): array_min over the literal candidates —
+    // a narrow projection. The old min(struct)/first(array) agg looked
+    // map-side-combinable but planned SortAggregate (struct/array
+    // buffers are hash-agg-ineligible, the r13 min-over-STRING trap):
+    // a full sort of the n·k exploded rows on both sides of a vec_id
+    // exchange. Pin the absence of that whole shape.
+    assert(p.contains("array_min"),
+      "cell assignment must be the literal map-side argmin projection")
+    assert(!p.contains("SortAggregate"),
+      "assignment must not fall back to sort aggregation")
     // probe: candidates meet queries ONLY inside their cell — a keyed
     // broadcast hash join on cell, never an all-pairs scan
     assert(p.contains("BroadcastHashJoin [cell"),
@@ -605,10 +611,15 @@ class PlanAssertionSpec extends AnyFunSuite {
       "per-query top-3 needs the WindowGroupLimit pushdown")
   }
 
-  test("sim_pq_encode: per-(vector,subspace) code argmin partial-aggregates") {
+  test("sim_pq_encode: per-(vector,subspace) code argmin is a pure projection") {
     val p = plan("sim_pq_encode")
-    assert(p.contains("partial_min(sc"),
-      "code assignment must partial-agg the argmin struct map-side")
+    // round 18: four per-subspace literal argmins as columns — the
+    // plan has NO aggregate and NO exchange at all (the old explode +
+    // min(struct) planned SortAggregate pairs around a shuffle)
+    assert(p.contains("array_min"),
+      "code assignment must be the literal map-side argmin projection")
+    assert(!p.contains("SortAggregate"),
+      "code assignment must not fall back to sort aggregation")
     assert(!p.contains("CartesianProduct"))
   }
 
