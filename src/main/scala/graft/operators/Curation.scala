@@ -488,9 +488,16 @@ object Curation {
     * streaming ingest twin's parity test compares against. */
   private[graft] def dsirFeatsScored(spark: SparkSession, dir: String): DataFrame =
     dsirFeats(spark, dir).join(broadcast(dsirLambda(spark, dir)), "b")
-      .groupBy(col("doc_id"))
-      .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
-        sum(col("lam_q")).as("score_q"))
+      // lang is functionally dependent on doc_id (a document
+      // attribute carried through the feature explode), so it rides
+      // as a GROUPING KEY: string keys hash-aggregate fine — it is
+      // string AGGREGATION BUFFERS that are not UnsafeRow-mutable.
+      // The former max(lang) carry planned SortAggregate and
+      // externally sorted the full per-feature stream by doc_id (the
+      // r13 min-over-STRING trap; round-18 PlanAudit catch). Same
+      // rows, same values — the key never splits a group.
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_q")).as("score_q"))
       .select(col("doc_id"), col("lang"), col("n_feats"),
         (col("score_q").cast("double") / lit(1000000000.0)).as("score"))
 
