@@ -224,15 +224,26 @@ object Aggregates {
     * bitmaps and any slice re-unions them without touching raw rows —
     * and unlike HLL the answer is exact, so the oracle is a plain
     * count(DISTINCT). Memory is bounded by key-space/8 bits per group,
-    * the right trade for dense surrogate-key domains. */
+    * the right trade for dense surrogate-key domains.
+    *
+    * Round 18: the bitmap aggregation runs through the
+    * hash-aggregable twins ([[graft.functions.BitmapConstructObjAgg]]
+    * — byte-identical layout, pinned by an exact-equality
+    * InvariantSpec test): Spark's built-ins carry BinaryType BUFFER
+    * attributes, which are not UnsafeRow-mutable, so they planned
+    * SortAggregate — a per-split sort of lineitem by (flag, mon, bkt)
+    * before the partial and a sort of the partials after the exchange
+    * (PlanAudit catch). ObjectHashAggregate removes both sorts; the
+    * 4 KB partials over the wire are unchanged. */
   private def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BitmapAggs.register(spark)
     val monthly = lineitem(spark, dir)
       .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("mon"),
         bitmap_bucket_number(col("l_partkey")).as("bkt"))
-      .agg(bitmap_construct_agg(bitmap_bit_position(col("l_partkey"))).as("bm"))
+      .agg(expr("bitmap_construct_obj_agg(bitmap_bit_position(l_partkey))").as("bm"))
     monthly
       .groupBy(col("l_returnflag"), col("bkt"))
-      .agg(bitmap_or_agg(col("bm")).as("bm")) // re-aggregation: OR the stored partials
+      .agg(expr("bitmap_or_obj_agg(bm)").as("bm")) // re-aggregation: OR the stored partials
       .groupBy(col("l_returnflag"))
       .agg(sum(bitmap_count(col("bm"))).as("distinct_parts"))
       .orderBy(col("l_returnflag"))
@@ -457,12 +468,14 @@ object Aggregates {
     * bitmap_or_agg but no AND; the custom expression fills the gap. */
   private def aggBitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BitmapAnd.register(spark)
+    // hash-aggregable construct twin — see aggBitmapDistinct (round 18)
+    graft.functions.BitmapAggs.register(spark)
     val ev = Tables.events(spark, dir)
     def bm(t: String) = ev.filter(col("event_type") === t)
       .select(bitmap_bucket_number(col("user_id")).as("bkt"),
         bitmap_bit_position(col("user_id")).as("pos"))
       .groupBy(col("bkt"))
-      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      .agg(expr("bitmap_construct_obj_agg(pos)").as("bm"))
     bm("purchase").join(bm("error").withColumnRenamed("bm", "bm2"), "bkt")
       .select(expr("bitmap_count(bitmap_and(bm, bm2))").as("c"))
       .agg(sum(col("c")).as("n_both"))

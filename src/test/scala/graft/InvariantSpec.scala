@@ -893,6 +893,40 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("object bitmap aggs are byte-identical to Spark's built-ins") {
+    // Round 18: the hash-aggregable BitmapConstructObjAgg/BitmapOrObjAgg
+    // (ObjectHashAggregate — no sorts) must produce the EXACT bytes of
+    // Spark's declarative bitmap_construct_agg/bitmap_or_agg so that
+    // bitmap_count / bitmap_and / stored partials stay interchangeable.
+    // This pins the 4096-byte pos>>3 / 1<<(pos&7) layout contract.
+    graft.functions.BitmapAggs.register(spark)
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .createOrReplaceTempView("bm_eq_src")
+    val partials = spark.sql(
+      """SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
+        |  bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS a,
+        |  bitmap_construct_obj_agg(bitmap_bit_position(l_partkey)) AS b
+        |FROM bm_eq_src GROUP BY 1, 2""".stripMargin)
+    partials.createOrReplaceTempView("bm_eq_partials")
+    val rows = partials.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("a"), r.getAs[Array[Byte]]("b")),
+        s"construct bytes diverged for ${r.get(0)}/${r.get(1)}")
+    }
+    val or = spark.sql(
+      """SELECT l_returnflag, bitmap_or_agg(a) AS a, bitmap_or_obj_agg(b) AS b
+        |FROM bm_eq_partials GROUP BY 1""".stripMargin).collect()
+    assert(or.nonEmpty)
+    or.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("a"), r.getAs[Array[Byte]]("b")),
+        s"or bytes diverged for ${r.get(0)}")
+    }
+  }
+
   test("pagerank: ranks positive, top-50 mass below 1, supplier hubs outrank parts") {
     val pr = q("graph_pagerank").collect()
     assert(pr.length == 50)
