@@ -25,7 +25,7 @@ import org.apache.spark.sql.execution.FormattedMode
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("plans/r18/plan_audit.tsv")
+    val out = args.lift(1).getOrElse("plans/r19/plan_audit.tsv")
     GraftSession.quietStartup()
     val spark = SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)
@@ -38,8 +38,43 @@ object PlanAudit {
     val flags = new scala.collection.mutable.ArrayBuffer[String]
     rows += Seq("query", "exchanges", "wsc_spans", "bhj", "smj", "shj",
       "bnlj", "cartesian", "sort_agg", "hash_agg", "obj_hash_agg",
-      "windows", "scans", "scans_pushed", "scans_filter_unpushed")
+      "windows", "scans", "scans_pushed", "scans_filter_unpushed",
+      "bnlj_sides")
       .mkString("\t")
+
+    // BNLJ BOUND LEDGER (round 19, r18 VERDICT task 4): classify every
+    // BroadcastNestedLoopJoin's BUILD side by the plan node that bounds
+    // its row count, walking down through unary operators. A BNLJ is
+    // benign only when its broadcast side is provably O(1)/O(k) rows in
+    // SF: a keyless aggregate (exactly 1 row — the scalar-subquery /
+    // global-stats crossJoin pattern) or an explicit limit (≤ k rows —
+    // greedy top-k selection). Anything else is flagged for manual
+    // proof — the anti-pattern screen discipline that caught the
+    // SortAggregate families in round 18, applied to the next
+    // cartesian-in-waiting.
+    def bnljBound(p: org.apache.spark.sql.execution.SparkPlan): String = {
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.aggregate._
+      p match {
+        case a: HashAggregateExec if a.groupingExpressions.isEmpty => "scalar1"
+        case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => "scalar1"
+        case a: SortAggregateExec if a.groupingExpressions.isEmpty => "scalar1"
+        case g: GlobalLimitExec => s"limit${g.limit}"
+        case t: TakeOrderedAndProjectExec => s"limit${t.limit}"
+        case l: LocalTableScanExec => s"local${l.rows.size}"
+        case u: UnaryExecNode => bnljBound(u.child)
+        case other => s"UNBOUNDED:${other.nodeName}"
+      }
+    }
+    def bnljSides(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          val side = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          bnljBound(side)
+      }
 
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val fn = SparkEntry.queries(name)
@@ -67,10 +102,14 @@ object PlanAudit {
         val emptyPushed = c("""PushedFilters: \[\]""")
         val filters = c("""\(\d+\) Filter""")
         val unpushed = if (filters > 0) emptyPushed else 0
+        val sides = bnljSides(df.queryExecution.sparkPlan)
+        val sidesCol = if (sides.isEmpty) "-" else sides.mkString(";")
         rows += Seq(name, exch, wsc, bhj, smj, shj, bnlj, cart, sortAgg,
-          hashAgg, objAgg, win, scans, pushed, unpushed).mkString("\t")
+          hashAgg, objAgg, win, scans, pushed, unpushed, sidesCol)
+          .mkString("\t")
         if (cart > 0) flags += s"$name: CartesianProduct x$cart"
-        if (bnlj > 0) flags += s"$name: BroadcastNestedLoopJoin x$bnlj"
+        if (sides.exists(_.startsWith("UNBOUNDED")))
+          flags += s"$name: BNLJ build side not provably bounded [$sidesCol]"
         if (sortAgg > 0) flags += s"$name: SortAggregate x$sortAgg"
       } catch {
         case e: Exception =>

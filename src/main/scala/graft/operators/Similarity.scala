@@ -603,7 +603,15 @@ object Similarity {
     * given ADC shortlist, pred = its exact-reranked top 3, truth =
     * brute-force top 3 — the [[simAnnEval]] relational fold. */
   private def ivfPqEvalOn(spark: SparkSession, dir: String,
-      sl: DataFrame): DataFrame = {
+      slIn: DataFrame): DataFrame = {
+    // Materialize the ADC shortlist ONCE (round 19, VERDICT task 6 —
+    // the matGraphRel discipline, guide §2.4): the eval fold references
+    // it twice (cand + the rerank's input), and Spark has no DAG-level
+    // CSE, so the whole gated IVF-PQ chain (train → assign → LUT → ADC
+    // → top-20) executed twice per eval run. The shortlist is |Q|×20
+    // rows — bounded eval metadata — so the checkpoint barrier costs
+    // nothing against a full re-run of the chain.
+    val sl = slIn.localCheckpoint()
     val cand = sl.select(col("qid"), col("cid"), lit(1L).as("c"))
     val pred = ivfPqRanked(spark, dir, sl)
       .select(col("qid"), col("cid"), lit(1L).as("p"))

@@ -247,18 +247,28 @@ object TpchExtra {
     * that derives the edges. */
   private def sqlTransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
     events(spark, dir).createOrReplaceTempView("graft_sql_events")
+    // Materialize the k² edge relation ONCE before recursing (round 19,
+    // the graph_reachability precedent): Spark's UnionLoop re-evaluates
+    // every referenced view on EACH recursive step, so an edges CTE
+    // inlined into the recursion re-ran the full lead() window over the
+    // event stream per iteration — 6 window shuffles of the corpus for
+    // one k²-sized metadata relation (guide §2.4: remove shuffles
+    // outright). The recursion itself (the declared WITH RECURSIVE
+    // surface) is unchanged and still bottoms out at depth 5.
     spark.sql(
-      """WITH RECURSIVE edges AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |   SELECT event_type AS src,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS dst
-        |   FROM graft_sql_events) WHERE dst IS NOT NULL),
-        | reach(src, dst, depth) AS (
-        |  SELECT src, dst, 1 AS depth FROM edges
+      """SELECT DISTINCT src, dst FROM (
+        | SELECT event_type AS src,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst
+        | FROM graft_sql_events) WHERE dst IS NOT NULL""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_sql_tc_edges")
+    spark.sql(
+      """WITH RECURSIVE reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 AS depth FROM graft_sql_tc_edges
         |  UNION ALL
         |  SELECT r.src, e.dst, r.depth + 1
-        |  FROM reach r JOIN edges e ON r.dst = e.src
+        |  FROM reach r JOIN graft_sql_tc_edges e ON r.dst = e.src
         |  WHERE r.depth < 5)
         |SELECT DISTINCT src, dst FROM reach ORDER BY src, dst""".stripMargin)
   }
