@@ -107,11 +107,21 @@ object Bench {
     // dedup_semantic_coarse 4.23 → 2.46, dedup_apply 3.53 → 2.16,
     // stats_mad_outliers 2.08 → 1.81.
     val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")
+    // AQE coalescing posture knob (round 19, r18 VERDICT task 5).
+    // MEASURED AND REJECTED as a blanket flip: parallelismFirst=false
+    // (honor the 128 MB advisory) collapses small-byte CPU-HEAVY
+    // post-shuffle stages to 1 reducer — dedup_ngram_jaccard lost
+    // 2.7×, text_repetition 1.9× at sf0.1 (OPTIMIZATION_r19.md
+    // task 5) — so the Spark default stays. The small-input fix that
+    // DID measure well lives in GraftSession.shufflePartitions (the
+    // input-derived ~2 MB/task small-end floor). Knob kept for A/Bs.
+    val pFirst = sys.env.getOrElse("SPARK_GRAFT_AQE_PFIRST", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (advisoryMb * 1024L * 1024).toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pFirst)
       .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -38,6 +38,9 @@ object BenchFocus {
       // capacity; unchanged = sources genuinely differ per run).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+      // mirror Bench's AQE coalescing knob so focus A/Bs are comparable
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PFIRST", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.applyOptimizations(spark)

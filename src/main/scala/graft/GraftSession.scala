@@ -137,7 +137,28 @@ object GraftSession {
   def shufflePartitions(cores: Int, inputBytes: Long = 0L): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.trim.toInt).getOrElse {
       val byBytes = math.ceil(inputBytes / (128.0 * 1024 * 1024)).toInt
-      math.min(math.max(cores, byBytes), cores * 4)
+      // Small-input floor (round 19, r18 VERDICT task 5): the old lower
+      // bound was CORES — a core-count constant, so a 17 MB corpus got
+      // 32 reduce partitions on local[32] and every iterative family
+      // paid 32 near-empty tasks per round (the driver's 8-core r18 run
+      // beat its 32-core run by 14% on exactly this). The small end is
+      // now INPUT-DERIVED: ~2 MB of source data per reduce task, capped
+      // by cores — measured at sf0.1/32 cores (OPTIMIZATION_r19.md
+      // task 5): dedup_semantic 3.36 → 2.02 s, dedup_semantic_coarse
+      // 4.31 → 2.31, sim_pq_train 2.94 → 2.00, graph_pagerank 2.51 →
+      // 1.66, with the CPU-heavy shingle/window family flat (8
+      // partitions keep 8-way parallelism; the rejected
+      // parallelismFirst=false blanket collapsed those to 1 and lost
+      // 2.7×). The bound never binds once inputs can feed the cores
+      // (min(cores, …) saturates at ~2 MB × cores), so cluster-scale
+      // partitioning still comes from byBytes/advisory — scale-adaptive
+      // at both ends, constant at neither. bytes unknown (0) keeps the
+      // cores default.
+      val smallEnd =
+        if (inputBytes <= 0L) cores
+        else math.min(cores,
+          math.max(1, math.ceil(inputBytes / (2.0 * 1024 * 1024)).toInt))
+      math.min(math.max(smallEnd, byBytes), cores * 4)
     }
 
   /** Total bytes under a data directory, via Hadoop FileSystem so the

@@ -62,6 +62,7 @@ object PlanAudit {
         case g: GlobalLimitExec => s"limit${g.limit}"
         case t: TakeOrderedAndProjectExec => s"limit${t.limit}"
         case l: LocalTableScanExec => s"local${l.rows.size}"
+        case r: RangeExec => s"range${r.numElements}"
         case u: UnaryExecNode => bnljBound(u.child)
         case other => s"UNBOUNDED:${other.nodeName}"
       }

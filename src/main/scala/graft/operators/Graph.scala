@@ -413,17 +413,36 @@ object Graph {
       .unionByName(pairs.select(col("v").as("a"), col("u").as("b")))
     // round 1's induced subgraph is the full graph, so the first
     // restriction joins are the identity — start from the plain
-    // degree count + threshold, and unroll the general round twice
-    var live = adj.groupBy(col("a").as("node"))
+    // degree count + threshold, and unroll the general round twice.
+    // PLAN-CONDITIONAL per-round checkpoint (round 19): the round body
+    // references `live` TWICE (the a-side and b-side induced-subgraph
+    // restrictions), and Spark has no DAG-level CSE, so the lazy form
+    // re-derives round r−1's whole lineage under BOTH join legs —
+    // subtree count DOUBLING per unrolled round (the lazy plan carries
+    // round-0's degree agg four times; 222 plan lines). Below the
+    // matGraphRel threshold the duplicated legs pipeline in parallel
+    // on idle cores and the checkpoint barrier measurably LOSES
+    // (adjacent A/B at sf0.1/32, equal canaries 12.6 s: lazy 2.99 s
+    // warm-min vs checkpointed 3.29 — the graphPagerank/
+    // verifiedPairsOf lesson), so bench/gate SFs stay lazy and impl
+    // fingerprints are unaffected. Past the threshold the duplicated
+    // work is 3 extra O(|E|) restriction joins per round over an
+    // adjacency that no longer fits page cache — there the O(|V|)
+    // (node, deg) survivor checkpoint (tiny at any SF) caps each
+    // round's lineage at one pass, the cluster-honest posture.
+    val ckptRounds = graft.GraftSession.dirBytes(dir) >= (4L << 30)
+    def matLive(df: DataFrame): DataFrame =
+      if (ckptRounds) df.localCheckpoint() else df
+    var live = matLive(adj.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2)
+      .filter(col("deg") >= 2))
     for (_ <- 1 to 2) {
-      live = adj
+      live = matLive(adj
         .join(live.select(col("node").as("a")).hint("shuffle_hash"), "a")
         .join(live.select(col("node").as("b")).hint("shuffle_hash"), "b")
         .groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2)
+        .filter(col("deg") >= 2))
     }
     live.select(col("node").cast("long").as("part"), col("deg").as("coredeg"))
       .orderBy(col("coredeg").desc, col("part")).limit(50)

@@ -823,12 +823,19 @@ object Similarity {
     val c = v.select(col("vec_id").as("cid"), col("e").as("ce"),
       col("nrm").as("cnrm"))
     val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    // The |Q|×8 shortlist is referenced FIVE times below (both pairwise
+    // legs, s1, and the stage-2/3 rescoring joins); Spark has no
+    // DAG-level CSE, so the lazy form re-ran the corpus-wide scored
+    // scan + top-8 window per reference — 62 Exchanges in the before
+    // plan. Bounded eval metadata ⇒ materialize once (round 19, the
+    // ivfPqEvalOn/matGraphRel discipline, guide §2.4).
     val short = c.join(broadcast(q), col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("ce"), col("cnrm"),
         Parity.r6(expr("dot_product(qe, ce)") / (col("qnrm") * col("cnrm")))
           .as("rel"))
       .withColumn("rnk", row_number().over(wRel))
       .filter(col("rnk") <= 8)
+      .localCheckpoint()
     val a = short.select(col("qid").as("pqid"), col("cid").as("acid"),
       col("ce").as("ae"), col("cnrm").as("anrm"))
     val b = short.select(col("qid").as("bqid"), col("cid").as("bcid"),
